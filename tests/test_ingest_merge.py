@@ -1,0 +1,164 @@
+"""Merge-operator semantics, mirroring the reference's golden cases
+(reference: tests/tracker/test_merge_rewarded_decisions.py)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from tracker_trainer_spark import ksuid
+from tracker_trainer_spark.ingest.merge import (
+    finalize_for_storage,
+    merge_rewarded_decisions,
+    parse_stored,
+)
+from tracker_trainer_spark.ingest.project import to_rewarded_decisions
+from tracker_trainer_spark.ingest.reader import parse_track_records
+from tracker_trainer_spark.ingest.validate import split_valid
+
+TS = 1653297422  # fixed past timestamp
+
+
+def kid(n):
+    return ksuid.deterministic_ksuid(TS + n, n)
+
+
+def _merge_lines(spark, lines):
+    df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    valid, invalid = split_valid(parse_track_records(df))
+    rd = to_rewarded_decisions(valid)
+    merged = finalize_for_storage(
+        merge_rewarded_decisions(rd, group_cols=("model", "decision_id"))
+    )
+    return {r["decision_id"]: r.asDict() for r in merged.collect()}, invalid.count()
+
+
+def decision(mid, model="test-model-1.0", count=2, item=None, context=None, **kw):
+    rec = {"message_id": mid, "model": model, "count": count,
+           "item": item, "context": context}
+    rec.update(kw)
+    return json.dumps(rec)
+
+
+def reward(mid, decision_id, value, model="test-model-1.0"):
+    return json.dumps({"message_id": mid, "model": model,
+                       "decision_id": decision_id, "reward": value})
+
+
+def test_one_decision_one_reward(spark):
+    d, r1 = kid(1), kid(2)
+    rows, bad = _merge_lines(spark, [
+        decision(d, item={"text": "variant"}, context={"device": "iPhone"}),
+        reward(r1, d, -10),
+    ])
+    assert bad == 0
+    row = rows[d]
+    assert row["item"] == '{"text":"variant"}'
+    assert row["context"] == '{"device":"iPhone"}'
+    assert row["count"] == 2.0
+    assert row["rewards"] == '{"%s":-10}' % r1
+    assert row["reward"] == -10.0
+    assert row["sample"] is None
+
+
+def test_duplicate_reward_message_ids_collapse(spark):
+    d, r1 = kid(1), kid(2)
+    rows, _ = _merge_lines(spark, [
+        decision(d),
+        reward(r1, d, 5),
+        reward(r1, d, 5),
+    ])
+    assert rows[d]["rewards"] == '{"%s":5}' % r1
+    assert rows[d]["reward"] == 5.0
+
+
+def test_orphan_rewards(spark):
+    d = kid(1)
+    rows, _ = _merge_lines(spark, [
+        reward(kid(2), d, 1.5),
+        reward(kid(3), d, 2.5),
+    ])
+    row = rows[d]
+    assert row["item"] is None and row["context"] is None and row["count"] is None
+    assert row["reward"] == 4.0
+    assert json.loads(row["rewards"]) == {kid(2): 1.5, kid(3): 2.5}
+
+
+def test_decision_no_rewards(spark):
+    d = kid(1)
+    rows, _ = _merge_lines(spark, [decision(d)])
+    assert rows[d]["rewards"] == "{}"
+    assert rows[d]["reward"] == 0.0
+
+
+def test_null_item_context_encode_as_json_null_text(spark):
+    d = kid(1)
+    rows, _ = _merge_lines(spark, [decision(d, item=None, context=None)])
+    # json_dumps(None) == 'null' — decisions always carry non-NULL strings
+    assert rows[d]["item"] == "null"
+    assert rows[d]["context"] == "null"
+
+
+def test_sample_absent_vs_set_null(spark):
+    d1, d2 = kid(1), kid(2)
+    lines = [
+        decision(d1),  # sample absent
+        json.dumps({"message_id": d2, "model": "test-model-1.0", "count": 3,
+                    "item": 1, "context": {}, "sample": None}),  # set-null
+    ]
+    rows, _ = _merge_lines(spark, lines)
+    assert rows[d1]["sample"] is None       # SQL NULL
+    assert rows[d2]["sample"] == "null"     # JSON text 'null'
+    # bare-primitive item JSON-encodes as-is
+    assert rows[d2]["item"] == "1"
+    assert rows[d2]["context"] == "{}"
+
+
+def test_sorted_keys_in_item_json(spark):
+    d = kid(1)
+    rows, _ = _merge_lines(spark, [decision(d, item={"b": 1, "a": {"d": 2, "c": 3}})])
+    assert rows[d]["item"] == '{"a":{"c":3,"d":2},"b":1}'
+
+
+def test_merge_idempotent_and_reentrant(spark):
+    d, r1, r2 = kid(1), kid(2), kid(3)
+    lines = [decision(d, item={"x": 1}), reward(r1, d, 1), reward(r2, d, 2)]
+    df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    valid, _ = split_valid(parse_track_records(df))
+    rd = to_rewarded_decisions(valid)
+    once = finalize_for_storage(merge_rewarded_decisions(rd, ("model", "decision_id")))
+    # re-merge merged output unioned with the raw partials again
+    again = finalize_for_storage(
+        merge_rewarded_decisions(
+            parse_stored(once).unionByName(rd, allowMissingColumns=True),
+            ("model", "decision_id"),
+        )
+    )
+    a = {r["decision_id"]: r.asDict() for r in once.collect()}
+    b = {r["decision_id"]: r.asDict() for r in again.collect()}
+    assert a == b
+    assert a[d]["reward"] == 3.0
+
+
+def test_invalid_records_rejected(spark):
+    good = kid(1)
+    lines = [
+        decision(good),
+        "not json",
+        json.dumps({"message_id": "short", "model": "m", "count": 1}),       # bad ksuid
+        json.dumps({"message_id": kid(2), "model": "bad name!", "count": 1}),  # bad model
+        json.dumps({"message_id": kid(3), "model": "m", "count": 0}),        # count < 1
+        json.dumps({"message_id": kid(4), "model": "m", "count": 1.5}),      # non-int count
+        json.dumps({"message_id": kid(5), "model": "m", "count": 1, "sample": None}),  # sample w/ count 1
+        json.dumps({"message_id": kid(6), "model": "m", "decision_id": kid(1), "reward": "x"}),  # non-numeric
+        json.dumps({"message_id": kid(7), "model": "m", "decision_id": "zzz", "reward": 1}),  # bad decision_id
+    ]
+    rows, bad = _merge_lines(spark, lines)
+    assert set(rows) == {good}
+    assert bad == len(lines) - 1
+
+
+def test_future_ksuid_rejected(spark):
+    future = ksuid.deterministic_ksuid(3000000000, 99)  # year 2065
+    rows, bad = _merge_lines(spark, [decision(future)])
+    assert rows == {} and bad == 1

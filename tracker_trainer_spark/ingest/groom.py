@@ -1,0 +1,128 @@
+"""Groom: timeline compaction + duplicate-key repair.
+
+Reference design: a Step-Function fixpoint loop that merges
+lexicographically-adjacent / overlapping range-named files until the
+timeline is sorted, non-overlapping and size-bounded
+(reference: src/ingest/groom.py:10-180, src/ingest/partition.py:375-405).
+
+Spark-native redesign (see sink.py): partitions are keyed by the
+decision_id-embedded date, so cross-file overlap can only occur *within*
+one ``(model, dt)`` partition — appended batches may carry partial rows
+for decision_ids already present. Groom therefore:
+
+1. plans distributed: one scan computes per-partition file count, row
+   count and distinct decision_ids (driver holds only the partition list
+   — never row data, 100 TB-safe);
+2. rewrites only dirty partitions (files > target OR rows > distinct
+   ids) via the same idempotent merge aggregation, using dynamic
+   partition overwrite so clean partitions are untouched;
+3. converges in a single pass per dirty partition (no 30-iteration
+   fixpoint needed — the reference's loop exists to repair *range
+   overlap between files*, which this layout rules out by construction).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .merge import merge_rewarded_decisions, finalize_for_storage, parse_stored
+from .sink import MAX_RECORDS_PER_FILE
+
+
+@dataclass
+class GroomPlan:
+    dirty: list  # list of Row(model, dt, n_files, n_rows, n_ids)
+    total_partitions: int
+
+
+def plan_groom(spark: SparkSession, path: str,
+               max_records_per_file: int = MAX_RECORDS_PER_FILE,
+               target_files_per_partition: int = 4) -> GroomPlan:
+    """One distributed scan → list of partitions needing a rewrite."""
+    df = spark.read.parquet(path)
+    stats = (
+        df.withColumn("_file", F.input_file_name())
+        .groupBy("model", "dt")
+        .agg(
+            F.countDistinct("_file").alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("decision_id").alias("n_ids"),
+        )
+    )
+    # dirty = duplicate keys to re-merge, or more files than needed
+    needed_files = F.greatest(
+        F.ceil(F.col("n_ids") / max_records_per_file), F.lit(1)
+    )
+    dirty = stats.where(
+        (F.col("n_rows") > F.col("n_ids"))
+        | (F.col("n_files") > F.greatest(needed_files, F.lit(target_files_per_partition)))
+    )
+    return GroomPlan(dirty=dirty.collect(), total_partitions=stats.count())
+
+
+def groom(spark: SparkSession, path: str,
+          max_records_per_file: int = MAX_RECORDS_PER_FILE,
+          target_files_per_partition: int = 4) -> int:
+    """Compact dirty partitions in place; returns number rewritten.
+
+    Idempotent and re-runnable: a partially-applied groom leaves every
+    partition either untouched or fully merged (dynamic partition
+    overwrite is atomic per partition), mirroring the reference's
+    delete-last retry safety (src/ingest/partition.py:340-354).
+    """
+    plan = plan_groom(spark, path, max_records_per_file, target_files_per_partition)
+    if not plan.dirty:
+        return 0
+    keys = [(r["model"], r["dt"]) for r in plan.dirty]
+    df = spark.read.parquet(path)
+    # OR-of-conjunctions on the partition columns → Catalyst prunes the
+    # scan down to exactly the dirty partitions.
+    pred = None
+    for m, d in keys:
+        clause = (F.col("model") == F.lit(m)) & (F.col("dt") == F.lit(d))
+        pred = clause if pred is None else (pred | clause)
+    subset = df.where(pred)
+    remerged = finalize_for_storage(
+        merge_rewarded_decisions(parse_stored(subset), group_cols=("model", "dt", "decision_id"))
+    )
+    with _dynamic_overwrite(spark):
+        (
+            remerged.repartition("model", "dt")
+            .sortWithinPartitions("decision_id")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy("model", "dt")
+            .parquet(path)
+        )
+    return len(keys)
+
+
+class _dynamic_overwrite:
+    """Temporarily set dynamic partitionOverwriteMode."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.prev)
+
+
+def assert_no_duplicate_keys(spark: SparkSession, path: str) -> None:
+    """Invariant check (test helper): one row per (model, dt, decision_id).
+
+    The Spark analogue of the reference's overlap invariant
+    (src/ingest/groom.py:71-84).
+    """
+    df = spark.read.parquet(path)
+    dups = (
+        df.groupBy("model", "dt", "decision_id").count().where(F.col("count") > 1)
+    )
+    n = dups.count()
+    assert n == 0, f"{n} duplicate decision_ids remain after groom"

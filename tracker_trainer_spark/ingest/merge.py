@@ -1,0 +1,121 @@
+"""The core relational operator: reward ↔ decision merge.
+
+Reference semantics (reference: src/ingest/partition.py:155-213):
+grouped by ``decision_id`` —
+- item/context/count/sample: first non-null value in the group;
+- rewards: keyed union of all partial reward dicts, duplicate
+  ``message_id`` deduped with dict-update semantics
+  (reference: src/ingest/partition.py:202-210);
+- reward = sum(rewards.values()); empty → ('{}', 0.0).
+
+The merge is associative, commutative and idempotent (re-merging merged
+output with new partials converges — "eventual consistency",
+reference: src/ingest/partition.py:448-453,
+tests/tracker/test_merge_rewarded_decisions.py:190-222).
+
+Spark-first: a single ``groupBy(decision_id)`` hash aggregation — no
+sort, no windowing. The reference's sorted-array group detection and
+singleton fast path (src/ingest/partition.py:111-153,215-268) are
+subsumed by Spark's hash agg + AQE skew handling. Map union relies on
+``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (set by session.get_spark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERGE_VALUE_COLS = ("item", "context", "count", "sample")
+
+
+def _union_rewards(col: str = "rewards") -> Column:
+    """Aggregate expression: keyed union of reward maps within a group."""
+    empty = F.create_map().cast("map<string,double>")
+    # collect_list skips nulls (decision rows carry no rewards map)
+    return F.aggregate(
+        F.collect_list(col), empty, lambda acc, m: F.map_concat(acc, m)
+    )
+
+
+def sum_map_values(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(F.map_values(c), F.lit(0.0), lambda a, x: a + x)
+
+
+def merge_rewarded_decisions(df: DataFrame, group_cols=("decision_id",)) -> DataFrame:
+    """groupBy(decision_id) merge; input/output in REWARDED_DECISION_MAP_SCHEMA.
+
+    If `model` is a column and in ``group_cols``, the whole multi-model
+    batch merges in one shuffle (replaces the reference's per-model
+    ThreadPool fan-out, src/ingest/ingest_firehose.py:56-60).
+    """
+    aggs = [F.first(c, ignorenulls=True).alias(c) for c in MERGE_VALUE_COLS]
+    aggs.append(_union_rewards().alias("rewards"))
+    return df.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+
+
+def json_number(col) -> Column:
+    """Render a double as a minimal JSON number (int-valued → no '.0').
+
+    Keeps the stored rewards JSON close to the reference's orjson output,
+    where integer rewards serialize without a fractional part.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    as_long = c.cast("long")
+    return F.when(
+        (c == as_long.cast("double")), as_long.cast("string")
+    ).otherwise(c.cast("string"))
+
+
+def rewards_map_to_json(col) -> Column:
+    """map<string,double> → canonical JSON string with sorted keys.
+
+    Sorted keys for parity with ``orjson.OPT_SORT_KEYS``
+    (reference: src/ingest/utils.py:75-77); '{}' for empty/null.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    entries = F.array_sort(F.map_entries(c))
+    rendered = F.concat(
+        F.lit("{"),
+        F.array_join(
+            F.transform(
+                entries,
+                lambda e: F.concat(
+                    F.lit('"'), e["key"], F.lit('":'), json_number(e["value"])
+                ),
+            ),
+            ",",
+        ),
+        F.lit("}"),
+    )
+    return F.coalesce(rendered, F.lit("{}"))
+
+
+def finalize_for_storage(merged: DataFrame) -> DataFrame:
+    """Map-schema merged rows → at-rest REWARDED_DECISION_SCHEMA.
+
+    rewards → sorted-key JSON string; reward → sum of map values
+    (0.0 when empty), matching reference DF_SCHEMA
+    (src/ingest/firehose_record.py:32-40).
+    """
+    extra = [c for c in merged.columns
+             if c not in ("decision_id", *MERGE_VALUE_COLS, "rewards")]
+    return merged.select(
+        *extra,
+        "decision_id",
+        "item",
+        "context",
+        F.col("count").cast("double").alias("count"),
+        "sample",
+        rewards_map_to_json("rewards").alias("rewards"),
+        F.coalesce(sum_map_values("rewards"), F.lit(0.0)).alias("reward"),
+    )
+
+
+def parse_stored(df: DataFrame) -> DataFrame:
+    """At-rest rows → map schema, for idempotent re-merge with new partials."""
+    extra = [c for c in df.columns if c not in ("rewards", "reward")]
+    return df.select(
+        *extra,
+        F.from_json("rewards", "map<string,double>").alias("rewards"),
+    )

@@ -1,0 +1,58 @@
+"""Timeline sink: merged rewarded decisions → partitioned Parquet table.
+
+Reference layout: one ZSTD Parquet file per ≤10,000-row chunk under
+``rewarded_decisions/{model}/parquet/yyyy/mm/dd/`` with the key range
+encoded in the filename (reference: src/ingest/partition.py:77-91,
+432-458; limit src/ingest/config.py:13).
+
+Spark-first redesign: a Hive-partitioned table
+``model=<m>/dt=<yyyy-mm-dd>/`` where ``dt`` derives from the KSUID
+timestamp **embedded in decision_id** — i.e. partitioning is by key
+range, not arrival time. Consequences at scale:
+
+- Late rewards for a decision land in the decision's own date partition,
+  so the reference's overlapping-file repair loop collapses into simple
+  per-partition compaction (see groom.py).
+- Partition pruning replaces the filename-range trick: recency-bounded
+  training loads prune on ``dt`` without listing file contents.
+- ``maxRecordsPerFile`` + ``sortWithinPartitions(decision_id)`` preserve
+  the ≤10k-row sorted-file invariant (J1/G1) and give Parquet min/max
+  footer stats on decision_id for row-group skipping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..ksuid import ksuid_timestamp
+
+MAX_RECORDS_PER_FILE = 10_000  # reference: src/ingest/config.py:13
+
+
+def with_partition_date(df: DataFrame, id_col: str = "decision_id") -> DataFrame:
+    """Add `dt` (yyyy-MM-dd string) from the KSUID-embedded timestamp."""
+    ts = ksuid_timestamp(F.col(id_col))
+    return df.withColumn("dt", F.date_format(F.timestamp_seconds(ts), "yyyy-MM-dd"))
+
+
+def write_timeline(df: DataFrame, path: str, partition_cols=("model", "dt"),
+                   mode: str = "append",
+                   max_records_per_file: int = MAX_RECORDS_PER_FILE) -> None:
+    """Write at-rest rewarded-decision rows into the partitioned table."""
+    if "dt" in partition_cols and "dt" not in df.columns:
+        df = with_partition_date(df)
+    parts = [c for c in partition_cols if c in df.columns]
+    (
+        df.sortWithinPartitions("decision_id")
+        .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*parts)
+        .parquet(path)
+    )
+
+
+def read_timeline(spark, path: str, columns=None) -> DataFrame:
+    """Scan the timeline table (column-pruned when ``columns`` given)."""
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
