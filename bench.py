@@ -1,0 +1,50 @@
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR and print one
+JSON line {"metric": ..., "value": total_sec, "unit": "sec", "queries": ...}.
+
+Each query is fully materialized (count + collect of the final result) so
+the measured time covers scan → shuffle → action, not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tracker_trainer_spark.queries import QUERIES  # noqa: E402
+from tracker_trainer_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="tts-bench", master=f"local[{cpus}]",
+                      extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    # warm the JVM/code paths once with the cheapest query
+    QUERIES["events_type_stats"](spark, sf_dir).collect()
+
+    for name, fn in QUERIES.items():
+        start = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

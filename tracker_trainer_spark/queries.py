@@ -1,0 +1,515 @@
+"""Oracle-checked query registry: the engine's public query surface.
+
+Every entry pairs a Spark DataFrame plan with an equivalent ANSI-SQL
+oracle that DuckDB runs on the same parquet tables (driver contract, see
+__spark_entry__.py). Conventions for hash-stable comparison:
+
+- every computed column is aliased identically on both sides;
+- float aggregates are rounded to 4 decimals on both sides;
+- integer aggregates are cast to BIGINT on both sides;
+- every LIMIT/top-k has a fully deterministic sort key (unique
+  tiebreaker), since the *set* of returned rows must match.
+
+Scale notes are inline per query: broadcast hints for dimension joins,
+single-shuffle groupings, no driver-side row data (the one exception —
+the ANN probe vector — is a single row by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # nanos timestamps arrive as long (nanosAsLong); normalize to micros,
+    # matching DuckDB's nanos→us truncation of the same files
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def r4(c):
+    return F.round(c, 4)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped relational core: scan → filter → agg / join / window / top-k
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: single-scan partial+final agg, filter pushed to scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r4(F.sum("l_quantity")).alias("sum_qty"),
+            r4(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))).alias("sum_charge"),
+            r4(F.avg("l_quantity")).alias("avg_qty"),
+            r4(F.avg("l_extendedprice")).alias("avg_price"),
+            r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter, two joins, agg, top-10.
+
+    customer is small → broadcast; orders⨝lineitem shuffles on the join
+    key once, and the same key feeds the final agg (no extra shuffle).
+    """
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star join with three broadcast dims, one big shuffle."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(_bcast(orders, big=True), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+def _bcast(df, big=False):
+    # orders is a fact table: never broadcast; helper keeps intent explicit
+    return df if big else F.broadcast(df)
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def top3_orders_per_customer(spark, sf_dir):
+    """Windowed top-k per group: rank within partition, no global sort."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", r4(F.col("o_totalprice")).alias("totalprice"), "rank")
+    )
+
+
+TOP3_SQL = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS totalprice, rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def monthly_order_stats(spark, sf_dir):
+    """Time rollup: date_trunc month, count + sum + avg."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r4(F.sum("o_totalprice")).alias("total"),
+            r4(F.avg("o_totalprice")).alias("avg_price"),
+        )
+    )
+
+
+MONTHLY_SQL = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS total,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY 1
+"""
+
+
+def nations_with_customers_and_suppliers(spark, sf_dir):
+    """Set operator: INTERSECT of two distinct key sets."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("int").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("int").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+INTERSECT_SQL = """
+SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+INTERSECT
+SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+"""
+
+
+# --------------------------------------------------------------------------
+# Events: the track-record-shaped stream table
+# --------------------------------------------------------------------------
+
+def events_type_stats(spark, sf_dir):
+    """describe()-style stats per event_type (reference A2/A3 shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        r4(F.sum("value")).alias("sum_value"),
+        r4(F.avg("value")).alias("avg_value"),
+        r4(F.min("value")).alias("min_value"),
+        r4(F.max("value")).alias("max_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+EVENTS_STATS_SQL = """
+SELECT event_type, count(*) AS n,
+       round(sum(value), 4) AS sum_value,
+       round(avg(value), 4) AS avg_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def merge_rewarded_events(spark, sf_dir):
+    """The reward↔decision merge shape on the events table.
+
+    Non-purchase events act as decision records keyed by user_id
+    (item = props of the earliest decision event, count = #decisions);
+    purchases act as reward records (reward = sum of values). Composition:
+    two partial aggs + full-outer join on the key — associative,
+    idempotent, and one shuffle per side at scale (same as
+    ingest.merge.merge_rewarded_decisions, expressed relationally so the
+    DuckDB oracle is exact).
+    """
+    ev = _t(spark, sf_dir, "events")
+    decisions = (
+        ev.where(F.col("event_type") != "purchase")
+        .groupBy(F.col("user_id").alias("decision_id"))
+        .agg(
+            F.min_by("props", F.struct("ts", "event_id")).alias("item"),
+            F.count(F.lit(1)).alias("count"),
+        )
+    )
+    rewards = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("decision_id"))
+        .agg(r4(F.sum("value")).alias("reward"), F.count(F.lit(1)).alias("n_rewards"))
+    )
+    return (
+        decisions.join(rewards, "decision_id", "full_outer")
+        .select(
+            "decision_id",
+            "item",
+            "count",
+            F.coalesce("reward", F.lit(0.0)).alias("reward"),
+            F.coalesce("n_rewards", F.lit(0)).alias("n_rewards"),
+        )
+    )
+
+
+MERGE_EVENTS_SQL = """
+WITH first_decision AS (
+  SELECT user_id, props,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type <> 'purchase'
+), decisions AS (
+  SELECT d.user_id AS decision_id, f.props AS item, d.count FROM (
+    SELECT user_id, count(*) AS count
+    FROM events WHERE event_type <> 'purchase' GROUP BY user_id
+  ) d JOIN first_decision f ON d.user_id = f.user_id AND f.rn = 1
+), rewards AS (
+  SELECT user_id AS decision_id,
+         round(sum(value), 4) AS reward,
+         count(*) AS n_rewards
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT coalesce(d.decision_id, r.decision_id) AS decision_id,
+       d.item AS item, d.count AS count,
+       coalesce(r.reward, 0.0) AS reward,
+       coalesce(r.n_rewards, 0) AS n_rewards
+FROM decisions d FULL OUTER JOIN rewards r ON d.decision_id = r.decision_id
+"""
+
+
+def propensity_explode_events(spark, sf_dir):
+    """E1 shape: each decision emits the chosen row (y=1,w=1) and, when
+    candidates > 1, a sample row (y=0, w=candidates-1).
+
+    (reference: src/trainer/code/propensities.py:130-165). Expressed as an
+    inline-array explode — single narrow stage, no shuffle.
+    """
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") != "purchase")
+    k = F.get_json_object("props", "$.k").cast("long")
+    rows = F.when(
+        k > 1,
+        F.array(
+            F.struct(F.lit(1.0).alias("y"), F.lit(1.0).alias("w")),
+            F.struct(F.lit(0.0).alias("y"), (k - 1).cast("double").alias("w")),
+        ),
+    ).otherwise(F.array(F.struct(F.lit(1.0).alias("y"), F.lit(1.0).alias("w"))))
+    return (
+        ev.select("event_id", "user_id", F.explode(rows).alias("r"))
+        .select("event_id", "user_id", F.col("r.y").alias("y"), F.col("r.w").alias("w"))
+    )
+
+
+PROPENSITY_SQL = """
+WITH d AS (
+  SELECT event_id, user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events WHERE event_type <> 'purchase'
+)
+SELECT event_id, user_id, 1.0 AS y, 1.0 AS w FROM d
+UNION ALL
+SELECT event_id, user_id, 0.0 AS y, CAST(k - 1 AS DOUBLE) AS w FROM d WHERE k > 1
+"""
+
+
+def user_sessions(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user via lag + running sum."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800
+    with_new = ev.withColumn("new_session", F.when(gap | F.lag("ts").over(w).isNull(), 1).otherwise(0))
+    sessions = with_new.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), r4(F.sum("value")).alias("session_value"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            r4(F.sum("session_value")).alias("total_value"),
+        )
+    )
+
+
+SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         round(sum(value), 4) AS session_value
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions,
+       max(n_events) AS max_session_events,
+       round(sum(session_value), 4) AS total_value
+FROM per_session GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Documents: dedup + text analysis (training-data pipeline operators)
+# --------------------------------------------------------------------------
+
+def dedup_exact_documents(spark, sf_dir):
+    """Exact dedup by content fingerprint: keep min doc_id per distinct text.
+
+    Scale path: md5 is computed scan-side, the group-by shuffles the
+    128-bit fingerprint (not the document body).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("fingerprint"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+DEDUP_SQL = """
+SELECT md5(text) AS fingerprint, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def doc_text_stats(spark, sf_dir):
+    """Per-document quality metrics: token count, avg token length,
+    punctuation ratio, stopword ratio (whitespace tokenizer)."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), r"\s+")
+    stop = ["the", "a", "of", "and", "to", "in", "is"]
+    n_tokens = F.size(tokens)
+    n_stop = F.size(F.filter(tokens, lambda t: t.isin(*stop)))
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        r4((F.length("text") - n_tokens + 1) / n_tokens).alias("avg_token_len"),
+        r4(n_punct / F.length("text")).alias("punct_ratio"),
+        r4(n_stop / n_tokens).alias("stopword_ratio"),
+    )
+
+
+TEXT_STATS_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+       round((length(text) - len(regexp_split_to_array(text, '\\s+')) + 1)
+             / len(regexp_split_to_array(text, '\\s+')), 4) AS avg_token_len,
+       round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+             / length(text), 4) AS punct_ratio,
+       round(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             t -> t IN ('the','a','of','and','to','in','is')))
+             / len(regexp_split_to_array(text, '\\s+')), 4) AS stopword_ratio
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Embeddings: similarity search
+# --------------------------------------------------------------------------
+
+def ann_cosine_topk(spark, sf_dir, probe_vec_id: int = 0, k: int = 10):
+    """Brute-force cosine top-k against one probe vector.
+
+    The probe is a single row pulled to the driver and folded into the
+    plan as a literal (the legitimate broadcast-scalar pattern); the scan
+    side computes dot/norm JVM-side via higher-order functions — no
+    Python in the loop, no shuffle until the final top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == probe_vec_id).select("embedding").first()[0]
+    q = F.array(*[F.lit(float(x)) for x in probe])
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(v, q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    norm_v = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    norm_q = float(sum(float(x) * float(x) for x in probe)) ** 0.5
+    cos = dot / (norm_v * F.lit(norm_q))
+    return (
+        emb.select("vec_id", cos.alias("_cos"))
+        .orderBy(F.desc("_cos"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", r4(F.col("_cos")).alias("cosine"))
+    )
+
+
+ANN_SQL = """
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings
+), q AS (
+  SELECT generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings WHERE vec_id = 0
+), s AS (
+  SELECT v.vec_id, sum(v.e * q.e) AS dot,
+         sqrt(sum(v.e * v.e)) AS nv, sqrt(sum(q.e * q.e)) AS nq
+  FROM v JOIN q USING (i) GROUP BY v.vec_id
+)
+SELECT vec_id, round(dot / (nv * nq), 4) AS cosine
+FROM s ORDER BY dot / (nv * nq) DESC, vec_id LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q5_nation_revenue": q5_nation_revenue,
+    "top3_orders_per_customer": top3_orders_per_customer,
+    "monthly_order_stats": monthly_order_stats,
+    "nations_with_customers_and_suppliers": nations_with_customers_and_suppliers,
+    "events_type_stats": events_type_stats,
+    "merge_rewarded_events": merge_rewarded_events,
+    "propensity_explode_events": propensity_explode_events,
+    "user_sessions": user_sessions,
+    "dedup_exact_documents": dedup_exact_documents,
+    "doc_text_stats": doc_text_stats,
+    "ann_cosine_topk": ann_cosine_topk,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_revenue_orders": Q3_SQL,
+    "q5_nation_revenue": Q5_SQL,
+    "top3_orders_per_customer": TOP3_SQL,
+    "monthly_order_stats": MONTHLY_SQL,
+    "nations_with_customers_and_suppliers": INTERSECT_SQL,
+    "events_type_stats": EVENTS_STATS_SQL,
+    "merge_rewarded_events": MERGE_EVENTS_SQL,
+    "propensity_explode_events": PROPENSITY_SQL,
+    "user_sessions": SESSIONS_SQL,
+    "dedup_exact_documents": DEDUP_SQL,
+    "doc_text_stats": TEXT_STATS_SQL,
+    "ann_cosine_topk": ANN_SQL,
+}

@@ -30,6 +30,9 @@ DEFAULT_CONF = {
     # and keeps sf0.1 shuffle partitions fully occupied on local[32].
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # testdata events.parquet carries TIMESTAMP(NANOS); read as long and
+    # normalize to microseconds at the scan (see queries._t)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
