@@ -1,0 +1,162 @@
+"""Training-row encode: E1 propensity explode + feature-vector assembly.
+
+E1 (reference: src/trainer/code/propensities.py:130-165): each decision
+row emits the chosen item (y=1, w=1) and, when count > 1, the sample
+(y=0, w=count-1); both rows share the flattened context and
+``t`` = KSUID-embedded timestamp.
+
+Vector assembly (E2/P8): selected feature names define a fixed column
+order; numeric features pass through, string features encode via the
+per-feature StringTable, absent features are NaN (XGBoost-native
+missing). Assembly is an Arrow-batched pandas UDF over the two map
+columns with the (bounded) string tables broadcast to executors.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..ksuid import ksuid_timestamp
+from .flatten import flatten_col
+from .string_tables import StringTable
+
+TIMESTAMP_KEY = "t"  # reference: src/trainer/code/constants.py:5
+
+
+def propensity_training_rows(df: DataFrame) -> DataFrame:
+    """E1: rewarded-decision rows → (num_features, str_features, t, y, w).
+
+    Input: at-rest rows with item/context/sample JSON strings + count.
+    One narrow stage: three flatten UDF calls, JVM-side map merge, inline
+    array explode — no shuffle.
+    """
+    with_flat = (
+        df.withColumn("_item", flatten_col("item", "item"))
+        .withColumn("_context", flatten_col("context", "context"))
+        .withColumn("_sample", flatten_col("sample", "sample"))
+        .withColumn("_t", ksuid_timestamp(F.col("decision_id")))
+    )
+    # the sample row re-roots sample.* paths at item.* so chosen and sample
+    # occupy the same feature space (reference flattens both via
+    # flatten_item, propensities.py:153-165)
+    sample_as_item_num = _reroot_map(F.col("_sample")["num"], "sample", "item")
+    sample_as_item_str = _reroot_map(F.col("_sample")["str"], "sample", "item")
+
+    chosen = F.struct(
+        F.map_concat(F.col("_context")["num"], F.col("_item")["num"]).alias("num"),
+        F.map_concat(F.col("_context")["str"], F.col("_item")["str"]).alias("str"),
+        F.lit(1.0).alias("y"),
+        F.lit(1.0).alias("w"),
+    )
+    sample = F.struct(
+        F.map_concat(F.col("_context")["num"], sample_as_item_num).alias("num"),
+        F.map_concat(F.col("_context")["str"], sample_as_item_str).alias("str"),
+        F.lit(0.0).alias("y"),
+        (F.col("count") - 1).cast("double").alias("w"),
+    )
+    rows = F.when(
+        F.col("count") > 1, F.array(chosen, sample)
+    ).otherwise(F.array(chosen))
+    return (
+        with_flat.select("decision_id", F.col("_t").alias(TIMESTAMP_KEY), F.explode(rows).alias("r"))
+        .select(
+            "decision_id",
+            TIMESTAMP_KEY,
+            F.col("r.num").alias("num_features"),
+            F.col("r.str").alias("str_features"),
+            F.col("r.y").alias("y"),
+            F.col("r.w").alias("w"),
+        )
+    )
+
+
+def _reroot_map(map_col: Column, old_root: str, new_root: str) -> Column:
+    """Rewrite every key's leading root path segment (JVM-side).
+
+    Works for both the bare-root key (``sample`` → ``item``) and nested
+    paths (``sample.x.0`` → ``item.x.0``).
+    """
+    return F.map_from_entries(
+        F.transform(
+            F.map_entries(map_col),
+            lambda e: F.struct(
+                F.concat(
+                    F.lit(new_root),
+                    e["key"].substr(F.lit(len(old_root) + 1), F.length(e["key"])),
+                ).alias("key"),
+                e["value"].alias("value"),
+            ),
+        )
+    )
+
+
+def encode_to_vectors(df: DataFrame, feature_names: list[str],
+                      string_tables: dict[str, list[int]], model_seed: int,
+                      num_col: str = "num_features", str_col: str = "str_features",
+                      extra_num_cols: tuple = (TIMESTAMP_KEY,),
+                      out_col: str = "features") -> DataFrame:
+    """P8/E2: map columns → fixed-order array<double> feature vector.
+
+    ``feature_names`` fixes column order (selected features + extras such
+    as ``t``); missing values are NaN. The string tables are closed over
+    and shipped once per executor via Spark's task broadcast.
+    """
+    tables = {f: StringTable(t, model_seed) for f, t in string_tables.items()}
+    names = list(feature_names)
+    for c in extra_num_cols:
+        if c not in names:
+            names.append(c)
+    index = {n: i for i, n in enumerate(names)}
+    n_features = len(names)
+    extra_cols = [F.col(c).cast("double") for c in extra_num_cols]
+
+    @F.pandas_udf("array<double>")
+    def _assemble(num: pd.Series, strs: pd.Series, *extras: pd.Series) -> pd.Series:
+        out = []
+        extra_arrays = [e.to_numpy() for e in extras]
+        for i in range(len(num)):
+            vec = np.full(n_features, np.nan)
+            nmap = num.iloc[i] or {}
+            smap = strs.iloc[i] or {}
+            for k, v in nmap.items():
+                j = index.get(k)
+                if j is not None:
+                    vec[j] = v
+            for k, s in smap.items():
+                j = index.get(k)
+                if j is None:
+                    continue
+                table = tables.get(k)
+                if table is None:
+                    vec[j] = _miss_encode(s, model_seed)
+                else:
+                    vec[j] = table.encode(s)
+            for c, arr in zip(extra_num_cols, extra_arrays):
+                vec[index[c]] = arr[i]
+            out.append(vec)
+        return pd.Series(out)
+
+    result = df.withColumn(out_col, _assemble(F.col(num_col), F.col(str_col), *extra_cols))
+    return result
+
+
+def _miss_encode(s: str, model_seed: int) -> float:
+    """Empty-table encode: deterministic miss in [-0.5, 0.5]
+    (reference: feature_encoder.py StringTable with empty table)."""
+    from ..hashing import xxh64
+
+    h = xxh64(s, model_seed)
+    return ((h & 0xFFFFFFFF) * 2**-32) - 0.5
+
+
+def feature_order(selected: list[str], extras: tuple = (TIMESTAMP_KEY,)) -> list[str]:
+    names = list(selected)
+    for c in extras:
+        if c not in names:
+            names.append(c)
+    return names

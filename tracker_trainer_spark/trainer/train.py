@@ -1,0 +1,237 @@
+"""Two-phase contextual-bandit training (M1-M4), Spark-first.
+
+Phase 1 — propensity model (reference: src/trainer/code/propensities.py:64-127):
+explode decisions (E1) → select features (A4) → string tables without
+prior (A8) → binary:logistic XGBoost with early stopping, weighted.
+
+Phase 2 — decision model (reference: src/trainer/code/decision_trainer.py:39-96):
+load chosen items, weight = normalized-inverse-propensity ×
+zero-truncated Poisson, reward normalized (or binarized), same-noise
+sprinkle, string tables with prior, reg:squarederror XGBoost.
+
+Backend: ``xgboost.spark`` when importable (barrier-mode distributed
+training, exact parity with the reference's xgb.dask usage). This
+container has no xgboost, so a ``pyspark.ml`` GBT fallback keeps the full
+pipeline runnable end-to-end; it imputes NaN→0 (Spark ML cannot represent
+missing), a documented deviation used only by the fallback.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .encode import TIMESTAMP_KEY, encode_to_vectors, feature_order, propensity_training_rows
+from .flatten import flatten_col
+from .loader import load_training_frame
+from .selection import MAX_FEATURES, select_features
+from .string_tables import DECISION_PRIOR_COUNT, build_string_tables, string_stats
+from .weights import (
+    EXPLORE_SAMPLE,
+    binary_reward,
+    inverse_propensity_weight,
+    sprinkle,
+    zero_truncated_poisson,
+    znormalize_reward,
+)
+
+try:  # gated: not present in this container
+    from xgboost.spark import SparkXGBClassifier, SparkXGBRegressor  # type: ignore
+
+    HAS_XGBOOST = True
+except ImportError:
+    HAS_XGBOOST = False
+
+XGB_PARAMS = {  # reference: decision_trainer.py:85-94, config.yml:34
+    "max_depth": 6,
+    "tree_method": "hist",
+    "num_round_decision": 150,
+    "num_round_propensity": 200,
+    "early_stopping_rounds": 20,
+}
+
+
+@dataclass
+class TrainedModel:
+    model: object                 # fitted estimator (backend-specific)
+    feature_names: list[str]
+    string_tables: dict[str, list[int]]
+    model_seed: int
+    mean_item_count: float | None = None
+    metadata: dict = field(default_factory=dict)
+
+
+def _to_ml_vector(df: DataFrame, col: str = "features") -> DataFrame:
+    """array<double> → ml Vector, NaN→0.0 (fallback backend only)."""
+    from pyspark.ml.functions import array_to_vector
+
+    cleaned = F.transform(F.col(col), lambda x: F.when(F.isnan(x), F.lit(0.0)).otherwise(x))
+    return df.withColumn(col, array_to_vector(cleaned))
+
+
+def train_propensity_model(spark: SparkSession, timeline_path: str,
+                           model_seed: int, model: str | None = None,
+                           max_features: int = MAX_FEATURES,
+                           max_rows: int | None = None,
+                           explore: bool = True) -> TrainedModel:
+    """Phase 1. Single cached pass feeds both aggregation scans."""
+    df = load_training_frame(
+        spark, timeline_path, columns=["decision_id", "item", "context", "sample", "count"],
+        max_rows=max_rows, sample=EXPLORE_SAMPLE if explore else None,
+        model=model, seed=model_seed,
+    )
+    mean_item_count = df.agg(F.avg("count")).first()[0] or 1.0  # A3
+
+    rows = propensity_training_rows(df).cache()  # two agg passes + encode
+    try:
+        selected = select_features(rows, max_features)  # A4
+        stats = string_stats(rows)                      # A5
+        tables = build_string_tables(                   # A8, no prior (M1)
+            stats, model_seed, allowed_features=selected, prior_mean=0.0, prior_count=0
+        )
+        names = feature_order(selected)
+        encoded = encode_to_vectors(rows, selected, tables, model_seed)
+        fitted = _fit(encoded, objective="binary", seed=model_seed)
+    finally:
+        rows.unpersist()
+    return TrainedModel(
+        model=fitted, feature_names=names, string_tables=tables,
+        model_seed=model_seed, mean_item_count=float(mean_item_count),
+        metadata={"phase": 1, "objective": "binary"},
+    )
+
+
+def propensity_scores(propensity: TrainedModel, encoded: DataFrame,
+                      out_col: str = "propensity") -> DataFrame:
+    """M2: batch predict p(chosen | features) for each row."""
+    if HAS_XGBOOST:
+        scored = propensity.model.transform(encoded)
+        # binary classifier probability of class 1
+        from pyspark.ml.functions import vector_to_array
+
+        return scored.withColumn(out_col, vector_to_array("probability")[1]).drop(
+            "rawPrediction", "probability", "prediction"
+        )
+    scored = propensity.model.transform(_to_ml_vector(encoded))
+    from pyspark.ml.functions import vector_to_array
+
+    return scored.withColumn(out_col, vector_to_array("probability")[1]).drop(
+        "rawPrediction", "probability", "prediction"
+    )
+
+
+def train_decision_model(spark: SparkSession, timeline_path: str,
+                         propensity: TrainedModel, model_seed: int,
+                         model: str | None = None,
+                         max_features: int = MAX_FEATURES,
+                         max_rows: int | None = None,
+                         binary_rewards: bool = False,
+                         explore: bool = True) -> TrainedModel:
+    """Phase 2: IPW × zero-truncated-Poisson weights, normalized reward."""
+    df = load_training_frame(
+        spark, timeline_path, columns=["decision_id", "item", "context", "reward"],
+        max_rows=max_rows, sample=EXPLORE_SAMPLE if explore else None,
+        model=model, seed=model_seed,
+    )
+    reward_col = binary_reward("reward") if binary_rewards else znormalize_reward(df, "reward")
+    from ..ksuid import ksuid_timestamp
+
+    flat = (
+        df.withColumn("_item", flatten_col("item", "item"))
+        .withColumn("_context", flatten_col("context", "context"))
+        .withColumn(TIMESTAMP_KEY, ksuid_timestamp(F.col("decision_id")))
+        .select(
+            "decision_id",
+            TIMESTAMP_KEY,
+            F.map_concat(F.col("_context")["num"], F.col("_item")["num"]).alias("num_features"),
+            F.map_concat(F.col("_context")["str"], F.col("_item")["str"]).alias("str_features"),
+            reward_col.alias("y"),
+        )
+        .withColumn("w", F.lit(1.0))
+        .cache()
+    )
+    try:
+        # score propensities on phase-1's feature space
+        enc1 = encode_to_vectors(
+            flat, [f for f in propensity.feature_names if f != TIMESTAMP_KEY],
+            propensity.string_tables, propensity.model_seed,
+        )
+        scored = propensity_scores(propensity, enc1)
+        ipw = inverse_propensity_weight("propensity", propensity.mean_item_count or 1.0)
+        weighted = (
+            scored.withColumn("w", ipw * zero_truncated_poisson(model_seed))
+            .drop("features", "propensity")
+        )
+
+        selected = select_features(weighted, max_features)
+        stats = string_stats(weighted)
+        reward_mean = weighted.agg(F.avg("y")).first()[0] or 0.0
+        tables = build_string_tables(  # A6: prior toward the mean reward
+            stats, model_seed, allowed_features=selected,
+            prior_mean=float(reward_mean), prior_count=DECISION_PRIOR_COUNT,
+        )
+        encoded = encode_to_vectors(weighted, selected, tables, model_seed)
+        # P7: one noise draw per row sprinkled across the whole vector
+        noisy = encoded.withColumn("_noise", F.rand(model_seed + 1)).withColumn(
+            "features",
+            F.transform(F.col("features"), lambda x: sprinkle(x, F.col("_noise"))),
+        ).drop("_noise")
+        fitted = _fit(noisy, objective="regression", seed=model_seed)
+        names = feature_order(selected)
+    finally:
+        flat.unpersist()
+    return TrainedModel(
+        model=fitted, feature_names=names, string_tables=tables,
+        model_seed=model_seed, mean_item_count=propensity.mean_item_count,
+        metadata={"phase": 2, "objective": "regression", "binary_rewards": binary_rewards},
+    )
+
+
+def _fit(encoded: DataFrame, objective: str, seed: int):
+    """Fit the backend model on (features, y, w)."""
+    if HAS_XGBOOST:
+        common = dict(
+            features_col="features", label_col="y", weight_col="w",
+            max_depth=XGB_PARAMS["max_depth"], tree_method=XGB_PARAMS["tree_method"],
+            seed=seed, missing=float("nan"),
+        )
+        if objective == "binary":
+            est = SparkXGBClassifier(
+                objective="binary:logistic",
+                n_estimators=XGB_PARAMS["num_round_propensity"],
+                early_stopping_rounds=XGB_PARAMS["early_stopping_rounds"],
+                validation_indicator_col="is_val",
+                **common,
+            )
+            encoded = encoded.withColumn("is_val", F.rand(seed + 7) < 0.3)  # L7
+        else:
+            est = SparkXGBRegressor(
+                objective="reg:squarederror",
+                n_estimators=XGB_PARAMS["num_round_decision"],
+                **common,
+            )
+        return est.fit(encoded)
+
+    # fallback backend: pyspark.ml GBT (NaN→0 imputation)
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.regression import GBTRegressor
+
+    vec = _to_ml_vector(encoded)
+    if objective == "binary":
+        est = GBTClassifier(featuresCol="features", labelCol="y", weightCol="w",
+                            maxDepth=XGB_PARAMS["max_depth"], maxIter=20, seed=seed)
+        vec = vec.withColumn("y", F.col("y").cast("double"))
+    else:
+        est = GBTRegressor(featuresCol="features", labelCol="y", weightCol="w",
+                           maxDepth=XGB_PARAMS["max_depth"], maxIter=20, seed=seed)
+    return est.fit(vec)
+
+
+def train_two_phase(spark: SparkSession, timeline_path: str, model_seed: int,
+                    model: str | None = None, **kw) -> tuple[TrainedModel, TrainedModel]:
+    """Full reference train entrypoint (reference: src/trainer/code/train:83-101)."""
+    p = train_propensity_model(spark, timeline_path, model_seed, model=model, **kw)
+    d = train_decision_model(spark, timeline_path, p, model_seed, model=model, **kw)
+    return p, d

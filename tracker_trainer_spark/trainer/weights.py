@@ -1,0 +1,99 @@
+"""Training-weight and reward-transform column expressions.
+
+All randomness is routed through ``rand(seed)`` columns so plans stay
+deterministic and re-executable (Spark may recompute partitions; the
+reference's fresh-RNG-per-row approach would be a correctness hazard
+here — see SURVEY §4 "custom noise/weight determinism").
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+CLIP_MIN_PROPENSITY = 1e-4          # reference: src/trainer/code/config.py:15
+CONTEXT_DROPOUT_KEEP = 0.95         # reference: src/trainer/code/config.py:16-21
+EXPLORE_SAMPLE = 1 - 1 / math.e     # reference: src/trainer/code/exploration.py:8-11
+
+
+def zero_truncated_poisson(seed: int, max_k: int = 12) -> Column:
+    """Zero-truncated Poisson(1) draw as a deterministic column expression.
+
+    Inverse-CDF over ``rand(seed)``: P(k) = e⁻¹ / ((1 - e⁻¹) · k!). The
+    reference draws per-row numpy Poissons rejecting zeros
+    (reference: src/trainer/code/exploration.py:13-24); the inverse-CDF
+    form is distribution-identical and reproducible under partition
+    recompute. Tail above ``max_k`` (P < 1e-13) collapses into ``max_k``.
+    """
+    cdf = 0.0
+    fact = 1.0
+    chain = []
+    for k in range(1, max_k):
+        fact *= k
+        cdf += math.exp(-1) / ((1 - math.exp(-1)) * fact)
+        chain.append((k, cdf))
+
+    def _chain(u):
+        # u is lambda-bound so the nondeterministic rand() evaluates exactly
+        # once per row (raw F.rand() references are NOT common-subexpression
+        # eliminated — each one would draw independently)
+        expr = F.lit(max_k)
+        for k, c in reversed(chain):
+            expr = F.when(u < c, F.lit(k)).otherwise(expr)
+        return expr.cast("double")
+
+    return F.transform(F.array(F.rand(seed)), _chain)[0]
+
+
+def binary_reward(col="reward") -> Column:
+    """P4: reward → 1.0 if positive else 0.0
+    (reference: src/trainer/code/decision_trainer.py:50-51)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (c > 0.0).cast("double")
+
+
+def znormalize_reward(df, col: str = "reward") -> Column:
+    """P5: (reward - mean) / std with std==0 → 1
+    (reference: src/trainer/code/decision_trainer.py:99-117).
+
+    Stats come from one tiny agg collected as scalars and folded into the
+    plan as literals (broadcast-scalar pattern).
+    """
+    row = df.agg(
+        F.avg(col).alias("mean"), F.stddev_pop(col).alias("std")
+    ).first()
+    mean = row["mean"] or 0.0
+    std = row["std"] or 0.0
+    if std == 0.0:
+        std = 1.0
+    return (F.col(col) - F.lit(mean)) / F.lit(std)
+
+
+def context_dropout(col="context", seed: int = 0,
+                    keep: float = CONTEXT_DROPOUT_KEEP) -> Column:
+    """P6: null out context with probability 1-keep
+    (reference: src/trainer/code/decision_trainer.py:119)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.rand(seed) < keep, c).otherwise(F.lit(None))
+
+
+def inverse_propensity_weight(propensity_col, mean_item_count: float,
+                              clip: float = CLIP_MIN_PROPENSITY) -> Column:
+    """M2: (1 / max(p, clip)) / mean_item_count
+    (reference: src/trainer/code/propensities.py:33-49)."""
+    p = F.col(propensity_col) if isinstance(propensity_col, str) else propensity_col
+    return (F.lit(1.0) / F.greatest(p, F.lit(clip))) / F.lit(mean_item_count)
+
+
+def sprinkle(col, noise_col) -> Column:
+    """P7: (x + noise·2⁻¹⁴²) · (1 + noise·2⁻¹⁷), same noise per row
+    (reference: src/trainer/code/feature_encoder.py:158-168).
+
+    ``noise_col`` should be ``rand(seed)`` evaluated once per row (the
+    reference's "population id" semantics: one draw shared by all
+    features of a row)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.col(noise_col) if isinstance(noise_col, str) else noise_col
+    return (c + n * F.lit(2.0**-142)) * (F.lit(1.0) + n * F.lit(2.0**-17))
