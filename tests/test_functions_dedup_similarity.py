@@ -1,0 +1,113 @@
+"""Unit tests for the dedup / similarity function library (the pieces not
+already oracle-checked through the query registry)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tracker_trainer_spark.functions import (
+    brute_force_topk,
+    exact_dedup,
+    jaccard,
+    near_dup_candidates,
+)
+from tracker_trainer_spark.functions.similarity import ann_lsh_topk, hyperplanes
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),   # near dup of 0
+        (3, "completely different text about spark engines"),
+        (4, "tiny"),                                          # < 3 tokens: no shingles
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
+    assert kept == [0, 2, 3, 4]
+
+
+def test_exact_dedup_idempotent(docs):
+    once = exact_dedup(docs)
+    twice = exact_dedup(once)
+    assert sorted(r.doc_id for r in once.collect()) == sorted(
+        r.doc_id for r in twice.collect()
+    )
+
+
+def test_near_dup_candidates_finds_exact_dup_excludes_short(docs):
+    pairs = {(r.doc_id_a, r.doc_id_b) for r in near_dup_candidates(docs).collect()}
+    assert (0, 1) in pairs  # identical docs always collide in every band
+    assert not any(4 in p for p in pairs)  # shingle-less doc never pairs
+
+
+def test_jaccard_column(spark):
+    df = spark.createDataFrame([([1, 2, 3], [2, 3, 4])], ["a", "b"])
+    (val,) = df.select(jaccard("a", "b")).first()
+    assert val == pytest.approx(2 / 4)
+    (empty,) = spark.createDataFrame([([], [])], "a array<int>, b array<int>") \
+        .select(jaccard("a", "b")).first()
+    assert empty == 0.0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk_exact(vectors):
+    got = brute_force_topk(vectors, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in got] == [0, 1, 4]
+    assert got[0].cosine == pytest.approx(1.0)
+    assert got[1].cosine == pytest.approx(0.9 / math.hypot(0.9, 0.1))
+
+
+def test_ann_lsh_contains_probe_and_orders_by_cosine(vectors):
+    planes = hyperplanes(num_planes=2, dim=4, seed=3)
+    got = ann_lsh_topk(vectors, [1.0, 0.0, 0.0, 0.0], planes, k=5).collect()
+    ids = [r.vec_id for r in got]
+    assert ids[0] == 0  # the probe itself is in its own bucket, cosine 1.0
+    cosines = [r.cosine for r in got]
+    assert cosines == sorted(cosines, reverse=True)
+    # approximate ⊆ exact: every returned id must appear in brute-force top-5
+    exact_ids = {r.vec_id for r in brute_force_topk(
+        vectors, [1.0, 0.0, 0.0, 0.0], k=5).collect()}
+    assert set(ids) <= exact_ids
+
+
+def test_minhash_similarity_monotone(spark):
+    """Higher true Jaccard → (weakly) more matching signature slots."""
+    base = "w%d " * 50
+    a = (base % tuple(range(50))).strip()
+    near = (base % tuple(list(range(45)) + [99, 98, 97, 96, 95])).strip()
+    far = ("x%d " * 50 % tuple(range(50))).strip()
+    df = spark.createDataFrame(
+        [(0, a), (1, near), (2, far)], ["doc_id", "text"]
+    )
+    from tracker_trainer_spark.functions.dedup import (
+        minhash_params, minhash_signature, shingle_hashes,
+    )
+    sigs = {
+        r.doc_id: r.sig
+        for r in df.select(
+            "doc_id",
+            minhash_signature(
+                shingle_hashes(F.col("text")), minhash_params(24, 7)
+            ).alias("sig"),
+        ).collect()
+    }
+    agree_near = sum(x == y for x, y in zip(sigs[0], sigs[1]))
+    agree_far = sum(x == y for x, y in zip(sigs[0], sigs[2]))
+    assert agree_near > agree_far

@@ -1,0 +1,192 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+These extend the reference's surface (SURVEY §2.10 north-star
+extensions — the reference has only the map-union dedup of reward
+message_ids, src/ingest/partition.py:202-210). Everything here is
+expressed with JVM-side higher-order functions over token/shingle
+arrays, so signatures are computed scan-side with no shuffle; the only
+shuffle is the band-bucket self-join, which moves (id, band-key) pairs —
+never document bodies. Hash parameters are deterministic from a seed so
+the DuckDB oracles embed identical literals.
+
+Scale notes (100 TB posture):
+- signature computation is narrow (per-row HOFs inside codegen);
+- the LSH candidate join shuffles only ~bands rows of (long, string) per
+  document, then semi-joins back for verification;
+- nothing is collected to the driver (params are generated driver-side
+  from a seed, not from data).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import HASH_BITS, HASH_PRIME, portable_token_hash, tokens, word_ngrams
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the min-id row per md5 content fingerprint.
+
+    The 128-bit fingerprint (not the body) is what shuffles.
+    """
+    keep = (
+        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def minhash_params(num_hashes: int = 12, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine permutations
+    h' = (a*h + b) mod HASH_PRIME. a*h < 2^59 — no BIGINT overflow in
+    Spark or DuckDB."""
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, HASH_PRIME), rnd.randrange(0, HASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def shingle_hashes(text_col, n: int = 3) -> Column:
+    """Distinct hashed word n-gram shingles of a text column."""
+    return F.array_distinct(
+        F.transform(word_ngrams(tokens(text_col), n), portable_token_hash)
+    )
+
+
+def minhash_signature(hashes_col, params: list[tuple[int, int]]) -> Column:
+    """MinHash signature: per permutation, min over shingle hashes.
+
+    Null (no shingles → empty array) yields HASH_PRIME sentinels so empty
+    docs never collide with real content.
+    """
+    h = F.col(hashes_col) if isinstance(hashes_col, str) else hashes_col
+    return F.array(
+        *[
+            F.coalesce(
+                F.array_min(
+                    F.transform(h, lambda x: (F.lit(a) * x + F.lit(b)) % HASH_PRIME)
+                ),
+                F.lit(HASH_PRIME),
+            )
+            for a, b in params
+        ]
+    )
+
+
+def lsh_band_hashes(sig_col, bands: int, rows: int) -> Column:
+    """Array of (band, key) structs; key is the '-'-joined band slice.
+
+    Two docs land in the same bucket iff one full band of their
+    signatures agrees (standard banding: P(candidate) = 1-(1-s^rows)^bands).
+    """
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.element_at(sig, b * rows + j + 1).cast("string")
+                        for j in range(rows)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def near_dup_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    rows: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs (id_a < id_b, distinct).
+
+    shingle→minhash→band→bucket-join: signatures are computed in one
+    narrow pass; only (id, band, key) rows shuffle into the self-join.
+    """
+    assert bands * rows == num_hashes
+    params = minhash_params(num_hashes, seed)
+    sig = (
+        df.select(F.col(id_col), shingle_hashes(text_col, n).alias("hashes"))
+        .where(F.size("hashes") > 0)  # short docs would all share the sentinel sig
+        .select(id_col, minhash_signature("hashes", params).alias("sig"))
+    )
+    buckets = sig.select(
+        id_col, F.explode(lsh_band_hashes("sig", bands, rows)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"r.{id_col}").alias(f"{id_col}_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard(a_col, b_col) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    a = F.col(a_col) if isinstance(a_col, str) else a_col
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def simhash(tokens_col, bits: int = HASH_BITS) -> Column:
+    """SimHash fingerprint of a token array.
+
+    Per bit j: sum over token hashes of +1/-1 by bit value; sign(sum)>=0
+    sets bit j. One narrow HOF pass; 2^j via pow() stays exact in doubles
+    (bits <= 28 << 53).
+    """
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    hashes = F.transform(t, portable_token_hash)
+    seq = F.sequence(F.lit(0), F.lit(bits - 1))
+    counters = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                seq,
+                lambda j: F.when(
+                    F.floor(h / F.pow(F.lit(2.0), j)).cast("long") % 2 == 1,
+                    F.lit(1),
+                )
+                .otherwise(F.lit(-1))
+                .cast("long"),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            seq,
+            lambda c, j: F.when(c >= 0, F.pow(F.lit(2.0), j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

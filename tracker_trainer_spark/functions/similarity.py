@@ -1,0 +1,99 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and a random-hyperplane
+LSH bucketed variant as the scale path. All vector math is JVM-side
+higher-order functions (zip_with / aggregate) — no Python in the loop;
+the probe vector is the one legitimate driver-side literal (a single row
+by construction). Hyperplanes are deterministic Rademacher (+/-1)
+vectors from a seed so DuckDB oracles can embed identical literals.
+
+Scale notes: brute force is a single narrow scan + top-k (TakeOrdered —
+per-partition heaps, no global sort); the LSH variant prunes the scan to
+one bucket, which at 1000 executors means bucket pruning happens before
+the shuffleless heap.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(vec) -> Column:
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    """Dot product of two array columns (JVM-side fold)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_as_double(a), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _lit_vec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def cosine_to_literal(vec_col, probe: list[float]) -> Column:
+    """Cosine similarity of a vector column against a literal probe."""
+    q = _lit_vec(probe)
+    nq = float(sum(float(x) * float(x) for x in probe)) ** 0.5
+    return dot(vec_col, q) / (l2_norm(vec_col) * F.lit(nq))
+
+
+def brute_force_topk(
+    df: DataFrame, probe: list[float], k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: narrow scan + TakeOrdered (no global sort)."""
+    return (
+        df.select(id_col, cosine_to_literal(vec_col, probe).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(num_planes: int, dim: int, seed: int = 11) -> list[list[int]]:
+    """Deterministic Rademacher hyperplanes (+/-1 entries)."""
+    rnd = random.Random(seed)
+    return [[rnd.choice((-1, 1)) for _ in range(dim)] for _ in range(num_planes)]
+
+
+def hyperplane_bucket(vec_col, planes: list[list[int]]) -> Column:
+    """LSH bucket id: bit p set iff dot(v, plane_p) >= 0."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        bucket = bucket + F.when(dot(vec_col, _lit_vec(plane)) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(
+    df: DataFrame, probe: list[float], planes: list[list[int]], k: int = 10,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: prune to the probe's hyperplane bucket, then
+    exact cosine within the bucket. Same-bucket recall is the standard
+    SimHash-LSH trade-off; multiprobe = union over neighbor buckets."""
+    probe_bucket = 0
+    for p, plane in enumerate(planes):
+        if sum(float(a) * b for a, b in zip(probe, plane)) >= 0:
+            probe_bucket |= 1 << p
+    return brute_force_topk(
+        df.where(hyperplane_bucket(vec_col, planes) == probe_bucket),
+        probe, k, vec_col, id_col,
+    )

@@ -34,8 +34,16 @@ from .sink import MAX_RECORDS_PER_FILE
 
 @dataclass
 class GroomPlan:
-    dirty: list  # list of Row(model, dt, n_files, n_rows, n_ids)
+    dirty: list  # list of Row(<part_cols...>, n_files, n_rows, n_ids)
     total_partitions: int
+    part_cols: tuple = ("model", "dt")
+
+
+def _present_part_cols(df: DataFrame) -> tuple:
+    """The timeline may be partitioned by (model, dt) or just dt — a
+    single-model table written without a model column is valid
+    (write_timeline skips absent partition cols)."""
+    return tuple(c for c in ("model", "dt") if c in df.columns)
 
 
 def plan_groom(spark: SparkSession, path: str,
@@ -43,9 +51,10 @@ def plan_groom(spark: SparkSession, path: str,
                target_files_per_partition: int = 4) -> GroomPlan:
     """One distributed scan → list of partitions needing a rewrite."""
     df = spark.read.parquet(path)
+    part_cols = _present_part_cols(df)
     stats = (
         df.withColumn("_file", F.input_file_name())
-        .groupBy("model", "dt")
+        .groupBy(*part_cols)
         .agg(
             F.countDistinct("_file").alias("n_files"),
             F.count(F.lit(1)).alias("n_rows"),
@@ -60,7 +69,8 @@ def plan_groom(spark: SparkSession, path: str,
         (F.col("n_rows") > F.col("n_ids"))
         | (F.col("n_files") > F.greatest(needed_files, F.lit(target_files_per_partition)))
     )
-    return GroomPlan(dirty=dirty.collect(), total_partitions=stats.count())
+    return GroomPlan(dirty=dirty.collect(), total_partitions=stats.count(),
+                     part_cols=part_cols)
 
 
 def groom(spark: SparkSession, path: str,
@@ -76,25 +86,30 @@ def groom(spark: SparkSession, path: str,
     plan = plan_groom(spark, path, max_records_per_file, target_files_per_partition)
     if not plan.dirty:
         return 0
-    keys = [(r["model"], r["dt"]) for r in plan.dirty]
+    part_cols = plan.part_cols
+    keys = [tuple(r[c] for c in part_cols) for r in plan.dirty]
     df = spark.read.parquet(path)
     # OR-of-conjunctions on the partition columns → Catalyst prunes the
     # scan down to exactly the dirty partitions.
     pred = None
-    for m, d in keys:
-        clause = (F.col("model") == F.lit(m)) & (F.col("dt") == F.lit(d))
+    for key in keys:
+        clause = None
+        for c, v in zip(part_cols, key):
+            eq = F.col(c) == F.lit(v)
+            clause = eq if clause is None else (clause & eq)
         pred = clause if pred is None else (pred | clause)
     subset = df.where(pred)
     remerged = finalize_for_storage(
-        merge_rewarded_decisions(parse_stored(subset), group_cols=("model", "dt", "decision_id"))
+        merge_rewarded_decisions(parse_stored(subset),
+                                 group_cols=(*part_cols, "decision_id"))
     )
     with _dynamic_overwrite(spark):
         (
-            remerged.repartition("model", "dt")
+            remerged.repartition(*part_cols)
             .sortWithinPartitions("decision_id")
             .write.mode("overwrite")
             .option("maxRecordsPerFile", max_records_per_file)
-            .partitionBy("model", "dt")
+            .partitionBy(*part_cols)
             .parquet(path)
         )
     return len(keys)
@@ -122,7 +137,8 @@ def assert_no_duplicate_keys(spark: SparkSession, path: str) -> None:
     """
     df = spark.read.parquet(path)
     dups = (
-        df.groupBy("model", "dt", "decision_id").count().where(F.col("count") > 1)
+        df.groupBy(*_present_part_cols(df), "decision_id")
+        .count().where(F.col("count") > 1)
     )
     n = dups.count()
     assert n == 0, f"{n} duplicate decision_ids remain after groom"

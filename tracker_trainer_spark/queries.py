@@ -479,6 +479,287 @@ FROM s ORDER BY dot / (nv * nq) DESC, vec_id LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# Dedup family: MinHash+LSH, n-gram Jaccard, SimHash (functions.dedup)
+# --------------------------------------------------------------------------
+
+from tracker_trainer_spark.functions import dedup as _dedup  # noqa: E402
+from tracker_trainer_spark.functions import similarity as _sim  # noqa: E402
+from tracker_trainer_spark.functions import text as _text  # noqa: E402
+
+# one deterministic parameterization shared by Spark plans and oracles
+MINHASH_H, MINHASH_BANDS, MINHASH_ROWS, MINHASH_SEED = 12, 4, 3, 7
+_MINHASH_PARAMS = _dedup.minhash_params(MINHASH_H, MINHASH_SEED)
+_PRIME = _text.HASH_PRIME
+_PLANES = _sim.hyperplanes(num_planes=4, dim=64, seed=11)
+
+# shared oracle-SQL building blocks (documents shingles / embedding vectors)
+_SH_SQL = f"""
+toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 7)) AS BIGINT) AS h
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+), prm(j, a, b) AS (VALUES {", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(_MINHASH_PARAMS))}),
+mh AS (
+  SELECT doc_id, j, min((a * h + b) % {_PRIME}) AS mh
+  FROM sh CROSS JOIN prm GROUP BY doc_id, j
+), bands AS (
+  SELECT doc_id, j // {MINHASH_ROWS} AS band,
+         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY j) AS key
+  FROM mh GROUP BY doc_id, j // {MINHASH_ROWS}
+), cand AS (
+  SELECT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)"""
+
+_VEC_SQL = """
+v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, sqrt(sum(e * e)) AS n FROM v GROUP BY vec_id
+), pl(p, i, w) AS (VALUES {planes}),
+dots AS (
+  SELECT v.vec_id, pl.p, sum(v.e * pl.w) AS d
+  FROM v JOIN pl USING (i) GROUP BY 1, 2
+), buckets AS (
+  SELECT vec_id, CAST(sum(CASE WHEN d >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+)""".format(planes=", ".join(
+    f"({p}, {i + 1}, {w})"
+    for p, plane in enumerate(_PLANES)
+    for i, w in enumerate(plane)
+))
+
+
+def dedup_minhash_candidates(spark, sf_dir):
+    """MinHash+LSH near-duplicate candidate pairs on documents.
+
+    shingle→minhash→band→bucket-join (SURVEY §2.10 north-star). The
+    signature pass is narrow (HOFs in codegen); only (doc_id, band, key)
+    rows shuffle into the self-join — document bodies never move.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return _dedup.near_dup_candidates(
+        docs, "doc_id", "text",
+        num_hashes=MINHASH_H, bands=MINHASH_BANDS, rows=MINHASH_ROWS,
+        seed=MINHASH_SEED,
+    )
+
+
+MINHASH_CAND_SQL = f"WITH {_SH_SQL}\nSELECT doc_id_a, doc_id_b FROM cand"
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard verification of the LSH candidate pairs.
+
+    The candidate set is small by construction → broadcast it against the
+    per-doc shingle sets; Jaccard is array_intersect/union, JVM-side.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", _dedup.shingle_hashes(F.col("text")).alias("sh")
+    ).where(F.size("sh") > 0)
+    cand = _dedup.near_dup_candidates(
+        docs, "doc_id", "text",
+        num_hashes=MINHASH_H, bands=MINHASH_BANDS, rows=MINHASH_ROWS,
+        seed=MINHASH_SEED,
+    )
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    return (
+        F.broadcast(cand)
+        .join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            "doc_id_a", "doc_id_b",
+            r4(_dedup.jaccard("sh_a", "sh_b")).alias("jaccard"),
+        )
+    )
+
+
+NGRAM_JACCARD_SQL = f"""WITH {_SH_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id_a, c.doc_id_b, count(b.h) AS ni
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_id_a
+  LEFT JOIN sh b ON b.doc_id = c.doc_id_b AND b.h = a.h
+  GROUP BY 1, 2
+)
+SELECT i.doc_id_a, i.doc_id_b,
+       round(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_id_a
+JOIN sizes sb ON sb.doc_id = i.doc_id_b
+"""
+
+
+def dedup_simhash(spark, sf_dir):
+    """28-bit SimHash fingerprint per document — single narrow HOF pass,
+    no shuffle; near-dup grouping is then a fingerprint group-by."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", _dedup.simhash(_text.tokens("text")).alias("simhash")
+    )
+
+
+SIMHASH_SQL = """
+WITH th AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 7)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents)
+), bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS c
+  FROM th CROSS JOIN unnest(generate_series(0, 27)) AS u(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN c >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def doc_fingerprint_lang(spark, sf_dir):
+    """Order-sensitive rolling-hash fingerprint + stopword-argmax language
+    guess per document (text-analysis north-star ops)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _text.tokens("text")
+    return docs.select(
+        "doc_id",
+        _text.rolling_fingerprint(toks).alias("fingerprint"),
+        _text.lang_guess(toks).alias("lang_guess"),
+    )
+
+
+def _lang_case_sql(langs=("en", "es", "de", "fr", "zh")) -> str:
+    # earlier-listed language wins ties: lang_i needs > for j<i, >= for j>i
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = []
+        for j, other in enumerate(langs):
+            if i == j:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"s_{lang} {op} s_{other}")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " END"
+
+
+_LANG_SCORE_SQL = ", ".join(
+    "len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN ("
+    + ", ".join("'" + w.replace("'", "''") + "'" for w in _text.STOPWORDS[lang])
+    + f"))) AS s_{lang}"
+    for lang in ("en", "es", "de", "fr", "zh")
+)
+
+FINGERPRINT_LANG_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(regexp_split_to_array(text, '{{WS}}'),
+                       t -> CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT))),
+      (acc, h) -> (acc * 31 + h) % {_PRIME}) AS fingerprint,
+    {_LANG_SCORE_SQL}
+  FROM documents
+)
+SELECT doc_id, fingerprint, {_lang_case_sql()} AS lang_guess
+FROM scored
+""".replace("{WS}", "\\s+")
+
+
+# --------------------------------------------------------------------------
+# Embeddings: LSH-bucketed ANN + within-bucket similar pairs
+# --------------------------------------------------------------------------
+
+def ann_lsh_bucketed(spark, sf_dir, probe_vec_id: int = 0, k: int = 10):
+    """LSH-bucketed approximate top-k: random-hyperplane bucket pruning,
+    exact cosine within the probe's bucket. The scale path for S-series
+    ANN — the bucket predicate prunes the scan before any shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in
+             emb.where(F.col("vec_id") == probe_vec_id).select("embedding").first()[0]]
+    return (
+        _sim.ann_lsh_topk(emb, probe, _PLANES, k=k)
+        .select("vec_id", r4(F.col("cosine")).alias("cosine"))
+    )
+
+
+ANN_LSH_SQL = f"""WITH {_VEC_SQL},
+probe AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+q AS (SELECT i, e FROM v WHERE vec_id = 0),
+s AS (
+  SELECT v.vec_id, sum(v.e * q.e) AS dot
+  FROM v JOIN q USING (i)
+  WHERE v.vec_id IN (SELECT b.vec_id FROM buckets b, probe p WHERE b.bucket = p.bucket)
+  GROUP BY v.vec_id
+)
+SELECT s.vec_id,
+       round(s.dot / (nv.n * (SELECT n FROM norms WHERE vec_id = 0)), 4) AS cosine
+FROM s JOIN norms nv ON nv.vec_id = s.vec_id
+ORDER BY s.dot / (nv.n * (SELECT n FROM norms WHERE vec_id = 0)) DESC, s.vec_id
+LIMIT 10
+"""
+
+
+def embedding_similar_pairs(spark, sf_dir, k: int = 20):
+    """Top-k most-similar embedding pairs within shared LSH buckets —
+    the embedding-cosine near-dup primitive. The self-join is
+    co-partitioned on the bucket id (each bucket joins locally at scale);
+    cosine math is JVM-side HOFs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding",
+        _sim.hyperplane_bucket("embedding", _PLANES).alias("bucket"),
+        _sim.l2_norm("embedding").alias("norm"),
+    )
+    left, right = b.alias("l"), b.alias("r")
+    cos = _sim.dot(F.col("l.embedding"), F.col("r.embedding")) / (
+        F.col("l.norm") * F.col("r.norm")
+    )
+    return (
+        left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("vec_id_a"),
+            F.col("r.vec_id").alias("vec_id_b"),
+            cos.alias("_cos"),
+        )
+        .orderBy(F.desc("_cos"), F.asc("vec_id_a"), F.asc("vec_id_b"))
+        .limit(k)
+        .select("vec_id_a", "vec_id_b", r4(F.col("_cos")).alias("cosine"))
+    )
+
+
+SIMILAR_PAIRS_SQL = f"""WITH {_VEC_SQL},
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), s AS (
+  SELECT p.va, p.vb, sum(x.e * y.e) AS dot
+  FROM pairs p
+  JOIN v x ON x.vec_id = p.va
+  JOIN v y ON y.vec_id = p.vb AND y.i = x.i
+  GROUP BY 1, 2
+)
+SELECT s.va AS vec_id_a, s.vb AS vec_id_b,
+       round(s.dot / (na.n * nb.n), 4) AS cosine
+FROM s JOIN norms na ON na.vec_id = s.va JOIN norms nb ON nb.vec_id = s.vb
+ORDER BY s.dot / (na.n * nb.n) DESC, s.va, s.vb
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -496,6 +777,12 @@ QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "doc_text_stats": doc_text_stats,
     "ann_cosine_topk": ann_cosine_topk,
+    "dedup_minhash_candidates": dedup_minhash_candidates,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "doc_fingerprint_lang": doc_fingerprint_lang,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+    "embedding_similar_pairs": embedding_similar_pairs,
 }
 
 ORACLES = {
@@ -512,4 +799,10 @@ ORACLES = {
     "dedup_exact_documents": DEDUP_SQL,
     "doc_text_stats": TEXT_STATS_SQL,
     "ann_cosine_topk": ANN_SQL,
+    "dedup_minhash_candidates": MINHASH_CAND_SQL,
+    "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_simhash": SIMHASH_SQL,
+    "doc_fingerprint_lang": FINGERPRINT_LANG_SQL,
+    "ann_lsh_bucketed": ANN_LSH_SQL,
+    "embedding_similar_pairs": SIMILAR_PAIRS_SQL,
 }
