@@ -1,0 +1,88 @@
+"""Plan-shape assertions: pushdown, pruning, broadcast, shuffle counts.
+
+These encode the plans we *want* at 100 TB — a change that silently
+de-optimizes a query (drops a pushed filter, widens a scan, un-broadcasts
+a dim) fails here even though results stay correct.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tracker_trainer_spark.plans import (
+    count_shuffles,
+    has_broadcast_join,
+    pushed_filters,
+    scan_columns,
+)
+from tracker_trainer_spark.queries import QUERIES
+from tracker_trainer_spark.trainer.loader import load_training_frame
+
+
+def test_q1_filter_pushed_and_single_shuffle(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    # partial agg → exchange → final agg: exactly one shuffle
+    assert count_shuffles(df) == 1
+    (cols,) = scan_columns(df)
+    assert "l_comment" not in cols and "l_orderkey" not in cols  # pruned
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    df = QUERIES["q3_top_revenue_orders"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert any("c_mktsegment" in f for f in pushed_filters(df))
+
+
+def test_events_stats_prunes_columns(spark, sf_dir):
+    df = QUERIES["events_type_stats"](spark, sf_dir)
+    for cols in scan_columns(df):
+        assert "props" not in cols  # untouched JSON payload never read
+
+
+def test_minhash_signatures_shuffle_only_for_join(spark, sf_dir):
+    """Signature computation is narrow; only the band self-join (and its
+    dedup) shuffle. Document text must not be in the joined columns."""
+    df = QUERIES["dedup_minhash_candidates"](spark, sf_dir)
+    assert count_shuffles(df) <= 3  # join both sides + distinct
+    for cols in scan_columns(df):
+        assert cols <= {"doc_id", "text"}
+
+
+def test_brute_force_ann_no_shuffle_before_topk(spark, sf_dir):
+    df = QUERIES["ann_cosine_topk"](spark, sf_dir)
+    # TakeOrderedAndProject, not a global sort exchange
+    assert count_shuffles(df) == 0
+    from tracker_trainer_spark.plans import physical_plan
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_loader_pushes_orphan_filter_and_prunes(spark, tmp_path):
+    src = spark.range(100).select(
+        F.concat(F.lit("id"), F.col("id")).alias("decision_id"),
+        F.lit('{"a":1}').alias("item"),
+        F.lit("{}").alias("context"),
+        F.lit(1.0).alias("count"),
+        F.lit(None).cast("string").alias("sample"),
+        F.lit("{}").alias("rewards"),
+        F.lit(0.0).alias("reward"),
+        F.lit("2024-01-01").alias("dt"),
+    )
+    path = str(tmp_path / "tl")
+    src.write.partitionBy("dt").parquet(path)
+    df = load_training_frame(spark, path, columns=["decision_id", "item", "context", "reward"])
+    fs = pushed_filters(df)
+    assert any("item" in f and "IsNotNull" in f for f in fs)
+    (cols,) = scan_columns(df)
+    assert "rewards" not in cols and "sample" not in cols
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    ("merge_rewarded_events", 3),       # two partial aggs + join co-partition
+    ("user_sessions", 3),               # one window partition + two aggs reuse it
+    ("propensity_explode_events", 0),   # pure narrow explode
+    ("dedup_simhash", 0),               # per-row HOFs only
+    ("doc_fingerprint_lang", 0),
+    ("dedup_exact_documents", 1),
+])
+def test_shuffle_budgets(spark, sf_dir, name, max_shuffles):
+    assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles

@@ -1,0 +1,96 @@
+"""Structured Streaming ingest: the Firehose → timeline path as a stream.
+
+Reference shape (reference: src/ingest/ingest_firehose.py:18-62): Kinesis
+Firehose buffers ~15 min of track records into a gzipped JSONL S3 object;
+an S3-event Lambda parses, validates, merges rewards onto decisions
+within the window, and appends to the partitioned timeline. Late rewards
+land as orphan partial rows repaired later by groom ("eventual
+consistency", src/ingest/partition.py:448-453).
+
+Spark-native mapping (SURVEY §2.11):
+- the S3-event-per-file trigger becomes a file-source stream
+  (``readStream.text``) with ``Trigger.AvailableNow`` for batch-drain or
+  ``Trigger.ProcessingTime`` for continuous operation; source-side file
+  tracking replaces the Lambda's at-least-once S3 event handling with
+  exactly-once file accounting via the checkpoint;
+- the Lambda body becomes ``foreachBatch(merge_micro_batch)`` — the SAME
+  batch operators (parse → validate → project → merge → finalize →
+  write) so stream and batch ingest cannot diverge;
+- the future-KSUID guard (src/ingest/utils.py:62-67) is the stream's
+  watermark-analogue: records whose key timestamp is ahead of wall clock
+  are dropped at validation, bounding the hot partition;
+- late rewards still become orphan rows in their decision's own dt
+  partition; groom (batch compaction) remains the repair path — the
+  retention-unbounded alternative (applyInPandasWithState keyed by
+  decision_id) would cap reward lateness at the state watermark, which
+  the reference explicitly does not do.
+
+At scale: each micro-batch shuffles once on (model, decision_id) — the
+same single-shuffle shape as batch ingest; the timeline append is
+partition-local. No state store is held (merge state lives in the table,
+repaired by groom), so executor memory is flat regardless of stream age.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..ingest.merge import finalize_for_storage, merge_rewarded_decisions
+from ..ingest.project import to_rewarded_decisions
+from ..ingest.reader import parse_track_records
+from ..ingest.sink import MAX_RECORDS_PER_FILE, write_timeline
+from ..ingest.validate import split_valid
+
+
+def read_track_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of raw track lines (gz transparently decoded).
+
+    ``maxFilesPerTrigger`` bounds micro-batch size the way Firehose's
+    15-minute buffer bounds a Lambda invocation.
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path).withColumnRenamed("value", "line")
+
+
+def merge_micro_batch(batch: DataFrame, timeline_path: str,
+                      group_cols=("model", "decision_id"),
+                      max_records_per_file: int = MAX_RECORDS_PER_FILE) -> None:
+    """The foreachBatch body: parse → validate → project → merge → append.
+
+    Identical operator chain to batch ingest; merging within the
+    micro-batch window before the append mirrors the reference's
+    within-window merge (src/ingest/ingest_firehose.py:23-25).
+    """
+    parsed = parse_track_records(batch)
+    valid, _invalid = split_valid(parsed)
+    rd = to_rewarded_decisions(valid)
+    merged = merge_rewarded_decisions(rd, group_cols=group_cols)
+    write_timeline(finalize_for_storage(merged), timeline_path,
+                   max_records_per_file=max_records_per_file)
+
+
+def start_timeline_stream(spark: SparkSession, source_path: str,
+                          timeline_path: str, checkpoint_path: str,
+                          available_now: bool = True,
+                          processing_time: str | None = None,
+                          group_cols=("model", "decision_id")):
+    """Start the ingest stream; returns the StreamingQuery.
+
+    ``available_now=True`` drains the backlog and stops (the testing /
+    cron-batch mode); pass ``processing_time='15 minutes'`` for the
+    Firehose-cadence continuous mode.
+    """
+    stream = read_track_stream(spark, source_path)
+    writer = (
+        stream.writeStream
+        .foreachBatch(lambda df, _id: merge_micro_batch(df, timeline_path, group_cols))
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
