@@ -80,7 +80,7 @@ def test_loader_pushes_orphan_filter_and_prunes(spark, tmp_path):
     ("merge_rewarded_events", 3),       # two partial aggs + join co-partition
     ("user_sessions", 3),               # one window partition + two aggs reuse it
     ("propensity_explode_events", 0),   # pure narrow explode
-    ("dedup_simhash", 0),               # per-row HOFs only
+    ("dedup_simhash", 1),               # parallelizing repartition + narrow HOFs
     ("doc_fingerprint_lang", 0),
     ("dedup_exact_documents", 1),
 ])

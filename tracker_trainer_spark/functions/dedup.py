@@ -21,8 +21,11 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
 from .text import HASH_BITS, HASH_PRIME, portable_token_hash, tokens, word_ngrams
 
@@ -101,30 +104,85 @@ def lsh_band_hashes(sig_col, bands: int, rows: int) -> Column:
     )
 
 
-def near_dup_candidates(
+def doc_shingles(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """(id, hashes) rows: distinct hashed n-gram shingles per doc.
+
+    Shingle hashing is CPU-bound but the documents table is byte-small,
+    so a file scan can land on far fewer partitions than cores
+    (maxPartitionBytes governs splits by *bytes*). ``parallelism``
+    repartitions the cheap raw rows first so the expensive narrow stage
+    uses every core — at real scale input splits already provide this
+    and the repartition is a no-op to skip.
+
+    The short-doc filter deliberately tests *token count* (cheap split),
+    not shingle-array size: a filter on the hash array would be pushed
+    below the repartition exchange by Catalyst and drag the whole md5
+    computation into the narrow pre-shuffle scan stage (measured 10×
+    slowdown), besides computing it twice.
+    """
+    # cheap predicate, evaluated scan-side (pushed below the exchange —
+    # that's desirable here: it shrinks the shuffle)
+    df = df.where(F.size(tokens(text_col)) >= n)
+    if parallelism:
+        df = df.repartition(parallelism)
+    # token_count >= n ⟹ at least one shingle, so no empty-array filter
+    # is needed above the exchange
+    return df.select(F.col(id_col), shingle_hashes(text_col, n).alias("hashes"))
+
+
+def candidates_from_shingles(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    hashes_col: str = "hashes",
     num_hashes: int = 12,
     bands: int = 4,
     rows: int = 3,
     seed: int = 7,
 ) -> DataFrame:
-    """MinHash+LSH near-duplicate candidate pairs (id_a < id_b, distinct).
+    """LSH banding over precomputed shingle hashes → candidate pairs.
 
-    shingle→minhash→band→bucket-join: signatures are computed in one
-    narrow pass; only (id, band, key) rows shuffle into the self-join.
+    Signatures are computed by an Arrow-vectorized pandas UDF (numpy
+    affine-min per row) rather than per-row array HOFs or explode+agg:
+    Spark's higher-order functions evaluate interpreted (outside
+    whole-stage codegen) and measured ~10× slower than the numpy kernel;
+    the explode route additionally paid a pathological Generate cost.
+    int64 is safe: a < 2^31, h < 2^28 ⇒ a*h + b < 2^60.
     """
     assert bands * rows == num_hashes
     params = minhash_params(num_hashes, seed)
-    sig = (
-        df.select(F.col(id_col), shingle_hashes(text_col, n).alias("hashes"))
-        .where(F.size("hashes") > 0)  # short docs would all share the sentinel sig
-        .select(id_col, minhash_signature("hashes", params).alias("sig"))
-    )
-    buckets = sig.select(
-        id_col, F.explode(lsh_band_hashes("sig", bands, rows)).alias("b")
+    a = np.array([p[0] for p in params], dtype=np.int64)[:, None]
+    b = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig_udf(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            hv = np.asarray(h, dtype=np.int64)[None, :]
+            out.append(((a * hv + b) % HASH_PRIME).min(axis=1))
+        return pd.Series(out)
+
+    mh = sh.select(F.col(id_col), sig_udf(F.col(hashes_col)).alias("sig"))
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                "-",
+                *[
+                    F.element_at("sig", bi * rows + j + 1).cast("string")
+                    for j in range(rows)
+                ],
+            ).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    buckets = mh.select(
+        id_col, F.explode(F.array(*band_structs)).alias("b")
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
     left = buckets.alias("l")
     right = buckets.alias("r")
@@ -140,6 +198,28 @@ def near_dup_candidates(
             F.col(f"r.{id_col}").alias(f"{id_col}_b"),
         )
         .distinct()
+    )
+
+
+def near_dup_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    rows: int = 3,
+    seed: int = 7,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs (id_a < id_b, distinct).
+
+    shingle→minhash→band→bucket-join: signatures are computed in one
+    narrow pass; only (id, band, key) rows shuffle into the self-join.
+    """
+    sh = doc_shingles(df, id_col, text_col, n, parallelism)
+    return candidates_from_shingles(
+        sh, id_col, "hashes", num_hashes, bands, rows, seed
     )
 
 

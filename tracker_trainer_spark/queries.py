@@ -549,6 +549,7 @@ def dedup_minhash_candidates(spark, sf_dir):
         docs, "doc_id", "text",
         num_hashes=MINHASH_H, bands=MINHASH_BANDS, rows=MINHASH_ROWS,
         seed=MINHASH_SEED,
+        parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -562,16 +563,19 @@ def dedup_ngram_jaccard(spark, sf_dir):
     per-doc shingle sets; Jaccard is array_intersect/union, JVM-side.
     """
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", _dedup.shingle_hashes(F.col("text")).alias("sh")
-    ).where(F.size("sh") > 0)
-    cand = _dedup.near_dup_candidates(
-        docs, "doc_id", "text",
-        num_hashes=MINHASH_H, bands=MINHASH_BANDS, rows=MINHASH_ROWS,
+    # one shingle pass feeds all three consumers (candidates + both join
+    # sides); cached because the DAG would otherwise recompute the
+    # CPU-heavy hashing per consumer — the set is (id, hash-array) only,
+    # far smaller than the corpus
+    sh = _dedup.doc_shingles(
+        docs, parallelism=spark.sparkContext.defaultParallelism
+    ).cache()
+    cand = _dedup.candidates_from_shingles(
+        sh, num_hashes=MINHASH_H, bands=MINHASH_BANDS, rows=MINHASH_ROWS,
         seed=MINHASH_SEED,
     )
-    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("hashes").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("hashes").alias("sh_b"))
     return (
         F.broadcast(cand)
         .join(a, "doc_id_a")
@@ -603,7 +607,9 @@ JOIN sizes sb ON sb.doc_id = i.doc_id_b
 def dedup_simhash(spark, sf_dir):
     """28-bit SimHash fingerprint per document — single narrow HOF pass,
     no shuffle; near-dup grouping is then a fingerprint group-by."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return docs.select(
         "doc_id", _dedup.simhash(_text.tokens("text")).alias("simhash")
     )
