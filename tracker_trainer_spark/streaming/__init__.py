@@ -3,3 +3,7 @@ from .ingest_stream import (  # noqa: F401
     start_timeline_stream,
     merge_micro_batch,
 )
+from .stateful_merge import (  # noqa: F401
+    MERGED_SCHEMA,
+    stateful_merge_stream,
+)
