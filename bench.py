@@ -27,8 +27,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    # warm the JVM/code paths once with the cheapest query
+    # warm the JVM code paths and the Python (Arrow UDF) worker pool so
+    # per-query numbers measure steady state, not process startup
     QUERIES["events_type_stats"](spark, sf_dir).collect()
+    QUERIES["dedup_minhash_candidates"](spark, "/root/testdata/sf0.001").collect()
 
     for name, fn in QUERIES.items():
         start = time.perf_counter()

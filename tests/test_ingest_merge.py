@@ -162,3 +162,36 @@ def test_future_ksuid_rejected(spark):
     future = ksuid.deterministic_ksuid(3000000000, 99)  # year 2065
     rows, bad = _merge_lines(spark, [decision(future)])
     assert rows == {} and bad == 1
+
+
+def test_salted_merge_equals_plain(spark):
+    """Two-stage salted aggregation is exact (associativity of the merge)."""
+    import json as _json
+    from tracker_trainer_spark.ingest.merge import (
+        finalize_for_storage, merge_rewarded_decisions,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    # hot key with many reward partials + a decision row
+    rows.append(("hot", '{"x":1}', "{}", 3.0, None, None))
+    for i in range(500):
+        rows.append(("hot", None, None, None, None, {"r%03d" % i: float(i)}))
+    rows.append(("cold", '{"y":2}', "{}", 1.0, None, {"rc": 2.0}))
+    df = spark.createDataFrame(
+        rows,
+        "decision_id string, item string, context string, count double, "
+        "sample string, rewards map<string,double>",
+    )
+    plain = {r.decision_id: r for r in
+             finalize_for_storage(merge_rewarded_decisions(df)).collect()}
+    salted = {r.decision_id: r for r in
+              finalize_for_storage(
+                  merge_rewarded_decisions(df, salt_buckets=8)).collect()}
+    assert set(plain) == set(salted) == {"hot", "cold"}
+    for k in plain:
+        assert plain[k].item == salted[k].item
+        assert plain[k]["count"] == salted[k]["count"]
+        assert _json.loads(plain[k].rewards) == _json.loads(salted[k].rewards)
+        assert plain[k].reward == salted[k].reward
+    assert _json.loads(plain["hot"].rewards) == {"r%03d" % i: float(i) for i in range(500)}

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -66,6 +68,24 @@ def brute_force_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+from pyspark.sql.types import DoubleType  # noqa: E402
+
+
+@F.pandas_udf(DoubleType())
+def pair_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized cosine between two array columns (Arrow batches).
+
+    For pair-heavy workloads (bucketed self-joins) this beats the
+    zip_with/aggregate fold: Spark HOFs evaluate interpreted, the numpy
+    kernel runs one BLAS-shaped pass per batch.
+    """
+    A = np.asarray(a.tolist(), dtype=np.float64)
+    B = np.asarray(b.tolist(), dtype=np.float64)
+    num = (A * B).sum(axis=1)
+    den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+    return pd.Series(np.where(den > 0, num / den, 0.0))
 
 
 def hyperplanes(num_planes: int, dim: int, seed: int = 11) -> list[list[int]]:

@@ -42,16 +42,32 @@ def sum_map_values(col) -> Column:
     return F.aggregate(F.map_values(c), F.lit(0.0), lambda a, x: a + x)
 
 
-def merge_rewarded_decisions(df: DataFrame, group_cols=("decision_id",)) -> DataFrame:
+def merge_rewarded_decisions(df: DataFrame, group_cols=("decision_id",),
+                             salt_buckets: int | None = None) -> DataFrame:
     """groupBy(decision_id) merge; input/output in REWARDED_DECISION_MAP_SCHEMA.
 
     If `model` is a column and in ``group_cols``, the whole multi-model
     batch merges in one shuffle (replaces the reference's per-model
     ThreadPool fan-out, src/ingest/ingest_firehose.py:56-60).
+
+    ``salt_buckets``: two-stage salted aggregation for hot keys — a
+    viral decision accumulating millions of reward partials would
+    otherwise put its whole group on one reducer. The merge is
+    associative (first-non-null payload, keyed map union, recomputed
+    sum), so partial-agg on (key, salt) then final-agg on key is exact.
+    Hash agg already does map-side partial combining, and AQE splits
+    skewed *join* partitions — but skewed *aggregation* keys still need
+    salting; leave None unless key skew is real (it doubles shuffles).
     """
     aggs = [F.first(c, ignorenulls=True).alias(c) for c in MERGE_VALUE_COLS]
     aggs.append(_union_rewards().alias("rewards"))
-    return df.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+    if not salt_buckets:
+        return df.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+    salted = df.withColumn(
+        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(*group_cols, "_salt").agg(*aggs)
+    return partial.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
 
 
 def json_number(col) -> Column:

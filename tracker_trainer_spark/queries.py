@@ -723,12 +723,11 @@ def embedding_similar_pairs(spark, sf_dir, k: int = 20):
     b = emb.select(
         "vec_id", "embedding",
         _sim.hyperplane_bucket("embedding", _PLANES).alias("bucket"),
-        _sim.l2_norm("embedding").alias("norm"),
     )
     left, right = b.alias("l"), b.alias("r")
-    cos = _sim.dot(F.col("l.embedding"), F.col("r.embedding")) / (
-        F.col("l.norm") * F.col("r.norm")
-    )
+    # vectorized pandas kernel: the pair count is quadratic-within-bucket,
+    # so per-pair interpreted HOF folds are the wrong tool here
+    cos = _sim.pair_cosine(F.col("l.embedding"), F.col("r.embedding"))
     return (
         left.join(
             right,
