@@ -1,0 +1,35 @@
+"""S8: corrupt files in the timeline are skipped, not fatal."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from tracker_trainer_spark.trainer.loader import load_training_frame
+
+
+@pytest.fixture()
+def timeline_with_corrupt_file(spark, tmp_path):
+    path = str(tmp_path / "tl")
+    spark.range(10).select(
+        F.concat(F.lit("id"), F.col("id")).alias("decision_id"),
+        F.lit('{"a":1}').alias("item"),
+        F.lit("{}").alias("context"),
+        F.lit(1.0).alias("count"),
+        F.lit(None).cast("string").alias("sample"),
+        F.lit("{}").alias("rewards"),
+        F.lit(0.0).alias("reward"),
+        F.lit("2024-01-01").alias("dt"),
+    ).coalesce(1).write.partitionBy("dt").parquet(path)
+    with open(f"{path}/dt=2024-01-01/zz-corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a parquet file")
+    return path
+
+
+def test_corrupt_file_skipped(spark, timeline_with_corrupt_file):
+    df = load_training_frame(spark, timeline_with_corrupt_file)
+    assert df.count() == 10
+
+
+def test_corrupt_file_fatal_when_disabled(spark, timeline_with_corrupt_file):
+    df = load_training_frame(spark, timeline_with_corrupt_file, ignore_corrupt=False)
+    with pytest.raises(Exception):
+        df.count()

@@ -56,6 +56,17 @@ def word_ngrams(tokens_col, n: int) -> Column:
     )
 
 
+# GPT-2-ish pre-tokenizer approximation: letter runs, single digits,
+# single non-alnum marks. Counts subword-ish units without a merges table.
+SUBWORD_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def subword_token_count(col) -> Column:
+    """BPE-ish token count via the pre-tokenizer regex (JVM regexp_count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(SUBWORD_PATTERN))
+
+
 def rolling_fingerprint(tokens_col, base: int = 31) -> Column:
     """Polynomial rolling hash of the token stream, mod HASH_PRIME.
 

@@ -411,6 +411,7 @@ def doc_text_stats(spark, sf_dir):
         "doc_id",
         F.length("text").alias("n_chars_calc"),
         n_tokens.alias("n_tokens"),
+        _text.subword_token_count("text").cast("long").alias("n_subword_tokens"),
         r4((F.length("text") - n_tokens + 1) / n_tokens).alias("avg_token_len"),
         r4(n_punct / F.length("text")).alias("punct_ratio"),
         r4(n_stop / n_tokens).alias("stopword_ratio"),
@@ -421,6 +422,7 @@ TEXT_STATS_SQL = """
 SELECT doc_id,
        length(text) AS n_chars_calc,
        len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subword_tokens,
        round((length(text) - len(regexp_split_to_array(text, '\\s+')) + 1)
              / len(regexp_split_to_array(text, '\\s+')), 4) AS avg_token_len,
        round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))

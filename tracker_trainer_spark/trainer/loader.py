@@ -28,7 +28,8 @@ def load_training_frame(spark: SparkSession, path: str,
                         sample: float | None = None,
                         drop_orphans: bool = True,
                         model: str | None = None,
-                        seed: int = 0) -> DataFrame:
+                        seed: int = 0,
+                        ignore_corrupt: bool = True) -> DataFrame:
     """Scan the rewarded-decision timeline for training.
 
     - ``model``: prunes the model= partition.
@@ -37,8 +38,15 @@ def load_training_frame(spark: SparkSession, path: str,
     - ``sample``: row-level Bernoulli sample (seeded).
     - ``drop_orphans``: item/context IS NOT NULL, pushed to parquet scan
       (reference: src/trainer/code/parquet_io.py:167-188).
+    - ``ignore_corrupt``: skip unreadable files instead of failing the
+      job, the S8 semantics of the reference's read_parquet_safely
+      (src/trainer/code/parquet_io.py:135-164) — a per-scan option, not
+      a session-wide mutation.
     """
-    df = spark.read.parquet(path)
+    reader = spark.read
+    if ignore_corrupt:
+        reader = reader.option("ignoreCorruptFiles", "true")
+    df = reader.parquet(path)
     if model is not None and "model" in df.columns:
         df = df.where(F.col("model") == model)
 
