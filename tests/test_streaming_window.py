@@ -1,0 +1,61 @@
+"""Watermarked windowed aggregation: streaming result == batch result
+when the stream drains fully (AvailableNow + complete mode)."""
+
+from pyspark.sql import functions as F
+
+from tracker_trainer_spark.streaming.ingest_stream import windowed_event_stats
+
+
+def _events(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for f_ in df.schema.fields:
+        if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            )
+    return df.select("ts", "event_type", "value")
+
+
+def test_windowed_stream_matches_batch(spark, sf_dir, tmp_path):
+    batch = _events(spark, sf_dir)
+    src = str(tmp_path / "src")
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        windowed_event_stats(stream)
+        .writeStream.format("memory").queryName("win_counts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.event_type): (r.n, round(r.sum_value, 6))
+        for r in spark.table("win_counts").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n, round(r.sum_value, 6))
+        for r in windowed_event_stats(batch).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_watermark_bounds_state(spark, sf_dir, tmp_path):
+    """Append mode: closed windows emit, the tail inside the watermark
+    delay stays open (state bounded by delay, not stream age)."""
+    batch = _events(spark, sf_dir)
+    src = str(tmp_path / "src2")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        windowed_event_stats(stream, watermark_delay="2 hours")
+        .writeStream.format("memory").queryName("win_append")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.table("win_append").agg(F.max("window_start")).first()[0]
+    hi = batch.agg(F.max("ts")).first()[0]
+    assert emitted is not None
+    # every emitted window closed before (max_ts - delay)
+    from datetime import timedelta
+    assert emitted + timedelta(hours=1) <= hi - timedelta(hours=2) + timedelta(hours=1)

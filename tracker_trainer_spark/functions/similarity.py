@@ -102,6 +102,45 @@ def hyperplane_bucket(vec_col, planes: list[list[int]]) -> Column:
     return bucket
 
 
+def ivf_assign(vec_col, centroids: list[list[float]]) -> Column:
+    """IVF coarse quantizer: nearest-centroid cell id per vector.
+
+    Vectorized pandas kernel (one matrix product per Arrow batch);
+    ties break to the lowest cell id via argmin. Centroids are a small
+    driver-side list — the IVF "trained" structure (here: caller-chosen
+    deterministic rows or k-means output; both are ≤k×dim floats).
+    """
+    C = np.asarray(centroids, dtype=np.float64)          # (k, d)
+    c_sq = (C * C).sum(axis=1)                           # |c|^2
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        V = np.asarray(v.tolist(), dtype=np.float64)     # (n, d)
+        # argmin_c |v-c|^2 = argmin_c |c|^2 - 2 v.c   (|v|^2 constant per row)
+        d2 = c_sq[None, :] - 2.0 * (V @ C.T)
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return assign(v)
+
+
+def ann_ivf_topk(
+    df: DataFrame, probe: list[float], centroids: list[list[float]],
+    k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (nprobe=1) approximate top-k: prune the scan to the probe's
+    coarse cell, exact cosine inside. The inverted-file analogue of
+    ann_lsh_topk — at rest, partitionBy(cell) makes the prune a
+    partition-pruned scan rather than a filter."""
+    C = np.asarray(centroids, dtype=np.float64)
+    p = np.asarray(probe, dtype=np.float64)
+    probe_cell = int(((C * C).sum(axis=1) - 2.0 * (C @ p)).argmin())
+    return brute_force_topk(
+        df.where(ivf_assign(vec_col, centroids) == probe_cell),
+        probe, k, vec_col, id_col,
+    )
+
+
 def ann_lsh_topk(
     df: DataFrame, probe: list[float], planes: list[list[int]], k: int = 10,
     vec_col: str = "embedding", id_col: str = "vec_id",

@@ -716,6 +716,61 @@ LIMIT 10
 """
 
 
+def ann_ivf_topk(spark, sf_dir, probe_vec_id: int = 0, k: int = 10, n_cells: int = 8):
+    """IVF (nprobe=1) ANN: coarse-quantize to n_cells inverted lists,
+    search the probe's cell exactly. Scale path: at rest the table is
+    partitionBy(cell) so the cell prune is partition pruning, and the
+    quantizer is one vectorized matrix product per batch. Centroids here
+    are the first n_cells vectors (deterministic stand-in for k-means —
+    the structure, assignment and probe path are the real IVF shape)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.where(F.col("vec_id") < n_cells).orderBy("vec_id")
+        .select("embedding").collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cent_rows]
+    probe = [float(x) for x in
+             emb.where(F.col("vec_id") == probe_vec_id).select("embedding").first()[0]]
+    return (
+        _sim.ann_ivf_topk(emb, probe, centroids, k=k)
+        .select("vec_id", r4(F.col("cosine")).alias("cosine"))
+    )
+
+
+ANN_IVF_SQL = """
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, sqrt(sum(e * e)) AS n FROM v GROUP BY vec_id
+), c AS (
+  SELECT vec_id AS cid, i, e FROM v WHERE vec_id < 8
+), d2 AS (
+  SELECT v.vec_id, c.cid, sum(c.e * c.e) - 2 * sum(v.e * c.e) AS d2
+  FROM v JOIN c USING (i) GROUP BY v.vec_id, c.cid
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d2
+  ) WHERE rn = 1
+), probe_cell AS (SELECT cid FROM assign WHERE vec_id = 0),
+q AS (SELECT i, e FROM v WHERE vec_id = 0),
+s AS (
+  SELECT v.vec_id, sum(v.e * q.e) AS dot
+  FROM v JOIN q USING (i)
+  WHERE v.vec_id IN (SELECT a.vec_id FROM assign a, probe_cell p WHERE a.cid = p.cid)
+  GROUP BY v.vec_id
+)
+SELECT s.vec_id,
+       round(s.dot / (nv.n * (SELECT n FROM norms WHERE vec_id = 0)), 4) AS cosine
+FROM s JOIN norms nv ON nv.vec_id = s.vec_id
+ORDER BY s.dot / (nv.n * (SELECT n FROM norms WHERE vec_id = 0)) DESC, s.vec_id
+LIMIT 10
+"""
+
+
 def embedding_similar_pairs(spark, sf_dir, k: int = 20):
     """Top-k most-similar embedding pairs within shared LSH buckets —
     the embedding-cosine near-dup primitive. The self-join is
@@ -789,6 +844,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "doc_fingerprint_lang": doc_fingerprint_lang,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_ivf_topk": ann_ivf_topk,
     "embedding_similar_pairs": embedding_similar_pairs,
 }
 
@@ -811,5 +867,6 @@ ORACLES = {
     "dedup_simhash": SIMHASH_SQL,
     "doc_fingerprint_lang": FINGERPRINT_LANG_SQL,
     "ann_lsh_bucketed": ANN_LSH_SQL,
+    "ann_ivf_topk": ANN_IVF_SQL,
     "embedding_similar_pairs": SIMILAR_PAIRS_SQL,
 }

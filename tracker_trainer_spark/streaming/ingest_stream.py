@@ -94,3 +94,35 @@ def start_timeline_stream(spark: SparkSession, source_path: str,
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def windowed_event_stats(events: DataFrame, ts_col: str = "ts",
+                         window_duration: str = "1 hour",
+                         watermark_delay: str = "2 hours",
+                         group_col: str = "event_type") -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream.
+
+    The §2.11 late-data primitive: events later than ``watermark_delay``
+    past the max seen timestamp are dropped from their window, bounding
+    state exactly the way the future-KSUID guard bounds the hot
+    partition. Works on both streaming and batch DataFrames (the batch
+    plan ignores the watermark — useful for oracle comparisons).
+    """
+    from pyspark.sql import functions as F  # local: keep module header lean
+
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark_delay)
+    return (
+        df.groupBy(F.window(ts_col, window_duration).alias("win"), group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col(group_col),
+            "n",
+            "sum_value",
+        )
+    )
