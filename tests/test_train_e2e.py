@@ -1,60 +1,10 @@
-"""End-to-end: synthetic track records → ingest → timeline → two-phase
-train (fallback backend when xgboost is absent) → propensity scoring."""
+"""End-to-end: synthetic track records → ingest → timeline (conftest
+fixture) → two-phase train (fallback backend when xgboost is absent) →
+propensity scoring."""
 
-import json
-import random
-
-import pytest
 from pyspark.sql import functions as F
 
-from tracker_trainer_spark import ksuid
-from tracker_trainer_spark.ingest import (
-    finalize_for_storage,
-    merge_rewarded_decisions,
-    parse_track_records,
-    split_valid,
-    to_rewarded_decisions,
-    write_timeline,
-)
-from tracker_trainer_spark.ingest.reader import read_track_lines
 from tracker_trainer_spark.trainer.train import train_two_phase, propensity_scores
-
-TS = 1650000000
-
-
-@pytest.fixture(scope="module")
-def timeline(spark, tmp_path_factory):
-    rng = random.Random(7)
-    lines = []
-    for i in range(120):
-        did = ksuid.deterministic_ksuid(TS + i * 60, i)
-        item = {"song": rng.choice(["a", "b", "c", "d"]), "tempo": rng.randint(60, 180)}
-        ctx = {"os": rng.choice(["ios", "android"]), "hour": rng.randint(0, 23)}
-        count = rng.randint(1, 5)
-        rec = {"message_id": did, "model": "m1", "count": count,
-               "item": item, "context": ctx}
-        if count > 1:
-            rec["sample"] = {"song": rng.choice(["a", "b", "c", "d"]),
-                             "tempo": rng.randint(60, 180)}
-        lines.append(json.dumps(rec))
-        if rng.random() < 0.5:
-            rid = ksuid.deterministic_ksuid(TS + i * 60 + 30, 10_000 + i)
-            lines.append(json.dumps({
-                "message_id": rid, "model": "m1", "decision_id": did,
-                "reward": round(rng.uniform(0, 10), 2),
-            }))
-    path = str(tmp_path_factory.mktemp("ingest") / "batch.jsonl")
-    with open(path, "w") as f:
-        f.write("\n".join(lines))
-    table = str(tmp_path_factory.mktemp("tl") / "rewarded_decisions")
-    parsed = parse_track_records(read_track_lines(spark, path))
-    valid, invalid = split_valid(parsed)
-    assert invalid.count() == 0
-    merged = finalize_for_storage(
-        merge_rewarded_decisions(to_rewarded_decisions(valid), ("model", "decision_id"))
-    )
-    write_timeline(merged, table)
-    return table
 
 
 def test_two_phase_train_and_score(spark, timeline):

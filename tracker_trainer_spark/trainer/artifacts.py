@@ -1,0 +1,105 @@
+"""Model artifacts: save / load / checkpoint reuse (M5/M6).
+
+Reference semantics:
+- export embeds metadata (model name, feature names, string tables,
+  seed, created_at, version) in the booster attributes and writes both
+  `.xgb` and `.mlmodel` artifacts (reference:
+  src/trainer/code/model_utils.py:174-321);
+- the trainer reuses phase-1's checkpointed booster when the stored
+  version matches and the artifact is younger than
+  ``max_checkpoint_age`` (reference: src/trainer/code/checkpoint.py:26-150).
+
+Here the artifact is a directory:
+  metadata.json   — the TrainedModel fields + version + created_at
+  model/          — the fitted estimator (xgboost native format when the
+                    xgboost backend is active, Spark ML writer otherwise)
+
+All driver-side by design (the reference's export is too); the only
+data-derived payloads are capped structures (string tables ≤10k
+entries/feature, feature names ≤max_features).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession
+
+from .train import HAS_XGBOOST, TrainedModel
+
+ARTIFACT_VERSION = "1"
+METADATA_FILE = "metadata.json"
+MODEL_DIR = "model"
+
+
+def save_model(tm: TrainedModel, path: str, model_name: str = "model") -> None:
+    """Persist a TrainedModel as a metadata.json + backend model dir."""
+    os.makedirs(path, exist_ok=True)
+    meta = {
+        "version": ARTIFACT_VERSION,
+        "created_at": time.time(),
+        "model_name": model_name,
+        "feature_names": tm.feature_names,
+        "string_tables": tm.string_tables,
+        "model_seed": tm.model_seed,
+        "mean_item_count": tm.mean_item_count,
+        "metadata": tm.metadata,
+        "backend": "xgboost" if HAS_XGBOOST else "spark-ml",
+    }
+    with open(os.path.join(path, METADATA_FILE), "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    model_path = os.path.join(path, MODEL_DIR)
+    if HAS_XGBOOST:
+        tm.model.get_booster().save_model(os.path.join(path, f"{model_name}.xgb"))
+    tm.model.write().overwrite().save(model_path)
+
+
+def load_model(spark: SparkSession, path: str) -> TrainedModel:
+    """Load a saved artifact back into a TrainedModel."""
+    with open(os.path.join(path, METADATA_FILE)) as f:
+        meta = json.load(f)
+    model_path = os.path.join(path, MODEL_DIR)
+    objective = meta["metadata"].get("objective", "regression")
+    if meta["backend"] == "xgboost":
+        from xgboost.spark import (  # type: ignore
+            SparkXGBClassifierModel,
+            SparkXGBRegressorModel,
+        )
+
+        cls = SparkXGBClassifierModel if objective == "binary" else SparkXGBRegressorModel
+    else:
+        from pyspark.ml.classification import GBTClassificationModel
+        from pyspark.ml.regression import GBTRegressionModel
+
+        cls = GBTClassificationModel if objective == "binary" else GBTRegressionModel
+    fitted = cls.load(model_path)
+    return TrainedModel(
+        model=fitted,
+        feature_names=meta["feature_names"],
+        string_tables={k: list(v) for k, v in meta["string_tables"].items()},
+        model_seed=meta["model_seed"],
+        mean_item_count=meta["mean_item_count"],
+        metadata=meta["metadata"],
+    )
+
+
+def load_checkpoint_if_fresh(spark: SparkSession, path: str,
+                             max_age_seconds: float) -> TrainedModel | None:
+    """Checkpoint fast-path: reuse the stored model when the artifact
+    version matches and it is younger than ``max_age_seconds``
+    (reference: src/trainer/code/checkpoint.py:26-91)."""
+    meta_path = os.path.join(path, METADATA_FILE)
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("version") != ARTIFACT_VERSION:
+        return None
+    if time.time() - meta.get("created_at", 0) > max_age_seconds:
+        return None
+    try:
+        return load_model(spark, path)
+    except Exception:
+        return None  # unreadable checkpoint == no checkpoint (retrain)
