@@ -84,9 +84,11 @@ def q3_top_revenue_orders(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    # customer scales with SF — no static broadcast hint; AQE promotes the
+    # filtered side to broadcast at runtime when it actually fits
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -110,7 +112,16 @@ LIMIT 10
 
 
 def q5_nation_revenue(spark, sf_dir):
-    """TPC-H Q5 shape: star join with three broadcast dims, one big shuffle."""
+    """TPC-H Q5 shape: star join; fixed-cardinality dims broadcast, the
+    rest left to AQE.
+
+    Broadcast hints are pinned ONLY on region (5 rows) and nation (25
+    rows) — true constants at any SF. customer/supplier scale with the
+    data and must stay shuffle-join candidates; AQE promotes them to
+    broadcast at runtime when their filtered size actually fits, which
+    is the decision a 1000-executor cluster needs made from stats, not
+    from a hint that was only ever true at test scale.
+    """
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     supp = _t(spark, sf_dir, "supplier")
@@ -118,20 +129,15 @@ def q5_nation_revenue(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(_bcast(orders, big=True), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
     )
-
-
-def _bcast(df, big=False):
-    # orders is a fact table: never broadcast; helper keeps intent explicit
-    return df if big else F.broadcast(df)
 
 
 Q5_SQL = """
