@@ -567,8 +567,10 @@ MINHASH_CAND_SQL = f"WITH {_SH_SQL}\nSELECT doc_id_a, doc_id_b FROM cand"
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard verification of the LSH candidate pairs.
 
-    The candidate set is small by construction → broadcast it against the
-    per-doc shingle sets; Jaccard is array_intersect/union, JVM-side.
+    The candidate set is usually far smaller than the corpus, but it
+    scales with duplication — no static broadcast hint; AQE picks the
+    join strategy from runtime sizes. Jaccard is array_intersect/union,
+    JVM-side.
     """
     docs = _t(spark, sf_dir, "documents")
     # one shingle pass feeds all three consumers (candidates + both join
@@ -585,7 +587,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("hashes").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("hashes").alias("sh_b"))
     return (
-        F.broadcast(cand)
+        cand
         .join(a, "doc_id_a")
         .join(b, "doc_id_b")
         .select(
