@@ -3,13 +3,18 @@ from .text import (  # noqa: F401
     word_ngrams,
     portable_token_hash,
     rolling_fingerprint,
+    subword_token_count,
     lang_scores,
+    lang_guess,
     quality_metrics,
 )
 from .dedup import (  # noqa: F401
     exact_dedup,
+    doc_shingles,
+    shingle_hashes,
     minhash_params,
     minhash_signature,
+    candidates_from_shingles,
     lsh_band_hashes,
     near_dup_candidates,
     simhash,
@@ -19,7 +24,11 @@ from .similarity import (  # noqa: F401
     cosine_to_literal,
     dot,
     l2_norm,
+    pair_cosine,
     brute_force_topk,
+    hyperplanes,
     hyperplane_bucket,
     ann_lsh_topk,
+    ivf_assign,
+    ann_ivf_topk,
 )
