@@ -830,6 +830,58 @@ LIMIT 20
 
 
 # --------------------------------------------------------------------------
+# Trainer encode throughput (BASELINE target: ≳1,100 records/s e2e)
+# --------------------------------------------------------------------------
+
+def train_encode_events(spark, sf_dir, max_features: int = 20, model_seed: int = 1):
+    """The real trainer encode path over the events table: JSON flatten
+    (Arrow kernel) → feature selection agg → string tables → vector
+    encode. No SQL oracle — this IS the non-SQL-expressible surface
+    (driver records the weaker rows-only check); it exists so BENCH
+    measures the flagship training-encode throughput against the
+    reference's ≳1,100 records/s envelope (BASELINE.md derived targets).
+    """
+    from tracker_trainer_spark.trainer.encode import TIMESTAMP_KEY, encode_to_vectors
+    from tracker_trainer_spark.trainer.flatten import flatten_col
+    from tracker_trainer_spark.trainer.selection import select_features
+    from tracker_trainer_spark.trainer.string_tables import build_string_tables, string_stats
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") != "purchase")
+    base = ev.select(
+        F.col("event_id").cast("string").alias("decision_id"),
+        F.col("props").alias("item"),
+        F.to_json(
+            F.struct(F.col("event_type").alias("et"), F.col("user_id").alias("uid"))
+        ).alias("context"),
+        F.unix_timestamp("ts").cast("double").alias(TIMESTAMP_KEY),
+        F.col("value").alias("y"),
+        F.lit(1.0).alias("w"),
+    )
+    flat = (
+        base.withColumn("_i", flatten_col("item", "item"))
+        .withColumn("_c", flatten_col("context", "context"))
+        .select(
+            "decision_id", TIMESTAMP_KEY, "y", "w",
+            F.map_concat(F.col("_c")["num"], F.col("_i")["num"]).alias("num_features"),
+            F.map_concat(F.col("_c")["str"], F.col("_i")["str"]).alias("str_features"),
+        )
+        .cache()
+    )
+    try:
+        selected = select_features(flat, max_features)
+        tables = build_string_tables(
+            string_stats(flat), model_seed, allowed_features=selected,
+            prior_mean=0.0, prior_count=0,
+        )
+        encoded = encode_to_vectors(flat, selected, tables, model_seed)
+        return encoded.select(
+            "decision_id", F.size("features").cast("long").alias("n_features")
+        )
+    finally:
+        flat.unpersist()
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -854,6 +906,9 @@ QUERIES = {
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_similar_pairs": embedding_similar_pairs,
+    # non-SQL-expressible (Arrow encode kernels): no oracle entry, the
+    # driver records the rows-only check by design
+    "train_encode_events": train_encode_events,
 }
 
 ORACLES = {
