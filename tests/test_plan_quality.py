@@ -81,7 +81,7 @@ def test_loader_pushes_orphan_filter_and_prunes(spark, tmp_path):
     ("user_sessions", 3),               # one window partition + two aggs reuse it
     ("propensity_explode_events", 0),   # pure narrow explode
     ("dedup_simhash", 1),               # parallelizing repartition + narrow HOFs
-    ("doc_fingerprint_lang", 0),
+    ("doc_fingerprint_lang", 1),        # parallelizing repartition + narrow HOFs
     ("dedup_exact_documents", 1),
 ])
 def test_shuffle_budgets(spark, sf_dir, name, max_shuffles):

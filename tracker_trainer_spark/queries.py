@@ -643,8 +643,12 @@ FROM bits GROUP BY doc_id
 
 def doc_fingerprint_lang(spark, sf_dir):
     """Order-sensitive rolling-hash fingerprint + stopword-argmax language
-    guess per document (text-analysis north-star ops)."""
-    docs = _t(spark, sf_dir, "documents")
+    guess per document (text-analysis north-star ops). Repartitioned for
+    CPU parallelism — the byte-small scan otherwise runs the interpreted
+    HOF stage on one core (same rationale as doc_shingles)."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = _text.tokens("text")
     return docs.select(
         "doc_id",
