@@ -111,3 +111,36 @@ def test_minhash_similarity_monotone(spark):
     agree_near = sum(x == y for x, y in zip(sigs[0], sigs[1]))
     agree_far = sum(x == y for x, y in zip(sigs[0], sigs[2]))
     assert agree_near > agree_far
+
+
+def test_ivf_kmeans_centroids_and_recall(spark):
+    """KMeans-trained IVF: assignments cover all cells reasonably and
+    nprobe=1 search returns the probe's true neighborhood."""
+    import numpy as np
+    from tracker_trainer_spark.functions.similarity import (
+        ann_ivf_topk, ivf_assign, train_ivf_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(5)
+    # 4 well-separated gaussian clusters in 8-d
+    centers = rng.normal(0, 10, (4, 8))
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append((i, (centers[c] + rng.normal(0, 0.5, 8)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = train_ivf_centroids(df, k=4, seed=11)
+    assert len(cents) == 4 and all(len(c) == 8 for c in cents)
+
+    assigned = df.select("vec_id", ivf_assign("embedding", cents).alias("cell"))
+    sizes = {r.cell: r["count"] for r in assigned.groupBy("cell").count().collect()}
+    assert len(sizes) == 4  # every cell used
+    assert all(v == 50 for v in sizes.values())  # separated clusters → exact split
+
+    probe = rows[0][1]
+    got = ann_ivf_topk(df, probe, cents, k=10).collect()
+    assert [r.vec_id for r in got][0] == 0  # probe finds itself
+    # all results come from the probe's own cluster (ids ≡ 0 mod 4)
+    assert all(r.vec_id % 4 == 0 for r in got)

@@ -124,6 +124,28 @@ def ivf_assign(vec_col, centroids: list[list[float]]) -> Column:
     return assign(v)
 
 
+def train_ivf_centroids(df: DataFrame, k: int = 8, seed: int = 11,
+                        vec_col: str = "embedding",
+                        max_iter: int = 20) -> list[list[float]]:
+    """Train IVF coarse centroids with Spark ML KMeans (distributed
+    Lloyd iterations — the iterative, non-SQL-expressible path).
+
+    Returns plain python lists so the quantizer (`ivf_assign`) and the
+    probe path stay backend-free. k×dim floats to the driver — the IVF
+    structure is small by definition.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.select(
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(vecs)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
 def ann_ivf_topk(
     df: DataFrame, probe: list[float], centroids: list[list[float]],
     k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id",
