@@ -83,6 +83,16 @@ def groom(spark: SparkSession, path: str,
     overwrite is atomic per partition), mirroring the reference's
     delete-last retry safety (src/ingest/partition.py:340-354).
     """
+    from .lock import timeline_lock
+
+    with timeline_lock(path):
+        return _groom_locked(spark, path, max_records_per_file,
+                             target_files_per_partition)
+
+
+def _groom_locked(spark: SparkSession, path: str,
+                  max_records_per_file: int,
+                  target_files_per_partition: int) -> int:
     plan = plan_groom(spark, path, max_records_per_file, target_files_per_partition)
     if not plan.dirty:
         return 0

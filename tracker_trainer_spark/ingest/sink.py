@@ -38,18 +38,35 @@ def with_partition_date(df: DataFrame, id_col: str = "decision_id") -> DataFrame
 
 def write_timeline(df: DataFrame, path: str, partition_cols=("model", "dt"),
                    mode: str = "append",
-                   max_records_per_file: int = MAX_RECORDS_PER_FILE) -> None:
-    """Write at-rest rewarded-decision rows into the partitioned table."""
+                   max_records_per_file: int = MAX_RECORDS_PER_FILE,
+                   lock: bool = True) -> None:
+    """Write at-rest rewarded-decision rows into the partitioned table.
+
+    ``lock=True`` serializes the append against a concurrent groom —
+    groom's dynamic-partition overwrite rewrites whole partitions from a
+    snapshot, so an unserialized append landing mid-groom would be
+    replaced away (SURVEY §7.4 risk 6; see ingest/lock.py).
+    """
     if "dt" in partition_cols and "dt" not in df.columns:
         df = with_partition_date(df)
     parts = [c for c in partition_cols if c in df.columns]
-    (
-        df.sortWithinPartitions("decision_id")
-        .write.mode(mode)
-        .option("maxRecordsPerFile", max_records_per_file)
-        .partitionBy(*parts)
-        .parquet(path)
-    )
+
+    def _write():
+        (
+            df.sortWithinPartitions("decision_id")
+            .write.mode(mode)
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy(*parts)
+            .parquet(path)
+        )
+
+    if lock:
+        from .lock import timeline_lock
+
+        with timeline_lock(path):
+            _write()
+    else:
+        _write()
 
 
 def read_timeline(spark, path: str, columns=None) -> DataFrame:
