@@ -846,7 +846,7 @@ def train_encode_events(spark, sf_dir, max_features: int = 20, model_seed: int =
     reference's ≳1,100 records/s envelope (BASELINE.md derived targets).
     """
     from tracker_trainer_spark.trainer.encode import TIMESTAMP_KEY, encode_to_vectors
-    from tracker_trainer_spark.trainer.flatten import flatten_col
+    from tracker_trainer_spark.trainer.flatten import flatten_merged
     from tracker_trainer_spark.trainer.selection import select_features
     from tracker_trainer_spark.trainer.string_tables import build_string_tables, string_stats
 
@@ -861,13 +861,20 @@ def train_encode_events(spark, sf_dir, max_features: int = 20, model_seed: int =
         F.col("value").alias("y"),
         F.lit(1.0).alias("w"),
     )
+    # The sf-scale events file is byte-small → one input split, and cache()
+    # freezes that single partition into every downstream stage. Spread the
+    # cheap raw rows across cores before the Arrow flatten kernel (at real
+    # scale input splits already provide this; see functions/dedup.py
+    # doc_shingles for the same pattern).
+    base = base.repartition(spark.sparkContext.defaultParallelism)
     flat = (
-        base.withColumn("_i", flatten_col("item", "item"))
-        .withColumn("_c", flatten_col("context", "context"))
+        base.withColumn(
+            "_f", flatten_merged([("context", "context"), ("item", "item")])
+        )
         .select(
             "decision_id", TIMESTAMP_KEY, "y", "w",
-            F.map_concat(F.col("_c")["num"], F.col("_i")["num"]).alias("num_features"),
-            F.map_concat(F.col("_c")["str"], F.col("_i")["str"]).alias("str_features"),
+            F.col("_f")["num"].alias("num_features"),
+            F.col("_f")["str"].alias("str_features"),
         )
         .cache()
     )

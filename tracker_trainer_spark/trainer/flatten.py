@@ -75,6 +75,35 @@ def flatten_col(col, root: str) -> Column:
     return _make_flatten_udf(root)(c)
 
 
+def flatten_merged(cols_and_roots) -> Column:
+    """Flatten several JSON-string columns in ONE Arrow round-trip and
+    return the merged struct(num, str) directly.
+
+    Equivalent to map_concat over per-column flatten_col results (roots
+    are distinct path prefixes, so key spaces cannot collide), but pays
+    one pandas-UDF invocation per batch instead of one per column —
+    each extra chained pandas UDF adds a full JVM→Arrow→Python→Arrow→JVM
+    hop for the whole batch.
+    """
+    roots = tuple(root for _, root in cols_and_roots)
+
+    @F.pandas_udf(f"struct<{FLAT_STRUCT}>")
+    def _flatten_many(*series: pd.Series) -> pd.DataFrame:
+        nums, strss = [], []
+        for vals in zip(*series):
+            n: dict = {}
+            s: dict = {}
+            for raw, root in zip(vals, roots):
+                if raw is not None:
+                    flatten_json(json.loads(raw), root, n, s)
+            nums.append(n)
+            strss.append(s)
+        return pd.DataFrame({"num": nums, "str": strss})
+
+    ins = [F.col(c) if isinstance(c, str) else c for c, _ in cols_and_roots]
+    return _flatten_many(*ins)
+
+
 def flatten_columns(df: DataFrame, cols=("item", "context")) -> DataFrame:
     """Add ``<col>_flat`` struct columns for each JSON-string column."""
     for c in cols:

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .encode import TIMESTAMP_KEY, encode_to_vectors, feature_order, propensity_training_rows
-from .flatten import flatten_col
+from .flatten import flatten_merged
 from .loader import load_training_frame
 from .selection import MAX_FEATURES, select_features
 from .string_tables import DECISION_PRIOR_COUNT, build_string_tables, string_stats
@@ -139,14 +139,15 @@ def train_decision_model(spark: SparkSession, timeline_path: str,
     from ..ksuid import ksuid_timestamp
 
     flat = (
-        df.withColumn("_item", flatten_col("item", "item"))
-        .withColumn("_context", flatten_col("context", "context"))
+        df.withColumn(
+            "_f", flatten_merged([("context", "context"), ("item", "item")])
+        )
         .withColumn(TIMESTAMP_KEY, ksuid_timestamp(F.col("decision_id")))
         .select(
             "decision_id",
             TIMESTAMP_KEY,
-            F.map_concat(F.col("_context")["num"], F.col("_item")["num"]).alias("num_features"),
-            F.map_concat(F.col("_context")["str"], F.col("_item")["str"]).alias("str_features"),
+            F.col("_f")["num"].alias("num_features"),
+            F.col("_f")["str"].alias("str_features"),
             reward_col.alias("y"),
         )
         .withColumn("w", F.lit(1.0))
