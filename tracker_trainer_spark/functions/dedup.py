@@ -184,18 +184,32 @@ def candidates_from_shingles(
     buckets = mh.select(
         id_col, F.explode(F.array(*band_structs)).alias("b")
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
-    left = buckets.alias("l")
-    right = buckets.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    # Bucket-collect instead of a bucket self-join: a self-join evaluates
+    # the whole scan→shingle→signature pipeline once PER SIDE (the plan
+    # showed two ArrowEvalPython subtrees), and one side shuffles twice.
+    # Collecting ids per (band, key) runs the expensive pipeline once and
+    # generates in-bucket pairs JVM-side with HOFs. Output volume is the
+    # same as the join's (pairs within a bucket); mega-bucket skew hits
+    # both shapes equally.
+    grouped = (
+        buckets.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
         .select(
-            F.col(f"l.{id_col}").alias(f"{id_col}_a"),
-            F.col(f"r.{id_col}").alias(f"{id_col}_b"),
+            F.col("p.a").alias(f"{id_col}_a"),
+            F.col("p.b").alias(f"{id_col}_b"),
         )
         .distinct()
     )
