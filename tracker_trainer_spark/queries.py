@@ -303,6 +303,38 @@ FROM decisions d FULL OUTER JOIN rewards r ON d.decision_id = r.decision_id
 """
 
 
+def reward_summary_stats(spark, sf_dir):
+    """A2: the trainer's reward ``describe()`` over the merged table
+    (reference: src/trainer/code/decision_trainer.py:54-57,
+    model_utils.py:123-127) — count/mean/std/min/median/max of ``reward``
+    plus the rewarded fraction. Single global agg: partial aggregation
+    map-side, one row to the driver regardless of input size.
+    """
+    merged = merge_rewarded_events(spark, sf_dir)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("reward") > 0).cast("long")).alias("n_rewarded"),
+        r4(F.avg("reward")).alias("mean_reward"),
+        r4(F.stddev("reward")).alias("std_reward"),
+        r4(F.min("reward")).alias("min_reward"),
+        r4(F.median("reward")).alias("median_reward"),
+        r4(F.max("reward")).alias("max_reward"),
+    )
+
+
+REWARD_STATS_SQL = f"""
+WITH merged AS ({MERGE_EVENTS_SQL})
+SELECT count(*) AS n,
+       sum(CASE WHEN reward > 0 THEN 1 ELSE 0 END) AS n_rewarded,
+       round(avg(reward), 4) AS mean_reward,
+       round(stddev(reward), 4) AS std_reward,
+       round(min(reward), 4) AS min_reward,
+       round(median(reward), 4) AS median_reward,
+       round(max(reward), 4) AS max_reward
+FROM merged
+"""
+
+
 def propensity_explode_events(spark, sf_dir):
     """E1 shape: each decision emits the chosen row (y=1,w=1) and, when
     candidates > 1, a sample row (y=0, w=candidates-1).
@@ -905,6 +937,7 @@ QUERIES = {
     "nations_with_customers_and_suppliers": nations_with_customers_and_suppliers,
     "events_type_stats": events_type_stats,
     "merge_rewarded_events": merge_rewarded_events,
+    "reward_summary_stats": reward_summary_stats,
     "propensity_explode_events": propensity_explode_events,
     "user_sessions": user_sessions,
     "dedup_exact_documents": dedup_exact_documents,
@@ -931,6 +964,7 @@ ORACLES = {
     "nations_with_customers_and_suppliers": INTERSECT_SQL,
     "events_type_stats": EVENTS_STATS_SQL,
     "merge_rewarded_events": MERGE_EVENTS_SQL,
+    "reward_summary_stats": REWARD_STATS_SQL,
     "propensity_explode_events": PROPENSITY_SQL,
     "user_sessions": SESSIONS_SQL,
     "dedup_exact_documents": DEDUP_SQL,
