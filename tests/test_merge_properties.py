@@ -89,3 +89,41 @@ def test_merge_idempotent(spark, rows):
         for r in finalize_for_storage(merge_rewarded_decisions(doubled)).collect()
     }
     assert twice == once
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=partials)
+def test_merge_matches_dict_oracle(spark, rows):
+    """Differential check against reference dict semantics
+    (src/ingest/partition.py:155-213): payload columns take SOME non-null
+    group value (first() order under a distributed agg is not pinned, so
+    conflicting payloads admit any group member), rewards is the keyed
+    union (conflicting values for one message_id admit any observed
+    value), and reward is exactly the sum of the merged map."""
+    got = _merged_as_dict(spark, rows)
+
+    groups: dict = {}
+    for did, item, context, count, sample, rewards in rows:
+        g = groups.setdefault(
+            did, {"item": set(), "context": set(), "count": set(),
+                  "rewards": {}})
+        if item is not None:
+            g["item"].add(item)
+        if context is not None:
+            g["context"].add(context)
+        if count is not None:
+            g["count"].add(count)
+        for mid, val in (rewards or {}).items():
+            g["rewards"].setdefault(mid, set()).add(round(val, 9))
+
+    assert set(got) == set(groups)
+    for did, g in groups.items():
+        item, context, count, sample, rewards, reward = got[did]
+        assert item in (g["item"] or {None})
+        assert context in (g["context"] or {None})
+        assert count in (g["count"] or {None})
+        assert set(rewards) == set(g["rewards"])
+        for mid, val in rewards.items():
+            assert round(val, 9) in g["rewards"][mid], (mid, val)
+        assert abs(reward - sum(rewards.values())) < 1e-6
