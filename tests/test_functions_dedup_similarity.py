@@ -144,3 +144,42 @@ def test_ivf_kmeans_centroids_and_recall(spark):
     assert [r.vec_id for r in got][0] == 0  # probe finds itself
     # all results come from the probe's own cluster (ids ≡ 0 mod 4)
     assert all(r.vec_id % 4 == 0 for r in got)
+
+
+def test_ivf_index_build_probe(spark, tmp_path):
+    """Persistent IVF: nprobe=k is exactly brute force; nprobe=1 reads
+    only the probe's inverted list (partition-pruned scan)."""
+    from tracker_trainer_spark.functions.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_topk,
+        load_ivf_centroids,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probe_row = df.orderBy("vec_id").first()
+    probe = [float(x) for x in probe_row["embedding"]]
+
+    path = str(tmp_path / "ivf")
+    k_cells = 4
+    centroids = build_ivf_index(df, path, k=k_cells, seed=11)
+    assert len(load_ivf_centroids(path)) == k_cells
+
+    exact = [r["vec_id"] for r in brute_force_topk(df, probe, 5).collect()]
+    full = [r["vec_id"] for r in
+            ivf_index_topk(spark, path, probe, k=5, nprobe=k_cells).collect()]
+    assert full == exact  # nprobe=k degenerates to exact search
+
+    pruned = ivf_index_topk(spark, path, probe, k=5, nprobe=1)
+    got = [r["vec_id"] for r in pruned.collect()]
+    assert got and got[0] == probe_row["vec_id"]  # self-match survives pruning
+    assert set(got) <= set(
+        r["vec_id"] for r in spark.read.parquet(f"{path}/lists").collect()
+    )
+    # the probe plan must prune at the partition level (PartitionFilters
+    # on list_id), not post-scan filter the whole index
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*list_id[^\]]*)\]", plan)
+    assert m, plan

@@ -178,3 +178,66 @@ def ann_lsh_topk(
         df.where(hyperplane_bucket(vec_col, planes) == probe_bucket),
         probe, k, vec_col, id_col,
     )
+
+
+# --------------------------------------------------------------------------
+# Persistent IVF index: build once, partition-pruned probes forever
+# --------------------------------------------------------------------------
+
+def build_ivf_index(df: DataFrame, path: str, k: int = 8, seed: int = 11,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    max_iter: int = 20) -> list[list[float]]:
+    """Materialize an IVF index: KMeans centroids + vectors written
+    partitioned by inverted-list id.
+
+    This is the 100 TB shape of `ann_ivf_topk`: quantization runs once
+    at build time, and every probe afterward is a *partition-pruned*
+    scan of nprobe/k of the data — no per-query KMeans, no per-query
+    assignment pass, no full-table read. Layout:
+
+        <path>/centroids.json       k×dim floats (the trained structure)
+        <path>/lists/list_id=<c>/   vectors of inverted list c
+    """
+    import json as _json
+    import os as _os
+
+    centroids = train_ivf_centroids(df, k, seed, vec_col, max_iter)
+    (
+        df.withColumn("list_id", ivf_assign(vec_col, centroids))
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{path}/lists")
+    )
+    _os.makedirs(path, exist_ok=True)
+    with open(f"{path}/centroids.json", "w") as f:
+        _json.dump(centroids, f)
+    return centroids
+
+
+def load_ivf_centroids(path: str) -> list[list[float]]:
+    import json as _json
+
+    with open(f"{path}/centroids.json") as f:
+        return _json.load(f)
+
+
+def ivf_index_topk(spark, path: str, probe: list[float], k: int = 10,
+                   nprobe: int = 1, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Probe a persisted IVF index: rank inverted lists by centroid
+    distance driver-side (k×dim floats — no data scan), read only the
+    nearest ``nprobe`` lists via partition pruning, exact cosine inside.
+
+    nprobe=k degenerates to exact brute force over the whole index, so
+    recall is tunable per query without rebuilding.
+    """
+    centroids = load_ivf_centroids(path)
+    C = np.asarray(centroids, dtype=np.float64)
+    p = np.asarray(probe, dtype=np.float64)
+    order = ((C * C).sum(axis=1) - 2.0 * (C @ p)).argsort()
+    cells = [int(c) for c in order[:nprobe]]
+    lists = spark.read.parquet(f"{path}/lists")
+    return brute_force_topk(
+        lists.where(F.col("list_id").isin(cells)).drop("list_id"),
+        probe, k, vec_col, id_col,
+    )
