@@ -865,6 +865,52 @@ LIMIT 20
 """
 
 
+def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.4):
+    """Embedding-cosine near-dup DROP: survivors after removing every
+    vector whose cosine with a lower-id vector (within a shared LSH
+    bucket) reaches the threshold — the greedy keep-first rule of
+    exact_dedup applied to semantic duplicates. Anti-join on the pair
+    set; only (id, id) pairs shuffle, never embeddings."""
+    emb = _t(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding",
+        _sim.hyperplane_bucket("embedding", _PLANES).alias("bucket"),
+    )
+    left, right = b.alias("l"), b.alias("r")
+    cos = _sim.pair_cosine(F.col("l.embedding"), F.col("r.embedding"))
+    dropped = (
+        left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .where(r4(cos) >= threshold)
+        .select(F.col("r.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return emb.join(dropped, "vec_id", "left_anti").select("vec_id")
+
+
+DEDUP_EMB_SQL = f"""WITH {_VEC_SQL},
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), s AS (
+  SELECT p.va, p.vb, sum(x.e * y.e) AS dot
+  FROM pairs p
+  JOIN v x ON x.vec_id = p.va
+  JOIN v y ON y.vec_id = p.vb AND y.i = x.i
+  GROUP BY 1, 2
+), dropped AS (
+  SELECT DISTINCT s.vb AS vec_id
+  FROM s JOIN norms na ON na.vec_id = s.va JOIN norms nb ON nb.vec_id = s.vb
+  WHERE round(s.dot / (na.n * nb.n), 4) >= 0.4
+)
+SELECT e.vec_id FROM embeddings e
+WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = e.vec_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Trainer encode throughput (BASELINE target: ≳1,100 records/s e2e)
 # --------------------------------------------------------------------------
@@ -950,6 +996,7 @@ QUERIES = {
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_similar_pairs": embedding_similar_pairs,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
     # non-SQL-expressible (Arrow encode kernels): no oracle entry, the
     # driver records the rows-only check by design
     "train_encode_events": train_encode_events,
@@ -977,4 +1024,5 @@ ORACLES = {
     "ann_lsh_bucketed": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "embedding_similar_pairs": SIMILAR_PAIRS_SQL,
+    "dedup_embedding_cosine": DEDUP_EMB_SQL,
 }
