@@ -195,3 +195,44 @@ def test_salted_merge_equals_plain(spark):
         assert _json.loads(plain[k].rewards) == _json.loads(salted[k].rewards)
         assert plain[k].reward == salted[k].reward
     assert _json.loads(plain["hot"].rewards) == {"r%03d" % i: float(i) for i in range(500)}
+
+
+def test_file_split_bounds_and_order(spark, tmp_path):
+    """S9/G1: a partition larger than max_records_per_file splits into
+    multiple files, each within the bound and internally sorted by
+    decision_id (reference: 10,000-row cap, src/ingest/config.py:13;
+    sorted range-named files, src/ingest/partition.py:88-97)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tracker_trainer_spark import ksuid
+    from tracker_trainer_spark.ingest.sink import write_timeline
+
+    ts0 = 1650000000
+    rows = [
+        (ksuid.deterministic_ksuid(ts0 + (i % 97), i), "{}", "{}", 1.0,
+         None, "{}", 0.0)
+        for i in range(2500)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "decision_id string, item string, context string, count double, "
+        "sample string, rewards string, reward double",
+    ).withColumn("model", F.lit("m1"))
+    path = str(tmp_path / "tl")
+    write_timeline(df, path, max_records_per_file=1000)
+
+    files = glob.glob(f"{path}/model=m1/dt=*/*.parquet")
+    assert len(files) >= 3  # 2500 rows / 1000-row cap
+    total = 0
+    for f in files:
+        t = pq.read_table(f, columns=["decision_id"])
+        n = len(t)
+        assert 0 < n <= 1000, os.path.basename(f)
+        ids = t.column("decision_id").to_pylist()
+        assert ids == sorted(ids), "file not sorted by decision_id"
+        total += n
+    assert total == 2500

@@ -113,10 +113,18 @@ def _groom_locked(spark: SparkSession, path: str,
         merge_rewarded_decisions(parse_stored(subset),
                                  group_cols=(*part_cols, "decision_id"))
     )
-    with _dynamic_overwrite(spark):
+    from .sink import _conf
+
+    with _dynamic_overwrite(spark), _conf(
+        spark, "spark.sql.maxConcurrentOutputFileWriters", "64"
+    ):
+        # (partition cols, decision_id) sort + concurrent writers keep
+        # each rewritten file sorted by decision_id — the default
+        # sort-based writer would re-sort non-stably on the partition
+        # cols alone (see sink.write_timeline)
         (
             remerged.repartition(*part_cols)
-            .sortWithinPartitions("decision_id")
+            .sortWithinPartitions(*part_cols, "decision_id")
             .write.mode("overwrite")
             .option("maxRecordsPerFile", max_records_per_file)
             .partitionBy(*part_cols)

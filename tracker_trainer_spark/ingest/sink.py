@@ -30,6 +30,26 @@ from ..ksuid import ksuid_timestamp
 MAX_RECORDS_PER_FILE = 10_000  # reference: src/ingest/config.py:13
 
 
+class _conf:
+    """Temporarily set a SQLConf around a write, restoring the prior value."""
+
+    def __init__(self, spark, key: str, value: str):
+        self.spark, self.key, self.value = spark, key, value
+
+    def __enter__(self):
+        try:
+            self.prev = self.spark.conf.get(self.key)
+        except Exception:
+            self.prev = None
+        self.spark.conf.set(self.key, self.value)
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self.key)
+        else:
+            self.spark.conf.set(self.key, self.prev)
+
+
 def with_partition_date(df: DataFrame, id_col: str = "decision_id") -> DataFrame:
     """Add `dt` (yyyy-MM-dd string) from the KSUID-embedded timestamp."""
     ts = ksuid_timestamp(F.col(id_col))
@@ -52,13 +72,25 @@ def write_timeline(df: DataFrame, path: str, partition_cols=("model", "dt"),
     parts = [c for c in partition_cols if c in df.columns]
 
     def _write():
-        (
-            df.sortWithinPartitions("decision_id")
-            .write.mode(mode)
-            .option("maxRecordsPerFile", max_records_per_file)
-            .partitionBy(*parts)
-            .parquet(path)
-        )
+        # sort by (partition cols, decision_id) and write through the
+        # concurrent-writers path: the default sort-based dynamic-
+        # partition writer re-sorts on empty2null(partition cols) — an
+        # expression our column ordering can never match — with a
+        # non-stable sort that scrambles decision_id inside files.
+        # Concurrent writers stream rows in arrival (= sorted) order,
+        # keeping files sorted by decision_id (J1/O1 parity, reference:
+        # src/ingest/partition.py:94-97). A task writing more distinct
+        # partitions than the cap falls back to the sorting path for the
+        # remainder — losing in-file order there, never correctness.
+        with _conf(df.sparkSession,
+                   "spark.sql.maxConcurrentOutputFileWriters", "64"):
+            (
+                df.sortWithinPartitions(*parts, "decision_id")
+                .write.mode(mode)
+                .option("maxRecordsPerFile", max_records_per_file)
+                .partitionBy(*parts)
+                .parquet(path)
+            )
 
     if lock:
         from .lock import timeline_lock
