@@ -241,3 +241,45 @@ def ivf_index_topk(spark, path: str, probe: list[float], k: int = 10,
         lists.where(F.col("list_id").isin(cells)).drop("list_id"),
         probe, k, vec_col, id_col,
     )
+
+
+def bucket_pair_cosines(df: DataFrame, planes: list[list[int]],
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """All within-bucket pair cosines (id_a < id_b) in ONE pass.
+
+    The self-join shape ships each embedding into Python once PER PAIR
+    (quadratic Arrow transfer) and scans the table twice. Grouping by
+    bucket and computing the pairwise cosine matrix per group moves each
+    embedding exactly once (linear transfer, one shuffle) and does the
+    quadratic part as a single BLAS product in numpy. Pair volume —
+    and therefore mega-bucket skew — is identical to the join shape;
+    more/finer hyperplanes is the lever that bounds bucket size.
+    """
+    bucketed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        hyperplane_bucket(vec_col, planes).alias("_bucket"),
+    )
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        order = pdf["_id"].to_numpy().argsort()
+        ids = pdf["_id"].to_numpy()[order]
+        V = np.asarray(pdf["_vec"].tolist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        C = (V @ V.T) / np.outer(norms, norms)
+        ia, ib = np.triu_indices(n, 1)
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ib], "cosine": C[ia, ib]}
+        )
+
+    return (
+        bucketed.groupBy("_bucket")
+        .applyInPandas(pairs, "id_a long, id_b long, cosine double")
+        .withColumnRenamed("id_a", f"{id_col}_a")
+        .withColumnRenamed("id_b", f"{id_col}_b")
+    )

@@ -817,32 +817,16 @@ LIMIT 10
 
 def embedding_similar_pairs(spark, sf_dir, k: int = 20):
     """Top-k most-similar embedding pairs within shared LSH buckets —
-    the embedding-cosine near-dup primitive. The self-join is
-    co-partitioned on the bucket id (each bucket joins locally at scale);
-    cosine math is JVM-side HOFs."""
+    the embedding-cosine near-dup primitive. One applyInPandas pass per
+    bucket: each embedding crosses into Python once (the self-join shape
+    shipped both embeddings per PAIR — quadratic transfer) and the
+    pairwise cosine matrix is a single BLAS product per bucket."""
     emb = _t(spark, sf_dir, "embeddings")
-    b = emb.select(
-        "vec_id", "embedding",
-        _sim.hyperplane_bucket("embedding", _PLANES).alias("bucket"),
-    )
-    left, right = b.alias("l"), b.alias("r")
-    # vectorized pandas kernel: the pair count is quadratic-within-bucket,
-    # so per-pair interpreted HOF folds are the wrong tool here
-    cos = _sim.pair_cosine(F.col("l.embedding"), F.col("r.embedding"))
+    pairs = _sim.bucket_pair_cosines(emb, _PLANES)
     return (
-        left.join(
-            right,
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
-        )
-        .select(
-            F.col("l.vec_id").alias("vec_id_a"),
-            F.col("r.vec_id").alias("vec_id_b"),
-            cos.alias("_cos"),
-        )
-        .orderBy(F.desc("_cos"), F.asc("vec_id_a"), F.asc("vec_id_b"))
+        pairs.orderBy(F.desc("cosine"), F.asc("vec_id_a"), F.asc("vec_id_b"))
         .limit(k)
-        .select("vec_id_a", "vec_id_b", r4(F.col("_cos")).alias("cosine"))
+        .select("vec_id_a", "vec_id_b", r4(F.col("cosine")).alias("cosine"))
     )
 
 
@@ -872,20 +856,10 @@ def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.4):
     exact_dedup applied to semantic duplicates. Anti-join on the pair
     set; only (id, id) pairs shuffle, never embeddings."""
     emb = _t(spark, sf_dir, "embeddings")
-    b = emb.select(
-        "vec_id", "embedding",
-        _sim.hyperplane_bucket("embedding", _PLANES).alias("bucket"),
-    )
-    left, right = b.alias("l"), b.alias("r")
-    cos = _sim.pair_cosine(F.col("l.embedding"), F.col("r.embedding"))
     dropped = (
-        left.join(
-            right,
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
-        )
-        .where(r4(cos) >= threshold)
-        .select(F.col("r.vec_id").alias("vec_id"))
+        _sim.bucket_pair_cosines(emb, _PLANES)
+        .where(r4(F.col("cosine")) >= threshold)
+        .select(F.col("vec_id_b").alias("vec_id"))
         .distinct()
     )
     return emb.join(dropped, "vec_id", "left_anti").select("vec_id")
