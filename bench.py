@@ -27,24 +27,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    # warm the JVM code paths and the Python (Arrow UDF) worker pool so
-    # per-query numbers measure steady state, not process startup. The
-    # pool holds one worker per core and each pays a ~1s pandas/pyspark
-    # import on first use, so the warm-up must touch every core with a
-    # pandas UDF, not just run one small query.
-    from pyspark.sql import functions as F
+    # warm the JVM code paths and the per-core Python UDF worker pool so
+    # per-query numbers measure steady state, not process startup
+    from tracker_trainer_spark.session import warm_python_workers
 
-    @F.pandas_udf("double")
-    def _warm(s):
-        return s
-
-    n_cores = spark.sparkContext.defaultParallelism
-    (
-        spark.range(0, n_cores * 1000, 1, n_cores)
-        .select(_warm(F.col("id").cast("double")).alias("v"))
-        .agg(F.sum("v"))
-        .collect()
-    )
+    warm_python_workers(spark)
     QUERIES["events_type_stats"](spark, sf_dir).collect()
     QUERIES["dedup_minhash_candidates"](spark, "/root/testdata/sf0.001").collect()
 

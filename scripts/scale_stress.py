@@ -73,6 +73,8 @@ def run(spark, k: int) -> dict:
     ev.write.mode("overwrite").parquet(f"{ev_dir}/events.parquet")
     t_prep = time.perf_counter() - t0
 
+    # the encode path drops purchase events — divide by what it encodes
+    n_enc = ev.where(F.col("event_type") != "purchase").count()
     t0 = time.perf_counter()
     QUERIES["train_encode_events"](spark, ev_dir).count()
     t_encode = time.perf_counter() - t0
@@ -83,7 +85,8 @@ def run(spark, k: int) -> dict:
         "merge_write_s": round(t_merge, 2),
         "merge_rows_per_s": round(n / t_merge),
         "encode_s": round(t_encode, 2),
-        "encode_rows_per_s": round(n / t_encode),
+        "encode_rows": n_enc,
+        "encode_rows_per_s": round(n_enc / t_encode),
         "prep_s": round(t_prep, 2),
     }
 
@@ -95,14 +98,9 @@ def main():
                       extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the per-core Python UDF worker pool (see bench.py)
-    @F.pandas_udf("double")
-    def _warm(s):
-        return s
-    n_cores = spark.sparkContext.defaultParallelism
-    (spark.range(0, n_cores * 1000, 1, n_cores)
-     .select(_warm(F.col("id").cast("double")).alias("v"))
-     .agg(F.sum("v")).collect())
+    from tracker_trainer_spark.session import warm_python_workers
+
+    warm_python_workers(spark)
 
     for k in ks:
         print(json.dumps(run(spark, k)), flush=True)

@@ -196,21 +196,21 @@ def candidates_from_shingles(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .where(F.size("ids") > 1)
     )
-    pairs = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + F.lit(2), F.size("ids")),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    # two chained Generates stream the pairs: posexplode yields one row
+    # per (i, a), then each row explodes only its own suffix slice. Peak
+    # per-row memory is O(bucket), never the O(bucket^2) a single
+    # flatten-of-pair-arrays value would materialize before exploding —
+    # a 70k-id boilerplate bucket stays write-able instead of building a
+    # ~2.4e9-element array in one row.
     return (
-        grouped.select(F.explode(pairs).alias("p"))
+        grouped.select(F.posexplode("ids").alias("_i", "a"), F.col("ids"))
         .select(
-            F.col("p.a").alias(f"{id_col}_a"),
-            F.col("p.b").alias(f"{id_col}_b"),
+            "a",
+            F.explode(
+                F.slice("ids", F.col("_i") + F.lit(2), F.size("ids"))
+            ).alias("b"),
         )
+        .select(F.col("a").alias(f"{id_col}_a"), F.col("b").alias(f"{id_col}_b"))
         .distinct()
     )
 

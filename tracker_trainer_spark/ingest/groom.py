@@ -115,9 +115,8 @@ def _groom_locked(spark: SparkSession, path: str,
     )
     from .sink import _conf
 
-    with _dynamic_overwrite(spark), _conf(
-        spark, "spark.sql.maxConcurrentOutputFileWriters", "64"
-    ):
+    with _conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"), \
+            _conf(spark, "spark.sql.maxConcurrentOutputFileWriters", "64"):
         # (partition cols, decision_id) sort + concurrent writers keep
         # each rewritten file sorted by decision_id — the default
         # sort-based writer would re-sort non-stably on the partition
@@ -131,20 +130,6 @@ def _groom_locked(spark: SparkSession, path: str,
             .parquet(path)
         )
     return len(keys)
-
-
-class _dynamic_overwrite:
-    """Temporarily set dynamic partitionOverwriteMode."""
-
-    def __init__(self, spark: SparkSession):
-        self.spark = spark
-
-    def __enter__(self):
-        self.prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
-    def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", self.prev)
 
 
 def assert_no_duplicate_keys(spark: SparkSession, path: str) -> None:

@@ -15,9 +15,13 @@ range, not arrival time. Consequences at scale:
   per-partition compaction (see groom.py).
 - Partition pruning replaces the filename-range trick: recency-bounded
   training loads prune on ``dt`` without listing file contents.
-- ``maxRecordsPerFile`` + ``sortWithinPartitions(decision_id)`` preserve
-  the ≤10k-row sorted-file invariant (J1/G1) and give Parquet min/max
-  footer stats on decision_id for row-group skipping.
+- ``maxRecordsPerFile`` + ``sortWithinPartitions`` keep the ≤10k-row
+  sorted-file invariant (J1/G1) and give Parquet min/max footer stats on
+  decision_id for row-group skipping. In-file order is guaranteed for a
+  task writing ≤64 distinct ``(model, dt)`` combos (the concurrent-writer
+  cap; a wider backfill falls back to the writer's own non-stable sort
+  for the overflow) — ``groom`` rewrites repartitioned by partition and
+  restores order for any partition it touches.
 """
 
 from __future__ import annotations
@@ -30,13 +34,26 @@ from ..ksuid import ksuid_timestamp
 MAX_RECORDS_PER_FILE = 10_000  # reference: src/ingest/config.py:13
 
 
+# SQLConf is session-global: two threads save/set/restore-ing the same
+# key interleave into a permanent leak (e.g. partitionOverwriteMode left
+# 'dynamic' for every later write). One process-wide lock serializes the
+# set→write→restore window; writes to one timeline are already serialized
+# by timeline_lock, so this only gates cross-timeline concurrency.
+_CONF_LOCK = __import__("threading").RLock()
+
+
 class _conf:
-    """Temporarily set a SQLConf around a write, restoring the prior value."""
+    """Temporarily set a SQLConf around a write, restoring the prior value.
+
+    Holds the process-wide conf lock for the whole with-block — conf
+    mutations must not interleave across threads on a shared session.
+    """
 
     def __init__(self, spark, key: str, value: str):
         self.spark, self.key, self.value = spark, key, value
 
     def __enter__(self):
+        _CONF_LOCK.acquire()
         try:
             self.prev = self.spark.conf.get(self.key)
         except Exception:
@@ -44,10 +61,13 @@ class _conf:
         self.spark.conf.set(self.key, self.value)
 
     def __exit__(self, *exc):
-        if self.prev is None:
-            self.spark.conf.unset(self.key)
-        else:
-            self.spark.conf.set(self.key, self.prev)
+        try:
+            if self.prev is None:
+                self.spark.conf.unset(self.key)
+            else:
+                self.spark.conf.set(self.key, self.prev)
+        finally:
+            _CONF_LOCK.release()
 
 
 def with_partition_date(df: DataFrame, id_col: str = "decision_id") -> DataFrame:

@@ -51,3 +51,23 @@ def get_spark(app_name: str = "tracker-trainer-spark", master: str | None = None
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def warm_python_workers(spark: SparkSession) -> None:
+    """Touch every core with a trivial pandas UDF so the per-core Python
+    worker pool (one ~1s pandas/pyspark import per worker on first use)
+    is paid before measurement, not inside it. Used by bench/stress
+    harnesses; a no-op cost when the pool is already warm."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _warm(s):
+        return s
+
+    n = spark.sparkContext.defaultParallelism
+    (
+        spark.range(0, n * 1000, 1, n)
+        .select(_warm(F.col("id").cast("double")).alias("v"))
+        .agg(F.sum("v"))
+        .collect()
+    )

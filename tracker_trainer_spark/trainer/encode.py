@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..ksuid import ksuid_timestamp
-from .flatten import flatten_col
+from .flatten import flatten_merged
 from .string_tables import StringTable
 
 TIMESTAMP_KEY = "t"  # reference: src/trainer/code/constants.py:5
@@ -32,30 +32,33 @@ def propensity_training_rows(df: DataFrame) -> DataFrame:
     """E1: rewarded-decision rows → (num_features, str_features, t, y, w).
 
     Input: at-rest rows with item/context/sample JSON strings + count.
-    One narrow stage: three flatten UDF calls, JVM-side map merge, inline
-    array explode — no shuffle.
+    One narrow stage: two fused flatten UDF calls (each a single Arrow
+    round-trip), inline array explode — no shuffle. The sample variant is
+    flattened directly under the ``item`` root, which IS the reference's
+    re-rooting (both go through flatten_item, propensities.py:153-165) —
+    no post-hoc key rewrite needed.
     """
     with_flat = (
-        df.withColumn("_item", flatten_col("item", "item"))
-        .withColumn("_context", flatten_col("context", "context"))
-        .withColumn("_sample", flatten_col("sample", "sample"))
+        df.withColumn(
+            "_chosen",
+            flatten_merged([("context", "context"), ("item", "item")]),
+        )
+        .withColumn(
+            "_alt",
+            flatten_merged([("context", "context"), ("sample", "item")]),
+        )
         .withColumn("_t", ksuid_timestamp(F.col("decision_id")))
     )
-    # the sample row re-roots sample.* paths at item.* so chosen and sample
-    # occupy the same feature space (reference flattens both via
-    # flatten_item, propensities.py:153-165)
-    sample_as_item_num = _reroot_map(F.col("_sample")["num"], "sample", "item")
-    sample_as_item_str = _reroot_map(F.col("_sample")["str"], "sample", "item")
 
     chosen = F.struct(
-        F.map_concat(F.col("_context")["num"], F.col("_item")["num"]).alias("num"),
-        F.map_concat(F.col("_context")["str"], F.col("_item")["str"]).alias("str"),
+        F.col("_chosen")["num"].alias("num"),
+        F.col("_chosen")["str"].alias("str"),
         F.lit(1.0).alias("y"),
         F.lit(1.0).alias("w"),
     )
     sample = F.struct(
-        F.map_concat(F.col("_context")["num"], sample_as_item_num).alias("num"),
-        F.map_concat(F.col("_context")["str"], sample_as_item_str).alias("str"),
+        F.col("_alt")["num"].alias("num"),
+        F.col("_alt")["str"].alias("str"),
         F.lit(0.0).alias("y"),
         (F.col("count") - 1).cast("double").alias("w"),
     )
@@ -71,26 +74,6 @@ def propensity_training_rows(df: DataFrame) -> DataFrame:
             F.col("r.str").alias("str_features"),
             F.col("r.y").alias("y"),
             F.col("r.w").alias("w"),
-        )
-    )
-
-
-def _reroot_map(map_col: Column, old_root: str, new_root: str) -> Column:
-    """Rewrite every key's leading root path segment (JVM-side).
-
-    Works for both the bare-root key (``sample`` → ``item``) and nested
-    paths (``sample.x.0`` → ``item.x.0``).
-    """
-    return F.map_from_entries(
-        F.transform(
-            F.map_entries(map_col),
-            lambda e: F.struct(
-                F.concat(
-                    F.lit(new_root),
-                    e["key"].substr(F.lit(len(old_root) + 1), F.length(e["key"])),
-                ).alias("key"),
-                e["value"].alias("value"),
-            ),
         )
     )
 
