@@ -44,3 +44,48 @@ def test_two_phase_train_and_score(spark, timeline):
     rows = scored.select("propensity").collect()
     assert len(rows) == df.count()
     assert all(0.0 <= r["propensity"] <= 1.0 for r in rows)
+
+
+def test_train_with_missing_features(spark, tmp_path):
+    """Rows whose feature maps lack some selected features (e.g. E1
+    sample rows with no item payload) must train, not crash: missing
+    markers cross the pandas→JVM hop as Arrow NULLs, which the GBT
+    fallback imputes and the XGBoost path converts to NaN."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from tracker_trainer_spark import ksuid
+    from tracker_trainer_spark.ingest.merge import (
+        finalize_for_storage,
+        merge_rewarded_decisions,
+    )
+    from tracker_trainer_spark.ingest.sink import write_timeline
+    from tracker_trainer_spark.trainer.train import train_two_phase
+
+    ts0 = 1650000000
+    rows = []
+    for i in range(120):
+        # heterogeneous items: half carry {"a": i}, half {"b": "s<i%3>"} —
+        # every encoded row misses at least one selected feature
+        item = {"a": i} if i % 2 else {"b": f"s{i % 3}"}
+        rows.append((
+            ksuid.deterministic_ksuid(ts0 + i, i),
+            json.dumps(item),
+            json.dumps({"c": i % 5}),
+            None,                        # sample absent → E1 emits it anyway
+            float(2 + i % 3),            # count > 1 → sample row per decision
+            {ksuid.deterministic_ksuid(ts0 + i, 1000 + i): float(i % 4)},
+        ))
+    df = spark.createDataFrame(
+        rows,
+        "decision_id string, item string, context string, sample string, "
+        "count double, rewards map<string,double>",
+    )
+    path = str(tmp_path / "tl")
+    write_timeline(finalize_for_storage(merge_rewarded_decisions(df)), path)
+
+    prop, dec = train_two_phase(spark, path, model_seed=3, max_features=10,
+                                explore=False)
+    assert prop.model is not None and dec.model is not None
+    assert len(prop.feature_names) > 1

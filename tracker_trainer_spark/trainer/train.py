@@ -64,11 +64,31 @@ class TrainedModel:
 
 
 def _to_ml_vector(df: DataFrame, col: str = "features") -> DataFrame:
-    """array<double> → ml Vector, NaN→0.0 (fallback backend only)."""
+    """array<double> → ml Vector, missing→0.0 (fallback backend only).
+
+    Missing features arrive as NULL elements, not NaN: the encode
+    kernel's NaN markers become Arrow nulls on the pandas→JVM hop
+    (pandas uses NaN as its null sentinel). Impute both spellings —
+    array_to_vector asserts non-null elements.
+    """
     from pyspark.ml.functions import array_to_vector
 
-    cleaned = F.transform(F.col(col), lambda x: F.when(F.isnan(x), F.lit(0.0)).otherwise(x))
+    cleaned = F.transform(
+        F.col(col),
+        lambda x: F.when(x.isNull() | F.isnan(x), F.lit(0.0)).otherwise(x),
+    )
     return df.withColumn(col, array_to_vector(cleaned))
+
+
+def _nulls_to_nan(df: DataFrame, col: str = "features") -> DataFrame:
+    """array<double> NULL elements → NaN (XGBoost's native missing)."""
+    return df.withColumn(
+        col,
+        F.transform(
+            F.col(col),
+            lambda x: F.when(x.isNull(), F.lit(float("nan"))).otherwise(x),
+        ),
+    )
 
 
 def train_propensity_model(spark: SparkSession, timeline_path: str,
@@ -107,7 +127,7 @@ def propensity_scores(propensity: TrainedModel, encoded: DataFrame,
                       out_col: str = "propensity") -> DataFrame:
     """M2: batch predict p(chosen | features) for each row."""
     if HAS_XGBOOST:
-        scored = propensity.model.transform(encoded)
+        scored = propensity.model.transform(_nulls_to_nan(encoded))
         # binary classifier probability of class 1
         from pyspark.ml.functions import vector_to_array
 
@@ -193,6 +213,7 @@ def train_decision_model(spark: SparkSession, timeline_path: str,
 def _fit(encoded: DataFrame, objective: str, seed: int):
     """Fit the backend model on (features, y, w)."""
     if HAS_XGBOOST:
+        encoded = _nulls_to_nan(encoded)  # declared missing below is NaN
         common = dict(
             features_col="features", label_col="y", weight_col="w",
             max_depth=XGB_PARAMS["max_depth"], tree_method=XGB_PARAMS["tree_method"],
