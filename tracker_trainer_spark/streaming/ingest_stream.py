@@ -76,14 +76,17 @@ def start_timeline_stream(spark: SparkSession, source_path: str,
                           timeline_path: str, checkpoint_path: str,
                           available_now: bool = True,
                           processing_time: str | None = None,
-                          group_cols=("model", "decision_id")):
+                          group_cols=("model", "decision_id"),
+                          max_files_per_trigger: int | None = None):
     """Start the ingest stream; returns the StreamingQuery.
 
     ``available_now=True`` drains the backlog and stops (the testing /
     cron-batch mode); pass ``processing_time='15 minutes'`` for the
-    Firehose-cadence continuous mode.
+    Firehose-cadence continuous mode. ``max_files_per_trigger`` bounds a
+    micro-batch to N source files (a Firehose-buffer-sized work unit) —
+    without it AvailableNow may drain the whole backlog in one batch.
     """
-    stream = read_track_stream(spark, source_path)
+    stream = read_track_stream(spark, source_path, max_files_per_trigger)
     writer = (
         stream.writeStream
         .foreachBatch(lambda df, _id: merge_micro_batch(df, timeline_path, group_cols))
