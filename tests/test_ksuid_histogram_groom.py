@@ -62,3 +62,61 @@ def test_groom_reaches_fixpoint(spark, timeline):
     # may already be clean); the second call must be a no-op
     groom(spark, timeline)
     assert groom(spark, timeline) == 0
+
+
+def test_groom_wide_timeline(spark, tmp_path):
+    """Groom across many (model, dt) partitions: only dirty ones are
+    rewritten, the pruning predicate stays linear in #models, and the
+    repair is exact."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from tracker_trainer_spark import ksuid
+    from tracker_trainer_spark.ingest.groom import (
+        assert_no_duplicate_keys,
+        groom,
+        plan_groom,
+    )
+    from tracker_trainer_spark.ingest.merge import (
+        finalize_for_storage,
+        merge_rewarded_decisions,
+    )
+    from tracker_trainer_spark.ingest.sink import write_timeline
+
+    ts0 = 1640000000
+    rows = []
+    for m in range(3):                 # 3 models
+        for d in range(10):            # 10 days each
+            for i in range(8):
+                did = ksuid.deterministic_ksuid(ts0 + d * 86400 + i, m * 1000 + d * 10 + i)
+                rows.append((f"m{m}", did, json.dumps({"x": i}), "{}", 2.0,
+                             None, "{}", 0.0))
+    df = spark.createDataFrame(
+        rows, "model string, decision_id string, item string, context string, "
+              "count double, sample string, rewards string, reward double")
+    path = str(tmp_path / "tl")
+    write_timeline(df, path)
+
+    # dirty half the days of model m1 with duplicate-key partial rewards
+    extra = []
+    for d in range(0, 10, 2):
+        for i in range(4):
+            did = ksuid.deterministic_ksuid(ts0 + d * 86400 + i, 1000 + d * 10 + i)
+            rid = ksuid.deterministic_ksuid(ts0 + d * 86400 + 500 + i, 90000 + d * 10 + i)
+            extra.append(("m1", did, None, None, None, None,
+                          json.dumps({rid: 1.0}), 1.0))
+    write_timeline(spark.createDataFrame(extra, df.schema), path)
+
+    plan = plan_groom(spark, path)
+    dirty_keys = {(r["model"], str(r["dt"])) for r in plan.dirty}
+    assert len(dirty_keys) == 5 and all(m == "m1" for m, _ in dirty_keys)
+
+    assert groom(spark, path) == 5
+    assert_no_duplicate_keys(spark, path)
+    merged = spark.read.parquet(path)
+    assert merged.count() == 240  # all duplicates merged, nothing lost
+    # rewards actually merged into their decisions
+    got = merged.where(F.col("reward") > 0).count()
+    assert got == 20
+    assert groom(spark, path) == 0  # fixpoint

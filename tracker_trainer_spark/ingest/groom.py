@@ -99,15 +99,21 @@ def _groom_locked(spark: SparkSession, path: str,
     part_cols = plan.part_cols
     keys = [tuple(r[c] for c in part_cols) for r in plan.dirty]
     df = spark.read.parquet(path)
-    # OR-of-conjunctions on the partition columns → Catalyst prunes the
-    # scan down to exactly the dirty partitions.
-    pred = None
-    for key in keys:
-        clause = None
-        for c, v in zip(part_cols, key):
-            eq = F.col(c) == F.lit(v)
-            clause = eq if clause is None else (clause & eq)
-        pred = clause if pred is None else (pred | clause)
+    # Partition-pruning predicate sized for wide timelines: a flat
+    # OR-of-conjunctions grows one boolean node per dirty partition
+    # (10k dirty partitions → a 20k-node tree Catalyst must fold). An
+    # IN-list per leading-key group keeps the tree linear in #models
+    # (or a single IN when partitioned by dt alone); both forms prune.
+    if len(part_cols) == 1:
+        pred = F.col(part_cols[0]).isin([k[0] for k in keys])
+    else:
+        by_model: dict = {}
+        for key in keys:
+            by_model.setdefault(key[0], []).append(key[1])
+        pred = None
+        for m, dts in by_model.items():
+            clause = (F.col(part_cols[0]) == F.lit(m)) & F.col(part_cols[1]).isin(dts)
+            pred = clause if pred is None else (pred | clause)
     subset = df.where(pred)
     remerged = finalize_for_storage(
         merge_rewarded_decisions(parse_stored(subset),
