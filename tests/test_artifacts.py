@@ -53,3 +53,54 @@ def test_checkpoint_freshness(spark, prop_model, tmp_path):
 
 def test_missing_checkpoint_is_none(spark, tmp_path):
     assert load_checkpoint_if_fresh(spark, str(tmp_path / "nope"), 3600) is None
+
+
+def test_publish_archive_and_latest(spark, tmp_path):
+    """S13: gzipped artifacts land in archive/{model}/{ts}/ and latest/
+    is atomically replaced on re-publish."""
+    import gzip
+    import json
+    import os
+
+    from tracker_trainer_spark.trainer.artifacts import (
+        METADATA_FILE,
+        publish_model,
+        save_model,
+    )
+    from tracker_trainer_spark.trainer.train import TrainedModel
+
+    class _FakeWriter:
+        def overwrite(self):
+            return self
+
+        def save(self, path):
+            os.makedirs(path, exist_ok=True)
+            with open(os.path.join(path, "data"), "w") as f:
+                f.write("weights")
+
+    class _FakeModel:
+        def write(self):
+            return _FakeWriter()
+
+    art = str(tmp_path / "art")
+    repo = str(tmp_path / "repo")
+    tm = TrainedModel(model=_FakeModel(), feature_names=["a"],
+                      string_tables={}, model_seed=1)
+    save_model(tm, art, model_name="bandit")
+    archive1 = publish_model(art, repo, "bandit")
+
+    latest = os.path.join(repo, "models", "latest", "bandit")
+    with gzip.open(os.path.join(latest, METADATA_FILE + ".gz")) as f:
+        meta = json.load(f)
+    assert meta["model_name"] == "bandit"
+    assert os.path.exists(os.path.join(archive1, METADATA_FILE + ".gz"))
+    assert os.path.exists(os.path.join(latest, "model", "data.gz"))
+
+    # re-publish (new created_at) → latest swaps, both archives remain
+    import time
+    time.sleep(1.1)
+    save_model(tm, art, model_name="bandit")
+    archive2 = publish_model(art, repo, "bandit")
+    assert archive2 != archive1
+    assert os.path.exists(archive1) and os.path.exists(archive2)
+    assert not os.path.exists(latest + ".tmp") and not os.path.exists(latest + ".old")

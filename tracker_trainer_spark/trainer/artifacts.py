@@ -103,3 +103,48 @@ def load_checkpoint_if_fresh(spark: SparkSession, path: str,
         return load_model(spark, path)
     except Exception:
         return None  # unreadable checkpoint == no checkpoint (retrain)
+
+
+def publish_model(artifact_dir: str, repo_dir: str, model_name: str) -> str:
+    """S13: publish a saved artifact to the model repository layout.
+
+    Mirrors the reference's unpack step (reference:
+    src/train/unpack_models.py:12-97): each artifact file is gzipped and
+    written to ``models/archive/{model}/{created_at}/`` with a copy
+    replacing ``models/latest/{model}/``. The ``latest/`` swap goes
+    through a temp dir + atomic rename so readers never observe a
+    half-published model. Returns the archive directory.
+
+    Driver-side by design: artifacts are capped driver-side structures
+    (the reference publishes from a single Lambda for the same reason).
+    """
+    import gzip
+    import shutil
+
+    with open(os.path.join(artifact_dir, METADATA_FILE)) as f:
+        created_at = json.load(f)["created_at"]
+    stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime(created_at))
+
+    archive = os.path.join(repo_dir, "models", "archive", model_name, stamp)
+    os.makedirs(archive, exist_ok=True)
+    for root, _dirs, files in os.walk(artifact_dir):
+        rel = os.path.relpath(root, artifact_dir)
+        for fn in files:
+            dst_dir = os.path.join(archive, rel) if rel != "." else archive
+            os.makedirs(dst_dir, exist_ok=True)
+            with open(os.path.join(root, fn), "rb") as src, gzip.open(
+                os.path.join(dst_dir, fn + ".gz"), "wb"
+            ) as dst:
+                shutil.copyfileobj(src, dst)
+
+    latest = os.path.join(repo_dir, "models", "latest", model_name)
+    tmp = latest + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(archive, tmp)
+    old = latest + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(latest):
+        os.rename(latest, old)
+    os.rename(tmp, latest)
+    shutil.rmtree(old, ignore_errors=True)
+    return archive
