@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tracker_trainer_spark.session import get_spark  # noqa: E402
 from tracker_trainer_spark.trainer.artifacts import (  # noqa: E402
     load_checkpoint_if_fresh,
+    publish_model,
     save_model,
 )
 from tracker_trainer_spark.trainer.train import (  # noqa: E402
@@ -45,9 +46,11 @@ def main() -> None:
     else:
         print("phase 1: reused checkpoint")
     dec = train_decision_model(spark, timeline, prop, seed, model=model)
-    save_model(dec, os.path.join(out, "decision"), model_name=model or "model")
+    dec_dir = os.path.join(out, "decision")
+    save_model(dec, dec_dir, model_name=model or "model")
+    archive = publish_model(dec_dir, out, model or "model")  # S13
     print(f"phase 2: saved ({len(dec.feature_names)} features, "
-          f"{len(dec.string_tables)} string tables)")
+          f"{len(dec.string_tables)} string tables); published {archive}")
 
 
 if __name__ == "__main__":
