@@ -175,6 +175,51 @@ FROM (
 """
 
 
+def q18_large_orders(spark, sf_dir, min_qty: float = 250.0):
+    """TPC-H Q18 shape: HAVING-filtered aggregate → semi-join back to the
+    fact rows → re-aggregate. The qualifying-keys side is an aggregate of
+    the big table (not broadcastable by hint at scale) — AQE picks the
+    join strategy from its runtime size; both aggs share the l_orderkey
+    shuffle key so the semi-join adds no extra lineitem shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > min_qty)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .agg(r4(F.sum("l_quantity")).alias("total_qty"))
+        .select(
+            "o_orderkey", "o_custkey", "o_orderdate",
+            "total_qty", r4(F.col("o_totalprice")).alias("totalprice"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+Q18_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       round(sum(l_quantity), 4) AS total_qty,
+       round(o_totalprice, 4) AS totalprice
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 250.0
+)
+GROUP BY o_orderkey, o_custkey, o_orderdate, o_totalprice
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 50
+"""
+
+
 def monthly_order_stats(spark, sf_dir):
     """Time rollup: date_trunc month, count + sum + avg."""
     orders = _t(spark, sf_dir, "orders")
@@ -952,6 +997,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_nation_revenue": q5_nation_revenue,
+    "q18_large_orders": q18_large_orders,
     "top3_orders_per_customer": top3_orders_per_customer,
     "monthly_order_stats": monthly_order_stats,
     "nations_with_customers_and_suppliers": nations_with_customers_and_suppliers,
@@ -980,6 +1026,7 @@ ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_revenue_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
+    "q18_large_orders": Q18_SQL,
     "top3_orders_per_customer": TOP3_SQL,
     "monthly_order_stats": MONTHLY_SQL,
     "nations_with_customers_and_suppliers": INTERSECT_SQL,
