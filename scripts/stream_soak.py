@@ -2,7 +2,7 @@
 timeline; per-batch wall time vs the reference's single-digit-seconds
 Lambda envelope (10k-row work units)."""
 import gzip, json, os, shutil, sys, time
-sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tracker_trainer_spark.session import get_spark, warm_python_workers
 from tracker_trainer_spark import ksuid
 from tracker_trainer_spark.streaming.ingest_stream import start_timeline_stream
@@ -18,7 +18,6 @@ src, tl, ck = f"{base}/in", f"{base}/tl", f"{base}/ck"
 os.makedirs(src)
 ts0 = int(time.time()) - 30 * 86400
 N_FILES, ROWS = 6, 10_000
-rng_rewarded = 0
 for f in range(N_FILES):
     with gzip.open(f"{src}/batch{f}.jsonl.gz", "wt") as fh:
         for i in range(ROWS):

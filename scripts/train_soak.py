@@ -1,8 +1,8 @@
 """E2E two-phase train soak at sf0.1: build a timeline from events,
 run ingest + both training phases, report records/s against the
 reference envelope (>=1,100 rec/s end-to-end)."""
-import sys, time, shutil
-sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+import os, sys, time, shutil
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 from tracker_trainer_spark.session import get_spark, warm_python_workers
 from tracker_trainer_spark import ksuid

@@ -95,12 +95,12 @@ def test_publish_archive_and_latest(spark, tmp_path):
     assert meta["model_name"] == "bandit"
     assert os.path.exists(os.path.join(archive1, METADATA_FILE + ".gz"))
     assert os.path.exists(os.path.join(latest, "model", "data.gz"))
+    assert os.path.islink(latest)  # atomic-swap symlink, never a half dir
 
-    # re-publish (new created_at) → latest swaps, both archives remain
-    import time
-    time.sleep(1.1)
+    # immediate re-publish → distinct archive (ms stamp), latest re-targets
     save_model(tm, art, model_name="bandit")
     archive2 = publish_model(art, repo, "bandit")
     assert archive2 != archive1
     assert os.path.exists(archive1) and os.path.exists(archive2)
-    assert not os.path.exists(latest + ".tmp") and not os.path.exists(latest + ".old")
+    assert os.path.realpath(latest) == os.path.realpath(archive2)
+    assert not os.path.exists(os.path.join(repo, "models", "latest", ".bandit.tmp"))

@@ -84,7 +84,6 @@ def test_loader_pushes_orphan_filter_and_prunes(spark, tmp_path):
     ("doc_fingerprint_lang", 1),        # parallelizing repartition + narrow HOFs
     ("dedup_exact_documents", 1),
     ("q18_large_orders", 2),            # lineitem + orders each shuffle once
-    ("dedup_minhash_candidates", 3),    # repartition + bucket agg + distinct
     ("dedup_embedding_cosine", 3),      # bucket groupBy + distinct + anti-join
 ])
 def test_shuffle_budgets(spark, sf_dir, name, max_shuffles):

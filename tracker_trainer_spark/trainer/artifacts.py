@@ -110,10 +110,14 @@ def publish_model(artifact_dir: str, repo_dir: str, model_name: str) -> str:
 
     Mirrors the reference's unpack step (reference:
     src/train/unpack_models.py:12-97): each artifact file is gzipped and
-    written to ``models/archive/{model}/{created_at}/`` with a copy
-    replacing ``models/latest/{model}/``. The ``latest/`` swap goes
-    through a temp dir + atomic rename so readers never observe a
-    half-published model. Returns the archive directory.
+    written to ``models/archive/{model}/{created_at}/``, and
+    ``models/latest/{model}`` is a symlink to the archive swapped by an
+    atomic rename — a directory can't be replaced atomically on POSIX,
+    a symlink can, so readers always resolve a complete publish (old or
+    new, never absent or half-written). Returns the archive directory.
+
+    The stamp carries millisecond precision: two publishes within one
+    second must land in distinct archive directories, not silently merge.
 
     Driver-side by design: artifacts are capped driver-side structures
     (the reference publishes from a single Lambda for the same reason).
@@ -123,7 +127,8 @@ def publish_model(artifact_dir: str, repo_dir: str, model_name: str) -> str:
 
     with open(os.path.join(artifact_dir, METADATA_FILE)) as f:
         created_at = json.load(f)["created_at"]
-    stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime(created_at))
+    stamp = time.strftime("%Y%m%dT%H%M%S", time.gmtime(created_at))
+    stamp += f".{int(created_at * 1000) % 1000:03d}Z"
 
     archive = os.path.join(repo_dir, "models", "archive", model_name, stamp)
     os.makedirs(archive, exist_ok=True)
@@ -137,14 +142,16 @@ def publish_model(artifact_dir: str, repo_dir: str, model_name: str) -> str:
             ) as dst:
                 shutil.copyfileobj(src, dst)
 
-    latest = os.path.join(repo_dir, "models", "latest", model_name)
-    tmp = latest + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.copytree(archive, tmp)
-    old = latest + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(latest):
-        os.rename(latest, old)
-    os.rename(tmp, latest)
-    shutil.rmtree(old, ignore_errors=True)
+    latest_dir = os.path.join(repo_dir, "models", "latest")
+    os.makedirs(latest_dir, exist_ok=True)
+    latest = os.path.join(latest_dir, model_name)
+    tmp_link = os.path.join(latest_dir, f".{model_name}.tmp")
+    try:
+        os.remove(tmp_link)
+    except OSError:
+        pass
+    os.symlink(os.path.relpath(archive, latest_dir), tmp_link)
+    if os.path.isdir(latest) and not os.path.islink(latest):
+        shutil.rmtree(latest)  # migrate a pre-symlink directory layout
+    os.rename(tmp_link, latest)  # atomic swap over any previous symlink
     return archive
