@@ -930,6 +930,76 @@ WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = e.vec_id)
 """
 
 
+def semantic_text_dedup(spark, sf_dir, threshold: float = 0.35):
+    """Cross-modal near-dup verification: embedding-cosine candidate
+    pairs (bucketed, one applyInPandas pass) verified by exact 3-gram
+    text Jaccard of the SAME documents (vec_id ≡ doc_id). The candidate
+    set is tiny relative to the corpus, so the two shingle joins resolve
+    as broadcast-of-pairs at scale; document bodies never pair-shuffle.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = (
+        _sim.bucket_pair_cosines(emb, _PLANES)
+        .where(r4(F.col("cosine")) >= threshold)
+        .select(
+            F.col("vec_id_a").alias("doc_id_a"),
+            F.col("vec_id_b").alias("doc_id_b"),
+            r4(F.col("cosine")).alias("cosine"),
+        )
+    )
+    docs = _t(spark, sf_dir, "documents")
+    sh = _dedup.doc_shingles(
+        docs, parallelism=spark.sparkContext.defaultParallelism
+    )
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("hashes").alias("_sa"))
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("hashes").alias("_sb"))
+    return (
+        pairs.join(a, "doc_id_a").join(b, "doc_id_b")
+        .select(
+            "doc_id_a", "doc_id_b", "cosine",
+            r4(_dedup.jaccard("_sa", "_sb")).alias("jaccard"),
+        )
+    )
+
+
+SEMANTIC_TEXT_SQL = f"""WITH {_VEC_SQL},
+vpairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), s AS (
+  SELECT p.va, p.vb, sum(x.e * y.e) AS dot
+  FROM vpairs p
+  JOIN v x ON x.vec_id = p.va
+  JOIN v y ON y.vec_id = p.vb AND y.i = x.i
+  GROUP BY 1, 2
+), cpairs AS (
+  SELECT s.va AS doc_id_a, s.vb AS doc_id_b,
+         round(s.dot / (na.n * nb.n), 4) AS cosine
+  FROM s JOIN norms na ON na.vec_id = s.va JOIN norms nb ON nb.vec_id = s.vb
+  WHERE round(s.dot / (na.n * nb.n), 4) >= 0.35
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 7)) AS BIGINT) AS h
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id_a, c.doc_id_b, c.cosine, count(b.h) AS ni
+  FROM cpairs c
+  JOIN sh a ON a.doc_id = c.doc_id_a
+  LEFT JOIN sh b ON b.doc_id = c.doc_id_b AND b.h = a.h
+  GROUP BY 1, 2, 3
+)
+SELECT i.doc_id_a, i.doc_id_b, i.cosine,
+       round(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_id_a
+JOIN sizes sb ON sb.doc_id = i.doc_id_b
+"""
+
+
 # --------------------------------------------------------------------------
 # Trainer encode throughput (BASELINE target: ≳1,100 records/s e2e)
 # --------------------------------------------------------------------------
@@ -1017,6 +1087,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_similar_pairs": embedding_similar_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "semantic_text_dedup": semantic_text_dedup,
     # non-SQL-expressible (Arrow encode kernels): no oracle entry, the
     # driver records the rows-only check by design
     "train_encode_events": train_encode_events,
@@ -1046,4 +1117,5 @@ ORACLES = {
     "ann_ivf_topk": ANN_IVF_SQL,
     "embedding_similar_pairs": SIMILAR_PAIRS_SQL,
     "dedup_embedding_cosine": DEDUP_EMB_SQL,
+    "semantic_text_dedup": SEMANTIC_TEXT_SQL,
 }
