@@ -100,3 +100,38 @@ def test_stream_drops_invalid_records(spark, paths):
     _drain(spark, paths)
     rows = spark.read.parquet(paths["timeline"]).collect()
     assert [r.decision_id for r in rows] == [good]
+
+
+def test_stream_reports_invalid_histogram(spark, tmp_path):
+    """A9 in streams: each micro-batch's invalid records surface as a
+    {reason: count} histogram through on_invalid."""
+    import gzip
+    import json
+    import time as _time
+
+    from tracker_trainer_spark import ksuid
+    from tracker_trainer_spark.streaming.ingest_stream import start_timeline_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ts = int(_time.time()) - 86400
+    lines = [
+        json.dumps({"message_id": ksuid.deterministic_ksuid(ts, 1),
+                    "model": "m1", "count": 2, "item": {"a": 1}}),
+        json.dumps({"message_id": "not-a-ksuid", "model": "m1", "count": 2}),
+        "not json at all",
+    ]
+    with gzip.open(src / "b.jsonl.gz", "wt") as f:
+        f.write("\n".join(lines) + "\n")
+
+    seen = []
+    q = start_timeline_stream(
+        spark, str(src), str(tmp_path / "tl"), str(tmp_path / "ck"),
+        available_now=True, on_invalid=seen.append,
+    )
+    q.awaitTermination()
+    assert len(seen) == 1
+    hist = seen[0]
+    assert hist.get("unparseable") == 1
+    assert hist.get("invalid message_id") == 1
+    assert sum(hist.values()) == 2

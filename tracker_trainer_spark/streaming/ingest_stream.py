@@ -57,15 +57,30 @@ def read_track_stream(spark: SparkSession, path: str,
 
 def merge_micro_batch(batch: DataFrame, timeline_path: str,
                       group_cols=("model", "decision_id"),
-                      max_records_per_file: int = MAX_RECORDS_PER_FILE) -> None:
+                      max_records_per_file: int = MAX_RECORDS_PER_FILE,
+                      on_invalid=None) -> None:
     """The foreachBatch body: parse → validate → project → merge → append.
 
     Identical operator chain to batch ingest; merging within the
     micro-batch window before the append mirrors the reference's
     within-window merge (src/ingest/ingest_firehose.py:23-25).
+
+    ``on_invalid``: optional callable receiving the batch's invalid-record
+    histogram as ``{reason: count}`` — the streaming surface of the
+    reference's per-batch exception counting (A9,
+    src/ingest/firehose_record.py:223-232). Only invoked when the batch
+    actually has invalid records (the histogram costs one extra pass
+    over the micro-batch, never over the timeline).
     """
     parsed = parse_track_records(batch)
     valid, _invalid = split_valid(parsed)
+    if on_invalid is not None:
+        from ..ingest.validate import invalid_record_histogram
+
+        hist = {r["reason"]: r["count"]
+                for r in invalid_record_histogram(parsed).collect()}
+        if hist:
+            on_invalid(hist)
     rd = to_rewarded_decisions(valid)
     merged = merge_rewarded_decisions(rd, group_cols=group_cols)
     write_timeline(finalize_for_storage(merged), timeline_path,
@@ -77,7 +92,8 @@ def start_timeline_stream(spark: SparkSession, source_path: str,
                           available_now: bool = True,
                           processing_time: str | None = None,
                           group_cols=("model", "decision_id"),
-                          max_files_per_trigger: int | None = None):
+                          max_files_per_trigger: int | None = None,
+                          on_invalid=None):
     """Start the ingest stream; returns the StreamingQuery.
 
     ``available_now=True`` drains the backlog and stops (the testing /
@@ -85,11 +101,13 @@ def start_timeline_stream(spark: SparkSession, source_path: str,
     Firehose-cadence continuous mode. ``max_files_per_trigger`` bounds a
     micro-batch to N source files (a Firehose-buffer-sized work unit) —
     without it AvailableNow may drain the whole backlog in one batch.
+    ``on_invalid`` receives each batch's invalid-record histogram (A9).
     """
     stream = read_track_stream(spark, source_path, max_files_per_trigger)
     writer = (
         stream.writeStream
-        .foreachBatch(lambda df, _id: merge_micro_batch(df, timeline_path, group_cols))
+        .foreachBatch(lambda df, _id: merge_micro_batch(
+            df, timeline_path, group_cols, on_invalid=on_invalid))
         .option("checkpointLocation", checkpoint_path)
     )
     if available_now:
