@@ -34,7 +34,13 @@ def main() -> None:
         from tracker_trainer_spark.streaming import start_timeline_stream
 
         ckpt = sys.argv[sys.argv.index("--streaming") + 1]
-        start_timeline_stream(spark, src, timeline, ckpt).awaitTermination()
+
+        def _report(hist):
+            for reason, n in sorted(hist.items()):
+                print(f"invalid[{reason}] = {n}")
+
+        start_timeline_stream(spark, src, timeline, ckpt,
+                              on_invalid=_report).awaitTermination()
         return
     parsed = parse_track_records(read_track_lines(spark, src))
     valid, _ = split_valid(parsed)
