@@ -18,6 +18,16 @@ from tracker_trainer_spark.queries import QUERIES
 from tracker_trainer_spark.trainer.loader import load_training_frame
 
 
+@pytest.fixture(autouse=True)
+def _clear_cache(spark):
+    """Plan shapes must not depend on test order: a query that caches an
+    intermediate (e.g. dedup_ngram_jaccard's shingles) leaves it in the
+    session cache manager, which then substitutes InMemoryRelation into
+    any later plan with a matching subtree."""
+    spark.catalog.clearCache()
+    yield
+
+
 def test_q1_filter_pushed_and_single_shuffle(spark, sf_dir):
     df = QUERIES["q1_pricing_summary"](spark, sf_dir)
     assert any("l_shipdate" in f for f in pushed_filters(df))

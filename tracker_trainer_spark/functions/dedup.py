@@ -130,7 +130,9 @@ def doc_shingles(
     # that's desirable here: it shrinks the shuffle)
     df = df.where(F.size(tokens(text_col)) >= n)
     if parallelism:
-        df = df.repartition(parallelism)
+        from ..plans import spread
+
+        df = spread(df, parallelism)
     # token_count >= n ⟹ at least one shingle, so no empty-array filter
     # is needed above the exchange
     return df.select(F.col(id_col), shingle_hashes(text_col, n).alias("hashes"))

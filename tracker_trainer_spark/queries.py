@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from tracker_trainer_spark.plans import spread as _spread
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -694,9 +696,7 @@ JOIN sizes sb ON sb.doc_id = i.doc_id_b
 def dedup_simhash(spark, sf_dir):
     """28-bit SimHash fingerprint per document — single narrow HOF pass,
     no shuffle; near-dup grouping is then a fingerprint group-by."""
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", _dedup.simhash(_text.tokens("text")).alias("simhash")
     )
@@ -723,9 +723,7 @@ def doc_fingerprint_lang(spark, sf_dir):
     guess per document (text-analysis north-star ops). Repartitioned for
     CPU parallelism — the byte-small scan otherwise runs the interpreted
     HOF stage on one core (same rationale as doc_shingles)."""
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = _spread(_t(spark, sf_dir, "documents"))
     toks = _text.tokens("text")
     return docs.select(
         "doc_id",
@@ -1030,10 +1028,9 @@ def train_encode_events(spark, sf_dir, max_features: int = 20, model_seed: int =
     )
     # The sf-scale events file is byte-small → one input split, and cache()
     # freezes that single partition into every downstream stage. Spread the
-    # cheap raw rows across cores before the Arrow flatten kernel (at real
-    # scale input splits already provide this; see functions/dedup.py
-    # doc_shingles for the same pattern).
-    base = base.repartition(spark.sparkContext.defaultParallelism)
+    # cheap raw rows across cores before the Arrow flatten kernel (no-op
+    # when input splits already parallelize the scan).
+    base = _spread(base)
     flat = (
         base.withColumn(
             "_f", flatten_merged([("context", "context"), ("item", "item")])
