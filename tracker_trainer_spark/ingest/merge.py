@@ -59,6 +59,13 @@ def merge_rewarded_decisions(df: DataFrame, group_cols=("decision_id",),
     skewed *join* partitions — but skewed *aggregation* keys still need
     salting; leave None unless key skew is real (it doubles shuffles).
     """
+    # first(ignorenulls) picks SOME non-null group value — unordered, like
+    # the reference's argmax-over-not-nan (src/ingest/partition.py:190-191)
+    # after an unstable sort. Well-formed data has at most one distinct
+    # non-null payload per decision_id (a decision is tracked once), so
+    # the choice is unique in practice; same for LAST_WIN on duplicate
+    # message_ids carrying the same reward. Conflicting payloads would be
+    # producer corruption, where any-group-member is the documented pick.
     aggs = [F.first(c, ignorenulls=True).alias(c) for c in MERGE_VALUE_COLS]
     aggs.append(_union_rewards().alias("rewards"))
     if not salt_buckets:
