@@ -162,7 +162,8 @@ def top3_orders_per_customer(spark, sf_dir):
     return (
         orders.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
-        .select("o_custkey", "o_orderkey", r4(F.col("o_totalprice")).alias("totalprice"), "rank")
+        .select("o_custkey", "o_orderkey", r4(F.col("o_totalprice")).alias("totalprice"),
+                F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -372,7 +373,7 @@ def reward_summary_stats(spark, sf_dir):
 REWARD_STATS_SQL = f"""
 WITH merged AS ({MERGE_EVENTS_SQL})
 SELECT count(*) AS n,
-       sum(CASE WHEN reward > 0 THEN 1 ELSE 0 END) AS n_rewarded,
+       CAST(sum(CASE WHEN reward > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rewarded,
        round(avg(reward), 4) AS mean_reward,
        round(stddev(reward), 4) AS std_reward,
        round(min(reward), 4) AS min_reward,
@@ -494,8 +495,8 @@ def doc_text_stats(spark, sf_dir):
     n_punct = F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
     return docs.select(
         "doc_id",
-        F.length("text").alias("n_chars_calc"),
-        n_tokens.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+        n_tokens.cast("long").alias("n_tokens"),
         _text.subword_token_count("text").cast("long").alias("n_subword_tokens"),
         r4((F.length("text") - n_tokens + 1) / n_tokens).alias("avg_token_len"),
         r4(n_punct / F.length("text")).alias("punct_ratio"),
