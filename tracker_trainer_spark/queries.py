@@ -223,6 +223,40 @@ LIMIT 50
 """
 
 
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: fact⨝dim with a conditional aggregate ratio —
+    one scalar out. part is a true dimension here; no static hint, AQE
+    broadcasts the filtered build side from runtime stats.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            r4(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
 def monthly_order_stats(spark, sf_dir):
     """Time rollup: date_trunc month, count + sum + avg."""
     orders = _t(spark, sf_dir, "orders")
@@ -1066,6 +1100,7 @@ QUERIES = {
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_nation_revenue": q5_nation_revenue,
     "q18_large_orders": q18_large_orders,
+    "q14_promo_revenue": q14_promo_revenue,
     "top3_orders_per_customer": top3_orders_per_customer,
     "monthly_order_stats": monthly_order_stats,
     "nations_with_customers_and_suppliers": nations_with_customers_and_suppliers,
@@ -1096,6 +1131,7 @@ ORACLES = {
     "q3_top_revenue_orders": Q3_SQL,
     "q5_nation_revenue": Q5_SQL,
     "q18_large_orders": Q18_SQL,
+    "q14_promo_revenue": Q14_SQL,
     "top3_orders_per_customer": TOP3_SQL,
     "monthly_order_stats": MONTHLY_SQL,
     "nations_with_customers_and_suppliers": INTERSECT_SQL,
