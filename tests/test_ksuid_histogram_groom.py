@@ -120,3 +120,17 @@ def test_groom_wide_timeline(spark, tmp_path):
     got = merged.where(F.col("reward") > 0).count()
     assert got == 20
     assert groom(spark, path) == 0  # fixpoint
+
+
+def test_groom_empty_and_missing_timeline(spark, tmp_path):
+    """A fresh deployment's first maintenance cycle: absent or empty
+    timelines plan as clean instead of failing schema inference."""
+    from tracker_trainer_spark.ingest.groom import groom, plan_groom
+
+    missing = str(tmp_path / "never_written")
+    assert plan_groom(spark, missing).dirty == []
+    assert groom(spark, missing) == 0
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert groom(spark, str(empty)) == 0

@@ -49,8 +49,19 @@ def _present_part_cols(df: DataFrame) -> tuple:
 def plan_groom(spark: SparkSession, path: str,
                max_records_per_file: int = MAX_RECORDS_PER_FILE,
                target_files_per_partition: int = 4) -> GroomPlan:
-    """One distributed scan → list of partitions needing a rewrite."""
-    df = spark.read.parquet(path)
+    """One distributed scan → list of partitions needing a rewrite.
+
+    An absent or empty timeline plans as clean (the reference's filter
+    handler likewise yields no groups on an empty listing,
+    src/ingest/groom.py:87-100) — a fresh deployment must not fail its
+    first maintenance cycle.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException:  # no files yet → nothing to groom
+        return GroomPlan(dirty=[], total_partitions=0, part_cols=())
     part_cols = _present_part_cols(df)
     stats = (
         df.withColumn("_file", F.input_file_name())
