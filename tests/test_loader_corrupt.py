@@ -33,3 +33,12 @@ def test_corrupt_file_fatal_when_disabled(spark, timeline_with_corrupt_file):
     df = load_training_frame(spark, timeline_with_corrupt_file, ignore_corrupt=False)
     with pytest.raises(Exception):
         df.count()
+
+
+def test_loader_empty_timeline(spark, tmp_path):
+    """Fresh deployment: the trainer load path returns an empty typed
+    frame instead of failing schema inference."""
+    df = load_training_frame(spark, str(tmp_path / "never_written"),
+                             max_rows=1000, sample=0.5)
+    assert df.count() == 0
+    assert "decision_id" in df.columns and "reward" in df.columns

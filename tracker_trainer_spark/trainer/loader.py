@@ -46,11 +46,21 @@ def load_training_frame(spark: SparkSession, path: str,
     reader = spark.read
     if ignore_corrupt:
         reader = reader.option("ignoreCorruptFiles", "true")
-    df = reader.parquet(path)
+    try:
+        df = reader.parquet(path)
+    except Exception as e:  # AnalysisException: no files yet
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e) and "PATH_NOT_FOUND" not in str(e):
+            raise
+        # fresh deployment: train path sees an empty, correctly-typed
+        # frame (the reference's loader likewise yields an empty DF on an
+        # empty listing, src/trainer/code/parquet_io.py:40-44)
+        from ..schemas import REWARDED_DECISION_SCHEMA
+
+        df = spark.createDataFrame([], REWARDED_DECISION_SCHEMA)
     if model is not None and "model" in df.columns:
         df = df.where(F.col("model") == model)
 
-    if max_rows is not None:
+    if max_rows is not None and "dt" in df.columns:
         frac = sample if sample else 1.0
         counts = df.groupBy("dt").count().orderBy(F.desc("dt")).collect()
         budget, keep_dts = 0.0, []
