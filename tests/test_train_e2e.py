@@ -89,3 +89,12 @@ def test_train_with_missing_features(spark, tmp_path):
                                 explore=False)
     assert prop.model is not None and dec.model is not None
     assert len(prop.feature_names) > 1
+
+
+def test_train_empty_timeline_raises_clearly(spark, tmp_path):
+    import pytest as _pytest
+
+    from tracker_trainer_spark.trainer.train import train_propensity_model
+
+    with _pytest.raises(ValueError, match="no training data"):
+        train_propensity_model(spark, str(tmp_path / "never"), model_seed=1)

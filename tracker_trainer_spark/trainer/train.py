@@ -102,7 +102,10 @@ def train_propensity_model(spark: SparkSession, timeline_path: str,
         max_rows=max_rows, sample=EXPLORE_SAMPLE if explore else None,
         model=model, seed=model_seed,
     )
-    mean_item_count = df.agg(F.avg("count")).first()[0] or 1.0  # A3
+    mean_item_count = df.agg(F.avg("count")).first()[0]  # A3
+    if mean_item_count is None:  # empty load → fail with intent, not a
+        # deep MLlib fit error (fresh deployment / over-tight pruning)
+        raise ValueError(f"no training data in timeline {timeline_path!r}")
 
     rows = propensity_training_rows(df).cache()  # two agg passes + encode
     try:
