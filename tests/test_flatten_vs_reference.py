@@ -24,16 +24,28 @@ REF = "/root/reference/src/trainer/code/feature_flattener.py"
 def _load_reference_flatten():
     import types
 
-    # the module imports `constants` for two key strings; stub it rather
-    # than putting the whole reference tree on sys.path
+    # the module imports `constants` for two key strings; stub it ONLY
+    # for the exec, then restore — a leaked fake top-level `constants`
+    # would shadow any later real module of that name
     stub = types.ModuleType("constants")
     stub.ITEM_FEATURE_KEY = "item"
     stub.CONTEXT_FEATURE_KEY = "context"
-    sys.modules.setdefault("constants", stub)
-    spec = importlib.util.spec_from_file_location("ref_flattener", REF)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    prior = sys.modules.get("constants")
+    sys.modules["constants"] = stub
+    try:
+        spec = importlib.util.spec_from_file_location("ref_flattener", REF)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        if prior is None:
+            del sys.modules["constants"]
+        else:
+            sys.modules["constants"] = prior
     return mod.flatten
+
+
+# load once (not per Hypothesis example)
+_REF_FLATTEN = _load_reference_flatten() if os.path.exists(REF) else None
 
 
 _scalars = st.one_of(
@@ -60,8 +72,7 @@ _json = st.recursive(
 @pytest.mark.skipif(not os.path.exists(REF), reason="reference absent")
 @given(obj=_json)
 def test_flatten_matches_reference(obj):
-    ref_flatten = _load_reference_flatten()
-    want = ref_flatten(obj, "item")
+    want = _REF_FLATTEN(obj, "item")
     num, strs = flatten_json(obj, "item")
 
     got_keys = set(num) | set(strs)

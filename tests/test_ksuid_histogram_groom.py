@@ -134,3 +134,23 @@ def test_groom_empty_and_missing_timeline(spark, tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()
     assert groom(spark, str(empty)) == 0
+
+
+def test_groom_fails_loudly_on_broken_layout(spark, tmp_path):
+    """A corrupt/conflicting partition layout must raise, not silently
+    plan as clean — a no-op repair job on a broken timeline would let
+    duplicate keys accumulate unnoticed."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from tracker_trainer_spark.ingest.groom import plan_groom
+
+    path = tmp_path / "tl"
+    (path / "dt=2024-01-01").mkdir(parents=True)
+    (path / "model=m1" / "dt=2024-01-01").mkdir(parents=True)
+    spark.range(3).write.mode("overwrite").parquet(str(path / "dt=2024-01-01"))
+    spark.range(3).write.mode("overwrite").parquet(
+        str(path / "model=m1" / "dt=2024-01-01"))
+    # surfaces as CONFLICTING_DIRECTORY_STRUCTURES (SparkRuntimeException)
+    with _pytest.raises(PySparkException, match="CONFLICTING"):
+        plan_groom(spark, str(path))

@@ -130,7 +130,7 @@ def doc_shingles(
     # that's desirable here: it shrinks the shuffle)
     df = df.where(F.size(tokens(text_col)) >= n)
     if parallelism:
-        from ..plans import spread
+        from ..session import spread
 
         df = spread(df, parallelism)
     # token_count >= n ⟹ at least one shingle, so no empty-array filter

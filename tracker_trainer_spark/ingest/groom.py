@@ -60,8 +60,14 @@ def plan_groom(spark: SparkSession, path: str,
 
     try:
         df = spark.read.parquet(path)
-    except AnalysisException:  # no files yet → nothing to groom
-        return GroomPlan(dirty=[], total_partitions=0, part_cols=())
+    except AnalysisException as e:
+        # ONLY the fresh-deployment cases plan as clean; any other
+        # analysis failure (conflicting partition layout, corrupt table)
+        # must fail loudly — a silently no-op repair job on a broken
+        # timeline would let duplicate keys accumulate unnoticed
+        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e):
+            return GroomPlan(dirty=[], total_partitions=0, part_cols=())
+        raise
     part_cols = _present_part_cols(df)
     stats = (
         df.withColumn("_file", F.input_file_name())

@@ -5,5 +5,4 @@ from .checks import (  # noqa: F401
     pushed_filters,
     read_schemas,
     scan_columns,
-    spread,
 )

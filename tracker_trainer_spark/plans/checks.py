@@ -84,21 +84,3 @@ def _split_top_level(s: str) -> list[str]:
             cur.append(ch)
     parts.append("".join(cur))
     return parts
-
-
-def spread(df: DataFrame, n: int | None = None) -> DataFrame:
-    """Repartition a byte-small scan across cores ONLY when the input
-    splits under-parallelize it.
-
-    A small file lands in one input split, and every narrow stage (and
-    any cache) downstream inherits that single partition — so test-scale
-    scans need a spread. At real scale input splits already provide the
-    parallelism, and an unconditional repartition would shuffle the
-    whole table for nothing; checking the actual scan partition count
-    makes the no-op real rather than aspirational.
-    """
-    if n is None:
-        n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
-        return df
-    return df.repartition(n)

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from tracker_trainer_spark.plans import spread as _spread
+from tracker_trainer_spark.session import spread as _spread
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -71,3 +71,20 @@ def warm_python_workers(spark: SparkSession) -> None:
         .agg(F.sum("v"))
         .collect()
     )
+
+
+def spread(df, n: int | None = None):
+    """Repartition a byte-small SCAN across cores only when its input
+    splits under-parallelize it.
+
+    Contract: call this on scan + narrow plans only. The partition-count
+    probe (``df.rdd``) finalizes the physical plan — on a plan with an
+    upstream shuffle under AQE that materializes query stages eagerly,
+    and the subsequent repartition would recompute them. At real scale
+    input splits already parallelize a scan and this is a no-op.
+    """
+    if n is None:
+        n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)

@@ -72,13 +72,19 @@ def merge_micro_batch(batch: DataFrame, timeline_path: str,
     actually has invalid records (the histogram costs one extra pass
     over the micro-batch, never over the timeline).
     """
+    import time as _time
+
+    # one wall-clock instant for BOTH the split and the histogram — each
+    # would otherwise evaluate the future-KSUID guard at its own query
+    # time, letting a clock-skewed record be counted invalid yet written
+    now_ts = _time.time()
     parsed = parse_track_records(batch)
-    valid, _invalid = split_valid(parsed)
+    valid, _invalid = split_valid(parsed, now_ts=now_ts)
     if on_invalid is not None:
         from ..ingest.validate import invalid_record_histogram
 
         hist = {r["reason"]: r["count"]
-                for r in invalid_record_histogram(parsed).collect()}
+                for r in invalid_record_histogram(parsed, now_ts=now_ts).collect()}
         if hist:
             on_invalid(hist)
     rd = to_rewarded_decisions(valid)

@@ -57,10 +57,15 @@ def load_training_frame(spark: SparkSession, path: str,
         from ..schemas import REWARDED_DECISION_SCHEMA
 
         df = spark.createDataFrame([], REWARDED_DECISION_SCHEMA)
+        loaded_empty = True
+    else:
+        loaded_empty = False
     if model is not None and "model" in df.columns:
         df = df.where(F.col("model") == model)
 
-    if max_rows is not None and "dt" in df.columns:
+    if max_rows is not None and not loaded_empty:
+        # a real timeline without dt partitioning must fail loudly below
+        # (groupBy("dt") raises), not silently skip the row budget
         frac = sample if sample else 1.0
         counts = df.groupBy("dt").count().orderBy(F.desc("dt")).collect()
         budget, keep_dts = 0.0, []

@@ -158,6 +158,8 @@ def train_decision_model(spark: SparkSession, timeline_path: str,
         max_rows=max_rows, sample=EXPLORE_SAMPLE if explore else None,
         model=model, seed=model_seed,
     )
+    if df.isEmpty():  # same clear failure as phase 1
+        raise ValueError(f"no training data in timeline {timeline_path!r}")
     reward_col = binary_reward("reward") if binary_rewards else znormalize_reward(df, "reward")
     from ..ksuid import ksuid_timestamp
 
