@@ -257,6 +257,145 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01'
 """
 
 
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join with a compound
+    (key + inequality) condition, then a tiny group-count.
+
+    The semi-join shuffles both sides on the orderkey once; the
+    inequality rides along as a residual predicate inside the join, so
+    no second pass over lineitem is needed. Output cardinality equals
+    the number of priorities — the final agg is map-side trivial.
+    """
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q6_revenue_forecast(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan→filter→scalar agg — the pushdown
+    showcase. Every predicate is a min/max-prunable range on a scanned
+    column, so at 100 TB this reads only the row groups whose footer
+    stats overlap the window; no shuffle at all (partial sums → single
+    scalar)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(r4(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q12_priority_by_returnflag(spark, sf_dir):
+    """TPC-H Q12 shape: fact⨝fact join + IN-list filter + two CASE-sum
+    conditional aggregates. Both sides shuffle on the orderkey once; the
+    CASE branches are whole-stage-codegen column exprs, zero extra
+    passes."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag").isin("R", "A"))
+    orders = _t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag IN ('R', 'A')
+GROUP BY l_returnflag
+"""
+
+
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: uncorrelated scalar subquery (threshold) feeding
+    a filter, then an anti-join against the fact table, then a small agg.
+
+    The scalar is computed once and joined via crossJoin(broadcast) —
+    the Spark idiom for a broadcast scalar; the anti-join shuffles on
+    custkey (build side is just the distinct keys of orders). At scale
+    the anti-join is the only real shuffle.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            r4(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT c_mktsegment, count(*) AS numcust,
+       round(sum(c_acctbal), 4) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+GROUP BY c_mktsegment
+"""
+
+
 def monthly_order_stats(spark, sf_dir):
     """Time rollup: date_trunc month, count + sum + avg."""
     orders = _t(spark, sf_dir, "orders")
@@ -1101,6 +1240,10 @@ QUERIES = {
     "q5_nation_revenue": q5_nation_revenue,
     "q18_large_orders": q18_large_orders,
     "q14_promo_revenue": q14_promo_revenue,
+    "q4_order_priority": q4_order_priority,
+    "q6_revenue_forecast": q6_revenue_forecast,
+    "q12_priority_by_returnflag": q12_priority_by_returnflag,
+    "q22_idle_customers": q22_idle_customers,
     "top3_orders_per_customer": top3_orders_per_customer,
     "monthly_order_stats": monthly_order_stats,
     "nations_with_customers_and_suppliers": nations_with_customers_and_suppliers,
@@ -1132,6 +1275,10 @@ ORACLES = {
     "q5_nation_revenue": Q5_SQL,
     "q18_large_orders": Q18_SQL,
     "q14_promo_revenue": Q14_SQL,
+    "q4_order_priority": Q4_SQL,
+    "q6_revenue_forecast": Q6_SQL,
+    "q12_priority_by_returnflag": Q12_SQL,
+    "q22_idle_customers": Q22_SQL,
     "top3_orders_per_customer": TOP3_SQL,
     "monthly_order_stats": MONTHLY_SQL,
     "nations_with_customers_and_suppliers": INTERSECT_SQL,
