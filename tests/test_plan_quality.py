@@ -94,6 +94,10 @@ def test_loader_pushes_orphan_filter_and_prunes(spark, tmp_path):
     ("doc_fingerprint_lang", 1),        # parallelizing repartition + narrow HOFs
     ("dedup_exact_documents", 1),
     ("q18_large_orders", 2),            # lineitem + orders each shuffle once
+    ("q4_order_priority", 2),           # semi-join (broadcast at this SF) + agg
+    ("q6_revenue_forecast", 1),         # scalar agg only — scan must not shuffle
+    ("q12_priority_by_returnflag", 3),  # join co-partition + returnflag agg
+    ("q22_idle_customers", 4),          # distinct + anti-join + segment agg
     ("dedup_embedding_cosine", 3),      # bucket groupBy + distinct + anti-join
 ])
 def test_shuffle_budgets(spark, sf_dir, name, max_shuffles):
