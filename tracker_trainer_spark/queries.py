@@ -261,10 +261,12 @@ def q4_order_priority(spark, sf_dir):
     """TPC-H Q4 shape: correlated EXISTS → left-semi join with a compound
     (key + inequality) condition, then a tiny group-count.
 
-    The semi-join shuffles both sides on the orderkey once; the
-    inequality rides along as a residual predicate inside the join, so
-    no second pass over lineitem is needed. Output cardinality equals
-    the number of priorities — the final agg is map-side trivial.
+    The inequality rides along as a residual predicate inside the join,
+    so no second pass over lineitem is needed. At test SFs the filtered
+    orders side broadcasts (join contributes no shuffle; only the final
+    agg exchanges); at cluster scale AQE may fall back to shuffling both
+    sides on the orderkey once. Output cardinality equals the number of
+    priorities — the final agg is map-side trivial.
     """
     orders = _t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
@@ -299,8 +301,8 @@ def q6_revenue_forecast(spark, sf_dir):
     """TPC-H Q6 shape: pure scan→filter→scalar agg — the pushdown
     showcase. Every predicate is a min/max-prunable range on a scanned
     column, so at 100 TB this reads only the row groups whose footer
-    stats overlap the window; no shuffle at all (partial sums → single
-    scalar)."""
+    stats overlap the window; the only exchange is the single-partition
+    partial→final scalar reduce (one row per task)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.where(
