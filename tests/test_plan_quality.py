@@ -99,6 +99,7 @@ def test_loader_pushes_orphan_filter_and_prunes(spark, tmp_path):
     ("q12_priority_by_returnflag", 3),  # join co-partition + returnflag agg
     ("q22_idle_customers", 4),          # distinct + anti-join + segment agg
     ("dedup_embedding_cosine", 3),      # bucket groupBy + distinct + anti-join
+    ("purchase_attribution_asof", 1),   # union both sides, one window exchange
 ])
 def test_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles

@@ -20,6 +20,7 @@ from .dedup import (  # noqa: F401
     simhash,
     jaccard,
 )
+from .asof import asof_join  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_to_literal,
     dot,

@@ -612,6 +612,48 @@ def user_sessions(spark, sf_dir):
     )
 
 
+def purchase_attribution_asof(spark, sf_dir):
+    """As-of join: attribute each purchase to the latest preceding
+    non-purchase event of the same user (inclusive backward match).
+
+    The row-level shape of the reference's reward→decision attribution,
+    keyed by time instead of decision_id. Implemented as the single
+    union + one-shuffle running-window composition in functions/asof.py
+    — no inequality theta-join, no per-key collect.
+    """
+    from tracker_trainer_spark.functions.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+    )
+    prior = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("evt_id"), "event_type"
+    )
+    joined = asof_join(
+        purchases, prior, on="ts", by="user_id",
+        right_cols=["evt_id", "event_type"], prefix="attr_",
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        r4(F.col("value")).alias("purchase_value"),
+        F.col("attr_evt_id").alias("attributed_id"),
+        F.col("attr_event_type").alias("attributed_type"),
+    )
+
+
+ASOF_SQL = """
+SELECT l.user_id, l.event_id AS purchase_id,
+       round(l.value, 4) AS purchase_value,
+       r.event_id AS attributed_id,
+       r.event_type AS attributed_type
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type <> 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 SESSIONS_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, event_id, value,
@@ -1254,6 +1296,7 @@ QUERIES = {
     "reward_summary_stats": reward_summary_stats,
     "propensity_explode_events": propensity_explode_events,
     "user_sessions": user_sessions,
+    "purchase_attribution_asof": purchase_attribution_asof,
     "dedup_exact_documents": dedup_exact_documents,
     "doc_text_stats": doc_text_stats,
     "ann_cosine_topk": ann_cosine_topk,
@@ -1289,6 +1332,7 @@ ORACLES = {
     "reward_summary_stats": REWARD_STATS_SQL,
     "propensity_explode_events": PROPENSITY_SQL,
     "user_sessions": SESSIONS_SQL,
+    "purchase_attribution_asof": ASOF_SQL,
     "dedup_exact_documents": DEDUP_SQL,
     "doc_text_stats": TEXT_STATS_SQL,
     "ann_cosine_topk": ANN_SQL,
