@@ -100,6 +100,45 @@ def test_loader_pushes_orphan_filter_and_prunes(spark, tmp_path):
     ("q22_idle_customers", 4),          # distinct + anti-join + segment agg
     ("dedup_embedding_cosine", 3),      # bucket groupBy + distinct + anti-join
     ("purchase_attribution_asof", 1),   # union both sides, one window exchange
+    ("q7_volume_shipping", 4),          # fact joins + 3-key agg; nations broadcast
+    ("q10_returned_items", 3),          # li⨝orders, ⨝customer, final agg
+    ("q13_customer_order_distribution", 3),  # pre-agg orders + outer join + dist agg
+    ("q15_top_supplier", 3),            # revenue agg (+ reused for max) + scalar max
+    ("q17_small_quantity_revenue", 2),  # semi-join narrow, per-part agg + self-join
+    ("q19_disjunctive_revenue", 2),     # part broadcast; scalar agg
+    ("q21_sole_returned_supplier", 4),  # 2-level profile agg + semi-joins + name agg
 ])
 def test_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles
+
+
+def test_q15_reuses_revenue_exchange_at_runtime(spark, sf_dir):
+    """The scalar-max branch must not rescan lineitem: AQE stage reuse
+    has to hit the revenue agg's shuffle. Requires the explicit
+    isnotnull(l_suppkey) in the query (join-inferred not-null otherwise
+    desyncs the two subtrees' canonical forms)."""
+    df = QUERIES["q15_top_supplier"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+def test_q10_filters_pushed_and_topk(spark, sf_dir):
+    from tracker_trainer_spark.plans import physical_plan
+    df = QUERIES["q10_returned_items"](spark, sf_dir)
+    fs = pushed_filters(df)
+    assert any("l_returnflag" in f for f in fs)
+    assert any("o_orderdate" in f for f in fs)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_q21_no_expand_and_no_self_join_explosion(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS decorrelation must stay a two-level agg:
+    no Expand (count-distinct rewrite) and at most two lineitem scans
+    (profile + candidates), never the three a naive double self-join
+    costs."""
+    from tracker_trainer_spark.plans import physical_plan
+    df = QUERIES["q21_sole_returned_supplier"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Expand" not in plan
+    assert plan.count("lineitem.parquet") <= 2

@@ -1216,6 +1216,334 @@ JOIN sizes sb ON sb.doc_id = i.doc_id_b
 """
 
 
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: two-nation volume matrix — the same dimension
+    joined twice under different roles (supplier nation vs customer
+    nation), a symmetric pair predicate, and a year rollup.
+
+    nation is a fixed-cardinality constant (25 rows at any SF) → both
+    role copies are pinned broadcasts, so the only shuffles are the
+    fact-side joins (lineitem⨝orders, ⨝customer, ⨝supplier — AQE sizes
+    those) and the final 3-key agg. The date filter is pushed to the
+    lineitem scan.
+    """
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("volume"))
+        .select("supp_nation", "cust_nation", F.col("l_year").cast("long").alias("l_year"), "volume")
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 4) AS volume
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue ranking — selective fact
+    filter (one quarter of orders, 'R' lineitems), customer⨝nation
+    enrich, top-20.
+
+    The quarter filter on orders and the returnflag filter on lineitem
+    are both pushed to their scans; the orders⨝lineitem shuffle carries
+    only the filtered rows. nation (25 rows) is a pinned broadcast;
+    customer join is AQE-sized. Top-20 is TakeOrderedAndProject — no
+    global sort shuffle.
+    """
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select("c_custkey", "c_name", r4(F.col("c_acctbal")).alias("acctbal"), "n_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, round(c_acctbal, 4) AS acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q13_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left outer join with a join-side predicate
+    (customers keep a row even with zero qualifying orders), per-customer
+    count, then a distribution rollup over the counts.
+
+    The predicate lives in the JOIN condition, not a WHERE — pushing it
+    to WHERE would silently turn the outer join inner and drop
+    zero-order customers. Orders aggregates to per-customer counts
+    BEFORE the join, so the outer join matches one row per customer
+    (customer ⟕ pre-agg) instead of exploding to per-order rows; both
+    sides hash on custkey once and the second agg is over one row per
+    customer.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left_outer")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(F.col("c_count").cast("long").alias("c_count"),
+                F.col("custdist").cast("long").alias("custdist"))
+    )
+
+
+Q13_SQL = """
+SELECT CAST(c_count AS BIGINT) AS c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                         AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: aggregate view (quarterly revenue per supplier)
+    consumed twice — once as rows, once reduced to its scalar max — and
+    an equality filter between them.
+
+    The revenue agg runs ONCE: the scalar max is a broadcast of a
+    1-row aggregate of the same DataFrame (Spark reuses the shuffle
+    via ReusedExchange), not a second scan. supplier joins the handful
+    of surviving max-revenue rows — broadcast either way at any SF.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        # explicit, so BOTH consumers of `revenue` (rows + scalar max) see
+        # the same scan subtree: the supplier equi-join infers this
+        # not-null on one branch only, which would otherwise break
+        # ReusedExchange and scan lineitem twice
+        & F.col("l_suppkey").isNotNull()
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+    )
+    top = F.broadcast(revenue.agg(F.max("_rev").alias("_max")))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.join(top, revenue["_rev"] == top["_max"])
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey"), F.col("s_name"),
+            r4(F.col("_rev")).alias("total_revenue"),
+        )
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(total_rev, 4) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+"""
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into an aggregate + equi-join.
+
+    The per-part avg is computed only over lineitems of the ~1% of
+    parts that survive the brand/size filter: the filtered part set
+    semi-joins into the lineitem scan FIRST (AQE broadcasts it), so the
+    avg agg and the final join both run on the reduced fact — the
+    classic magic-set rewrite a correlated subquery needs at scale.
+    """
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15)
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").join(part, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    per_part = li.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("_avq"))
+    return (
+        li.join(per_part, "l_partkey")
+        .where(F.col("l_quantity") < F.col("_avq"))
+        .agg(r4(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23' AND p_size < 15
+  AND l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: a disjunction of conjunctive brand/size/quantity
+    bands across the part⨝lineitem join.
+
+    Common sub-predicates (size ≥ 1, the overall quantity envelope) are
+    factored out so they push to the scans; the residual OR evaluates
+    post-join inside codegen. part is dimension-sized → AQE broadcast.
+    """
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") >= 1)
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    bands = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 5)
+         & (F.col("l_quantity") <= 11))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 15)
+           & (F.col("l_quantity") >= 20))
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .where(bands)
+        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q21_sole_returned_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: the synthetic lineitem has no
+    receipt/commit dates, so "late" = returnflag 'R'): suppliers who
+    were the ONLY supplier with a returned lineitem in a multi-supplier
+    finalized order — EXISTS + NOT EXISTS over the same fact table.
+
+    Both correlated EXISTS are decorrelated into ONE per-order profile:
+    a two-level agg (orderkey,suppkey → orderkey) whose partial phase
+    collapses duplicates before the shuffle, instead of two lineitem
+    self-joins (which would scan and shuffle the fact three times) or a
+    count-distinct Expand (which doubles pre-shuffle rows). EXISTS ≡
+    n_supp > 1; NOT EXISTS ≡ n_ret_supp = 1 (the candidate row itself
+    is returned, so the sole returning supplier is this one).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("_has_r"))
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_n_supp"), F.sum("_has_r").alias("_n_ret"))
+        .where((F.col("_n_supp") > 1) & (F.col("_n_ret") == 1))
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(per_order, "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey, "left_semi")
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN orders ON l1.l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 # --------------------------------------------------------------------------
 # Trainer encode throughput (BASELINE target: ≳1,100 records/s e2e)
 # --------------------------------------------------------------------------
@@ -1288,6 +1616,13 @@ QUERIES = {
     "q6_revenue_forecast": q6_revenue_forecast,
     "q12_priority_by_returnflag": q12_priority_by_returnflag,
     "q22_idle_customers": q22_idle_customers,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q10_returned_items": q10_returned_items,
+    "q13_customer_order_distribution": q13_customer_order_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q21_sole_returned_supplier": q21_sole_returned_supplier,
     "top3_orders_per_customer": top3_orders_per_customer,
     "monthly_order_stats": monthly_order_stats,
     "nations_with_customers_and_suppliers": nations_with_customers_and_suppliers,
@@ -1324,6 +1659,13 @@ ORACLES = {
     "q6_revenue_forecast": Q6_SQL,
     "q12_priority_by_returnflag": Q12_SQL,
     "q22_idle_customers": Q22_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q13_customer_order_distribution": Q13_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "q19_disjunctive_revenue": Q19_SQL,
+    "q21_sole_returned_supplier": Q21_SQL,
     "top3_orders_per_customer": TOP3_SQL,
     "monthly_order_stats": MONTHLY_SQL,
     "nations_with_customers_and_suppliers": INTERSECT_SQL,
