@@ -107,6 +107,8 @@ def test_loader_pushes_orphan_filter_and_prunes(spark, tmp_path):
     ("q17_small_quantity_revenue", 2),  # semi-join narrow, per-part agg + self-join
     ("q19_disjunctive_revenue", 2),     # part broadcast; scalar agg
     ("q21_sole_returned_supplier", 4),  # 2-level profile agg + semi-joins + name agg
+    ("events_before_purchase", 3),      # (user,bin) join + purchase agg + reattach
+    ("revenue_rollup_nation_year", 2),  # joins broadcast at SF; one grouping-set agg
 ])
 def test_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles
@@ -130,6 +132,15 @@ def test_q10_filters_pushed_and_topk(spark, sf_dir):
     assert any("l_returnflag" in f for f in fs)
     assert any("o_orderdate" in f for f in fs)
     assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_interval_join_query_is_hash_join(spark, sf_dir):
+    """The attribution query must plan as a bucketed equi-join — a theta
+    join would appear as BroadcastNestedLoopJoin/CartesianProduct."""
+    from tracker_trainer_spark.plans import physical_plan
+    plan = physical_plan(QUERIES["events_before_purchase"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_q21_no_expand_and_no_self_join_explosion(spark, sf_dir):

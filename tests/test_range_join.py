@@ -1,0 +1,113 @@
+"""Interval-join kernel: exactness, boundaries, key isolation, plan shape.
+
+The whole point of functions/range_join.py is replacing a theta join
+with a bin-bucketed equi-join — so beyond row-level semantics these
+tests pin that the physical plan is a hash join (no nested loop /
+cartesian) and that each match is produced exactly once.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tracker_trainer_spark.functions.range_join import interval_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def frames(spark):
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:00"), "p0"),   # exactly at lo of iv1
+            (1, _ts("2024-01-01T12:00:00"), "p1"),   # inside iv1
+            (1, _ts("2024-01-02T00:00:00"), "p2"),   # exactly at hi of iv1
+            (1, _ts("2024-01-02T00:00:01"), "p3"),   # 1s past hi → out
+            (2, _ts("2024-01-01T12:00:00"), "p4"),   # right time, wrong key
+            (1, _ts("2024-03-01T00:00:00"), "p5"),   # far outside
+        ],
+        "user_id long, ts timestamp, pid string",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:00:00"), _ts("2024-01-02T00:00:00"), "iv1"),
+            # multi-bin interval (3 days) catching p1/p2/p3
+            (1, _ts("2024-01-01T06:00:00"), _ts("2024-01-04T00:00:00"), "iv2"),
+            # interval for a key with no points in range
+            (3, _ts("2024-01-01T00:00:00"), _ts("2024-01-02T00:00:00"), "iv3"),
+        ],
+        "user_id long, lo timestamp, hi timestamp, ivid string",
+    )
+    return points, intervals
+
+
+def _pairs(points, intervals, bin_seconds):
+    out = interval_join(points, intervals, "ts", "lo", "hi",
+                        on=["user_id"], bin_seconds=bin_seconds)
+    return sorted((r.ivid, r.pid) for r in out.collect())
+
+
+EXPECTED = [("iv1", "p0"), ("iv1", "p1"), ("iv1", "p2"),
+            ("iv2", "p1"), ("iv2", "p2"), ("iv2", "p3")]
+
+
+def test_matches_inclusive_bounds_and_keys(frames):
+    points, intervals = frames
+    assert _pairs(points, intervals, 86400) == EXPECTED
+
+
+@pytest.mark.parametrize("bin_seconds", [3600, 43200, 7 * 86400])
+def test_bin_width_never_changes_results(frames, bin_seconds):
+    """Bin width is a physical knob only: any W produces the same rows,
+    each exactly once (a multi-bin interval must not duplicate matches)."""
+    points, intervals = frames
+    assert _pairs(points, intervals, bin_seconds) == EXPECTED
+
+
+def test_no_nested_loop_in_plan(frames):
+    points, intervals = frames
+    df = interval_join(points, intervals, "ts", "lo", "hi",
+                       on=["user_id"], bin_seconds=86400)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rejects_bad_bin():
+    with pytest.raises(ValueError):
+        interval_join(None, None, "ts", "lo", "hi", on=["k"], bin_seconds=0)
+
+
+def test_oracle_agreement_against_theta_join(spark, frames):
+    """Differential check: the bucketed join equals the naive theta join
+    row-for-row on a randomized corpus."""
+    import random
+
+    rng = random.Random(11)
+    base = dt.datetime(2024, 1, 1)
+    pts = [(rng.randrange(5), base + dt.timedelta(seconds=rng.randrange(0, 10 * 86400)), f"p{i}")
+           for i in range(300)]
+    ivs = []
+    for i in range(60):
+        lo = base + dt.timedelta(seconds=rng.randrange(0, 9 * 86400))
+        ivs.append((rng.randrange(5), lo,
+                    lo + dt.timedelta(seconds=rng.randrange(1, 2 * 86400)), f"iv{i}"))
+    points = spark.createDataFrame(pts, "user_id long, ts timestamp, pid string")
+    intervals = spark.createDataFrame(ivs, "user_id long, lo timestamp, hi timestamp, ivid string")
+    got = sorted(
+        (r.ivid, r.pid)
+        for r in interval_join(points, intervals, "ts", "lo", "hi",
+                               on=["user_id"], bin_seconds=86400).collect()
+    )
+    want = sorted(
+        (r.ivid, r.pid)
+        for r in intervals.alias("i")
+        .join(points.alias("p"),
+              (F.col("i.user_id") == F.col("p.user_id"))
+              & F.col("p.ts").between(F.col("i.lo"), F.col("i.hi")))
+        .collect()
+    )
+    assert got == want and len(got) > 50

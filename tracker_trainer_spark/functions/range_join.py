@@ -1,0 +1,71 @@
+"""Interval (time-range) join: points ⨝ intervals without a theta join.
+
+Spark has no native interval/range join (the reference has no joins at
+all beyond the decision_id merge — SURVEY §2.3); a naive formulation
+`left JOIN right ON key AND t BETWEEN lo AND hi` plans as an equi-join
+on the key with the range as a residual filter, which collapses to a
+per-key cross product — quadratic in the hot key and un-shardable,
+since one key's whole point history must meet that key's whole interval
+set inside a single task.
+
+The scalable composition is bin bucketing (the standard overlap-join
+technique in Spark/Flink land):
+
+1. pick a bin width W (≈ the typical interval length);
+2. each point maps to exactly ONE bin: floor(t / W);
+3. each interval explodes to the bins its [lo, hi] span covers
+   (≈ len/W + 1 rows — bounded, not data-dependent-quadratic);
+4. equi-join on (key, bin) — a real hash join Catalyst can shuffle or
+   broadcast, AQE-skew-splittable because the join key now includes
+   time;
+5. re-check the exact predicate `lo <= t <= hi` as a cheap residual.
+
+Each (point, interval) match is produced exactly once — the point lives
+in one bin and the interval covers that bin once — so no dedup pass is
+needed. Cost scales with matches + interval_len/W, and the (key, bin)
+key shards a hot key's timeline across executors instead of fusing it
+into one task.
+
+Intervals with no matching points simply produce no output rows (inner
+semantics). A consumer that needs them — e.g. "purchases with zero
+prior events" — re-attaches them by the interval's own key after
+aggregating, which is one broadcast-able join against the (small)
+interval table rather than outer-join bookkeeping inside the kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_time: str,
+    interval_start: str,
+    interval_end: str,
+    on: list[str],
+    bin_seconds: int,
+) -> DataFrame:
+    """Rows = (interval columns ⊕ point columns) for every point whose
+    `point_time` falls inside [interval_start, interval_end] and whose
+    `on` keys match. Timestamps compare at second precision.
+
+    Choose `bin_seconds` near the typical interval length: too small
+    explodes intervals into many bins (row blow-up ≈ len/W), too large
+    degrades back toward the per-key cross product within a bin.
+    """
+    if bin_seconds <= 0:
+        raise ValueError(f"bin_seconds must be positive, got {bin_seconds}")
+
+    pt = F.unix_timestamp(F.col(point_time))
+    lo = F.unix_timestamp(F.col(interval_start))
+    hi = F.unix_timestamp(F.col(interval_end))
+
+    p = points.withColumn("_bin", F.floor(pt / bin_seconds))
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(F.sequence(F.floor(lo / bin_seconds), F.floor(hi / bin_seconds))),
+    )
+    return iv.join(p, [*on, "_bin"]).where(pt.between(lo, hi)).drop("_bin")

@@ -1216,6 +1216,101 @@ JOIN sizes sb ON sb.doc_id = i.doc_id_b
 """
 
 
+def events_before_purchase(spark, sf_dir):
+    """Interval join: per purchase, count + value-sum of the same user's
+    events in the 24 h window ending at the purchase.
+
+    Runs through functions/range_join.py's bin-bucketed interval join —
+    (user_id, day-bin) equi-join + exact residual — NOT a theta join:
+    the plan must contain no nested-loop/cartesian operator, and a hot
+    user's timeline shards across executors by time bin. Zero-event
+    purchases are re-attached by a left join against the (small)
+    purchase table after the agg.
+    """
+    from tracker_trainer_spark.functions.range_join import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    intervals = purchases.withColumn("w_start", F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+    points = ev.select("user_id", "ts", "event_id", "value")
+    matched = interval_join(
+        points, intervals, "ts", "w_start", "p_ts", on=["user_id"], bin_seconds=86400
+    ).where(F.col("event_id") != F.col("purchase_id"))
+    agg = matched.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_v")
+    )
+    return (
+        purchases.join(agg, "purchase_id", "left_outer")
+        .select(
+            "purchase_id",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_prior"),
+            r4(F.coalesce(F.col("_v"), F.lit(0.0))).alias("sum_value"),
+        )
+    )
+
+
+EVENTS_BEFORE_PURCHASE_SQL = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT purchase_id,
+       CAST(count(e.event_id) AS BIGINT) AS n_prior,
+       round(coalesce(sum(e.value), 0.0), 4) AS sum_value
+FROM p LEFT JOIN events e
+  ON e.user_id = p.user_id
+ AND e.ts BETWEEN p.p_ts - INTERVAL 24 HOURS AND p.p_ts
+ AND e.event_id <> p.purchase_id
+GROUP BY purchase_id
+"""
+
+
+def revenue_rollup_nation_year(spark, sf_dir):
+    """ROLLUP aggregate: revenue by (nation, year), per-nation subtotals,
+    and a grand total in one pass — Spark's rollup plans a single agg
+    over the expanded grouping sets, not three scans. Subtotal rows are
+    sentinel-coalesced ('ALL' / -1) so the oracle compare never sorts
+    NULL grouping keys.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("l_year", F.year("o_orderdate"))
+        .rollup("n_name", "l_year")
+        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("l_year"), F.lit(-1)).cast("long").alias("l_year"),
+            "revenue",
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT coalesce(n_name, 'ALL') AS nation,
+       CAST(coalesce(l_year, -1) AS BIGINT) AS l_year,
+       round(sum(rev), 4) AS revenue
+FROM (
+  SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)
+GROUP BY ROLLUP (n_name, l_year)
+"""
+
+
 def q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7 shape: two-nation volume matrix — the same dimension
     joined twice under different roles (supplier nation vs customer
@@ -1623,6 +1718,8 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q21_sole_returned_supplier": q21_sole_returned_supplier,
+    "events_before_purchase": events_before_purchase,
+    "revenue_rollup_nation_year": revenue_rollup_nation_year,
     "top3_orders_per_customer": top3_orders_per_customer,
     "monthly_order_stats": monthly_order_stats,
     "nations_with_customers_and_suppliers": nations_with_customers_and_suppliers,
@@ -1666,6 +1763,8 @@ ORACLES = {
     "q17_small_quantity_revenue": Q17_SQL,
     "q19_disjunctive_revenue": Q19_SQL,
     "q21_sole_returned_supplier": Q21_SQL,
+    "events_before_purchase": EVENTS_BEFORE_PURCHASE_SQL,
+    "revenue_rollup_nation_year": ROLLUP_SQL,
     "top3_orders_per_customer": TOP3_SQL,
     "monthly_order_stats": MONTHLY_SQL,
     "nations_with_customers_and_suppliers": INTERSECT_SQL,
