@@ -109,6 +109,8 @@ def test_loader_pushes_orphan_filter_and_prunes(spark, tmp_path):
     ("q21_sole_returned_supplier", 4),  # 2-level profile agg + semi-joins + name agg
     ("events_before_purchase", 3),      # (user,bin) join + purchase agg + reattach
     ("revenue_rollup_nation_year", 2),  # joins broadcast at SF; one grouping-set agg
+    ("order_value_percentiles", 1),     # one grouped percentile pass
+    ("order_value_histogram", 2),       # envelope agg (broadcast) + bucket agg
 ])
 def test_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles

@@ -1216,6 +1216,81 @@ JOIN sizes sb ON sb.doc_id = i.doc_id_b
 """
 
 
+def order_value_percentiles(spark, sf_dir):
+    """Exact multi-quantile aggregate per group (p50/p90/p99 of order
+    value by priority) — one pass, one shuffle; Spark's percentile and
+    DuckDB's quantile_cont share linear interpolation so the oracle is
+    exact to rounding.
+
+    Exact percentile keeps per-group value buffers — fine for bounded
+    group count (5 priorities). At 100 TB with high-cardinality groups
+    the same query swaps percentile → percentile_approx (t-digest-style
+    mergeable sketch, fixed memory) without any shape change; the exact
+    form is the oracle-checkable one.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    pct = F.percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            r4(F.element_at(pct, 1)).alias("p50"),
+            r4(F.element_at(pct, 2)).alias("p90"),
+            r4(F.element_at(pct, 3)).alias("p99"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def order_value_histogram(spark, sf_dir, buckets: int = 10):
+    """Fixed-width histogram over the min/max envelope (width_bucket
+    shape, spelled as explicit arithmetic so Spark and the oracle share
+    ONE formula — DuckDB has no width_bucket, and two builtins could
+    disagree on FP bucket edges).
+
+    The envelope is a 1-row scalar aggregate broadcast into the binning
+    pass — two scans of the same small column but NO shuffle of row
+    data; the per-bucket count agg is the only exchange.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    env = F.broadcast(
+        orders.agg(
+            F.min("o_totalprice").alias("_lo"), F.max("o_totalprice").alias("_hi")
+        )
+    )
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("_lo"))
+                / (F.col("_hi") - F.col("_lo")) * buckets) + 1,
+        F.lit(buckets),  # x == hi would land in an overflow bucket; clamp
+    )
+    return (
+        orders.join(env)
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("bucket").cast("long").alias("bucket"), "n")
+    )
+
+
+HISTOGRAM_SQL = """
+WITH env AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+SELECT CAST(least(floor((o_totalprice - lo) / (hi - lo) * 10) + 1, 10) AS BIGINT) AS bucket,
+       count(*) AS n
+FROM orders, env
+GROUP BY 1
+"""
+
+
 def events_before_purchase(spark, sf_dir):
     """Interval join: per purchase, count + value-sum of the same user's
     events in the 24 h window ending at the purchase.
@@ -1720,6 +1795,8 @@ QUERIES = {
     "q21_sole_returned_supplier": q21_sole_returned_supplier,
     "events_before_purchase": events_before_purchase,
     "revenue_rollup_nation_year": revenue_rollup_nation_year,
+    "order_value_percentiles": order_value_percentiles,
+    "order_value_histogram": order_value_histogram,
     "top3_orders_per_customer": top3_orders_per_customer,
     "monthly_order_stats": monthly_order_stats,
     "nations_with_customers_and_suppliers": nations_with_customers_and_suppliers,
@@ -1765,6 +1842,8 @@ ORACLES = {
     "q21_sole_returned_supplier": Q21_SQL,
     "events_before_purchase": EVENTS_BEFORE_PURCHASE_SQL,
     "revenue_rollup_nation_year": ROLLUP_SQL,
+    "order_value_percentiles": PERCENTILES_SQL,
+    "order_value_histogram": HISTOGRAM_SQL,
     "top3_orders_per_customer": TOP3_SQL,
     "monthly_order_stats": MONTHLY_SQL,
     "nations_with_customers_and_suppliers": INTERSECT_SQL,
