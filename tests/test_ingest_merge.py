@@ -114,6 +114,35 @@ def test_sample_absent_vs_set_null(spark):
     assert rows[d2]["context"] == "{}"
 
 
+def test_wrap_primitives_projection(spark):
+    """P9 opt-in (ref utils.py:80-95): primitive → {"$value": v}, null →
+    {}, dict/list pass through, absent sample stays SQL NULL. Default
+    path (wrap_primitives=False) matches ref v8 ingest: no wrapping."""
+    d1, d2, d3 = kid(41), kid(42), kid(43)
+    lines = [
+        decision(d1, item="hi", context=3.5, count=2, sample=[1, 2]),
+        decision(d2, item={"a": 1}, context=None),
+        decision(d3, item=True, context={"b": 2}),
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    valid, _ = split_valid(parse_track_records(df))
+
+    wrapped = {r["decision_id"]: r.asDict()
+               for r in to_rewarded_decisions(valid, wrap_primitives=True).collect()}
+    assert wrapped[d1]["item"] == '{"$value":"hi"}'
+    assert wrapped[d1]["context"] == '{"$value":3.5}'
+    assert wrapped[d1]["sample"] == "[1,2]"          # list passes through
+    assert wrapped[d2]["item"] == '{"a":1}'          # dict passes through
+    assert wrapped[d2]["context"] == "{}"            # null → {}
+    assert wrapped[d2]["sample"] is None             # absent stays unset
+    assert wrapped[d3]["item"] == '{"$value":true}'
+
+    plain = {r["decision_id"]: r.asDict()
+             for r in to_rewarded_decisions(valid).collect()}
+    assert plain[d1]["item"] == '"hi"'
+    assert plain[d2]["context"] == "null"
+
+
 def test_sorted_keys_in_item_json(spark):
     d = kid(1)
     rows, _ = _merge_lines(spark, [decision(d, item={"b": 1, "a": {"d": 2, "c": 3}})])

@@ -91,6 +91,60 @@ def test_train_with_missing_features(spark, tmp_path):
     assert len(prop.feature_names) > 1
 
 
+def test_context_dropout_strips_context_features(spark):
+    """P6: ~5% of rows lose every context-rooted feature key (incl. the
+    bare root a primitive context flattens to); item keys are untouched."""
+    from tracker_trainer_spark.trainer.weights import (
+        context_keep,
+        drop_context_features,
+    )
+
+    n = 4000
+    df = spark.range(n).select(
+        F.map_from_arrays(
+            F.array(F.lit("context.a"), F.lit("item.b")),
+            F.array(F.lit(1.0), F.lit(2.0)),
+        ).alias("num_features"),
+        F.map_from_arrays(
+            F.array(F.lit("context.s"), F.lit("item.s"), F.lit("context")),
+            F.array(F.lit("x"), F.lit("y"), F.lit("z")),
+        ).alias("str_features"),
+        context_keep(11).alias("_keep_context"),
+    )
+    out = drop_context_features(df).cache()
+    dropped = out.filter(~F.map_contains_key("num_features", F.lit("context.a")))
+    frac = dropped.count() / n
+    assert 0.02 < frac < 0.09  # keep=0.95, seeded
+
+    r = dropped.first()
+    assert set(r["num_features"]) == {"item.b"}
+    assert set(r["str_features"]) == {"item.s"}
+    kept = out.filter(F.map_contains_key("num_features", F.lit("context.a"))).first()
+    assert set(kept["str_features"]) == {"context.s", "item.s", "context"}
+    assert "_keep_context" not in out.columns
+    out.unpersist()
+
+
+def test_phase2_applies_dropout_after_scoring(spark, timeline, monkeypatch):
+    """P6 wiring: train_decision_model strips context features on the
+    POST-scoring frame (ref decision_trainer.py:106-119 — propensity
+    weights see full context, decision features see the dropout)."""
+    import tracker_trainer_spark.trainer.train as train_mod
+
+    seen = {}
+    orig = train_mod.drop_context_features
+
+    def spy(df, **kw):
+        seen["cols"] = list(df.columns)
+        return orig(df, **kw)
+
+    monkeypatch.setattr(train_mod, "drop_context_features", spy)
+    train_two_phase(spark, timeline, model_seed=1, model="m1",
+                    max_features=50, explore=False)
+    # called on the weighted (post-IPW, post-scoring) frame
+    assert "_keep_context" in seen["cols"] and "w" in seen["cols"]
+
+
 def test_train_empty_timeline_raises_clearly(spark, tmp_path):
     import pytest as _pytest
 

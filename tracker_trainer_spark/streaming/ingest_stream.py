@@ -136,8 +136,14 @@ def windowed_event_stats(events: DataFrame, ts_col: str = "ts",
     plan ignores the watermark — useful for oracle comparisons).
     """
     from pyspark.sql import functions as F  # local: keep module header lean
+    from pyspark.sql.types import TimestampType
 
     df = events
+    # Parquet event times arrive as TIMESTAMP_NTZ (no zone); watermarks
+    # require TIMESTAMP. Normalize here — in the shared path — so stream
+    # and batch aggregate over the identical column type.
+    if not isinstance(df.schema[ts_col].dataType, TimestampType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast(TimestampType()))
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark_delay)
     return (

@@ -31,6 +31,8 @@ from .string_tables import DECISION_PRIOR_COUNT, build_string_tables, string_sta
 from .weights import (
     EXPLORE_SAMPLE,
     binary_reward,
+    context_keep,
+    drop_context_features,
     inverse_propensity_weight,
     sprinkle,
     zero_truncated_poisson,
@@ -176,6 +178,9 @@ def train_decision_model(spark: SparkSession, timeline_path: str,
             reward_col.alias("y"),
         )
         .withColumn("w", F.lit(1.0))
+        # P6 keep-decision drawn here (cached ⇒ one draw per row); seed
+        # offset decorrelates from the Poisson (seed) and noise (seed+1)
+        .withColumn("_keep_context", context_keep(model_seed + 3))
         .cache()
     )
     try:
@@ -190,6 +195,10 @@ def train_decision_model(spark: SparkSession, timeline_path: str,
             scored.withColumn("w", ipw * zero_truncated_poisson(model_seed))
             .drop("features", "propensity")
         )
+        # P6: context dropout AFTER propensity scoring (ref computes the
+        # weights from the full df, decision_trainer.py:106-108) and
+        # BEFORE the decision-model feature path (:119)
+        weighted = drop_context_features(weighted)
 
         selected = select_features(weighted, max_features)
         stats = string_stats(weighted)

@@ -71,12 +71,51 @@ def znormalize_reward(df, col: str = "reward") -> Column:
     return (F.col(col) - F.lit(mean)) / F.lit(std)
 
 
+def context_keep(seed: int = 0, keep: float = CONTEXT_DROPOUT_KEEP) -> Column:
+    """P6 keep-decision: True with probability ``keep``
+    (reference: src/trainer/code/config.py:16-21 ``should_sample_context``).
+
+    Materialize this into a cached frame before branching on it — raw
+    ``rand()`` references are NOT common-subexpression eliminated, so two
+    references would draw independently."""
+    return F.rand(seed) < F.lit(keep)
+
+
 def context_dropout(col="context", seed: int = 0,
                     keep: float = CONTEXT_DROPOUT_KEEP) -> Column:
     """P6: null out context with probability 1-keep
     (reference: src/trainer/code/decision_trainer.py:119)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(F.rand(seed) < keep, c).otherwise(F.lit(None))
+    return F.when(context_keep(seed, keep), c).otherwise(F.lit(None))
+
+
+def drop_context_features(df, keep_col: str = "_keep_context",
+                          num_col: str = "num_features",
+                          str_col: str = "str_features",
+                          root: str = "context"):
+    """P6 applied post-flatten: strip ``context``-rooted feature keys from
+    rows whose keep-decision is False, then drop the keep column.
+
+    Exact to the reference's ordering (src/trainer/code/decision_trainer.py:
+    106-119): propensity weights are computed from the FULL context, and
+    only the decision-model features see the dropout. Flattening a NULL
+    context produces no ``context.*`` keys, so filtering those keys out of
+    the already-flattened maps is equivalent to context_dropout-then-
+    flatten — without a second flatten pass over the frame.
+    """
+    def _strip(c: str) -> Column:
+        return F.when(F.col(keep_col), F.col(c)).otherwise(
+            F.map_filter(
+                F.col(c),
+                lambda k, _v: ~(k.startswith(root + ".") | (k == root)),
+            )
+        )
+
+    return (
+        df.withColumn(num_col, _strip(num_col))
+        .withColumn(str_col, _strip(str_col))
+        .drop(keep_col)
+    )
 
 
 def inverse_propensity_weight(propensity_col, mean_item_count: float,
