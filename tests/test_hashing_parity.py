@@ -34,3 +34,44 @@ def test_masked_hash_bit_width():
     for bits in (1, 7, 31, 62):
         h = masked_hash("value", bits, seed=9)
         assert 0 <= h < (1 << (bits + 1))
+
+
+def test_string_hash_prefers_xxh3_when_available():
+    """The string-table seam (reference: string_encoder.py:10 xxh3_64):
+    with the xxhash package installed, string_hash IS xxh3_64_intdigest
+    bit-for-bit; without it, the documented XXH64 fallback."""
+    from tracker_trainer_spark.hashing import (
+        HAS_XXH3,
+        STRING_HASH_NAME,
+        string_hash,
+    )
+
+    if HAS_XXH3:
+        import xxhash
+
+        assert STRING_HASH_NAME == "xxh3_64"
+        for w in WORDS:
+            for seed in (0, 1, 42, 2**31):
+                assert string_hash(w, seed) == xxhash.xxh3_64_intdigest(w, seed)
+    else:
+        assert STRING_HASH_NAME == "xxh64"
+        for w in WORDS:
+            assert string_hash(w, 7) == xxh64(w, 7)
+
+
+def test_artifact_refuses_cross_hash_tables(tmp_path, monkeypatch):
+    """A metadata.json recording the OTHER hash algorithm must fail to
+    load with a clear message, never decode tables to garbage."""
+    import json
+
+    import pytest
+
+    from tracker_trainer_spark.trainer import artifacts
+
+    meta = {"version": artifacts.ARTIFACT_VERSION, "created_at": 0,
+            "string_hash": "definitely-not-" + artifacts.STRING_HASH_NAME,
+            "feature_names": [], "string_tables": {}, "model_seed": 1,
+            "mean_item_count": None, "metadata": {}, "backend": "spark-ml"}
+    (tmp_path / "metadata.json").write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="string tables were built with"):
+        artifacts.load_model(None, str(tmp_path))

@@ -1,24 +1,32 @@
 """Hashing kernels.
 
 The reference encodes strings with seeded xxh3_64
-(reference: src/trainer/code/string_encoder.py:10,96-101). Neither the
-``xxhash`` C package nor xxh3 is available here, and Spark's built-in
-``xxhash64`` SQL function is XXH64 (seed 42). This engine therefore
-standardizes on **XXH64** as its string hash:
+(reference: src/trainer/code/string_encoder.py:10,96-101). The string
+tables route every hash through ONE seam — ``string_hash`` — which is
+the reference's ``xxh3_64_intdigest`` whenever the ``xxhash`` C package
+is importable (bit-parity: models/string tables interchange with
+reference-trained artifacts), and the pure-Python XXH64 below otherwise
+(public algorithm, https://github.com/Cyan4973/xxHash spec). The active
+algorithm is recorded as ``STRING_HASH_NAME`` and persisted in model
+artifacts so a table built under one algorithm is never silently decoded
+under the other.
 
-- JVM side: ``pyspark.sql.functions.xxhash64`` (whole-stage codegen).
-- Driver/UDF side: the pure-Python XXH64 below (public algorithm,
-  https://github.com/Cyan4973/xxHash spec), bit-identical to the
-  reference C implementation for byte inputs.
-
-``xxh64`` here hashes raw UTF-8 bytes with an explicit seed, which is the
-portable contract the string tables need (model_seed-driven, stable across
-driver and executors). Note Spark's ``xxhash64`` SQL function hashes
-Spark's internal value encoding with fixed seed 42, so it is only used
-where the seed does not need to vary (e.g. MinHash base hashing).
+Spark's built-in ``xxhash64`` SQL function is XXH64 over Spark's
+internal value encoding with fixed seed 42, so it is only used where the
+seed does not need to vary (e.g. MinHash base hashing); ``string_hash``
+hashes raw UTF-8 bytes with an explicit seed — the portable contract the
+string tables need (model_seed-driven, stable across driver and
+executors).
 """
 
 from __future__ import annotations
+
+try:  # gated: the xxhash C package is absent in this container
+    from xxhash import xxh3_64_intdigest as _xxh3_64  # type: ignore
+
+    HAS_XXH3 = True
+except ImportError:
+    HAS_XXH3 = False
 
 _P1 = 0x9E3779B185EBCA87
 _P2 = 0xC2B2AE3D27D4EB4F
@@ -87,13 +95,25 @@ def xxh64(data: bytes | str, seed: int = 0) -> int:
     return h
 
 
+STRING_HASH_NAME = "xxh3_64" if HAS_XXH3 else "xxh64"
+
+
+def string_hash(data: bytes | str, seed: int = 0) -> int:
+    """Seeded 64-bit string hash for the string tables
+    (reference: src/trainer/code/string_encoder.py:10): xxh3_64 when the
+    ``xxhash`` package is importable, pure-Python XXH64 fallback."""
+    if HAS_XXH3:
+        return _xxh3_64(data, seed)
+    return xxh64(data, seed)
+
+
 def masked_hash(string: str, n_bits: int, seed: int) -> int:
     """Seeded string hash masked to ``n_bits + 1`` low bits.
 
     Mirrors the reference's string-table hash
-    (reference: src/trainer/code/string_encoder.py:96-101), with XXH64
-    substituted for xxh3_64 (see module docstring).
+    (reference: src/trainer/code/string_encoder.py:96-101); algorithm
+    per ``string_hash`` (see module docstring).
     """
     assert 0 < n_bits < 64
     mask = (1 << (n_bits + 1)) - 1
-    return xxh64(string, seed) & mask
+    return string_hash(string, seed) & mask

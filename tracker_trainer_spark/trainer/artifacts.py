@@ -27,6 +27,7 @@ import time
 
 from pyspark.sql import SparkSession
 
+from ..hashing import STRING_HASH_NAME
 from .train import HAS_XGBOOST, TrainedModel
 
 ARTIFACT_VERSION = "1"
@@ -47,12 +48,21 @@ def save_model(tm: TrainedModel, path: str, model_name: str = "model") -> None:
         "mean_item_count": tm.mean_item_count,
         "metadata": tm.metadata,
         "backend": "xgboost" if HAS_XGBOOST else "spark-ml",
+        "string_hash": STRING_HASH_NAME,
     }
     with open(os.path.join(path, METADATA_FILE), "w") as f:
         json.dump(meta, f, sort_keys=True)
     model_path = os.path.join(path, MODEL_DIR)
     if HAS_XGBOOST:
-        tm.model.get_booster().save_model(os.path.join(path, f"{model_name}.xgb"))
+        # client artifacts: metadata-embedded model.xgb (+ model.mlmodel
+        # when coremltools is importable) — reference model_utils.py:275-321
+        from .export import export_client_artifacts
+
+        export_client_artifacts(
+            tm.model.get_booster(), path, model_name,
+            tm.string_tables, tm.model_seed,
+            mean_item_count=tm.mean_item_count,
+        )
     tm.model.write().overwrite().save(model_path)
 
 
@@ -60,6 +70,14 @@ def load_model(spark: SparkSession, path: str) -> TrainedModel:
     """Load a saved artifact back into a TrainedModel."""
     with open(os.path.join(path, METADATA_FILE)) as f:
         meta = json.load(f)
+    stored_hash = meta.get("string_hash", STRING_HASH_NAME)
+    if stored_hash != STRING_HASH_NAME:
+        # a table built under one hash decodes to garbage under the other
+        raise ValueError(
+            f"artifact string tables were built with {stored_hash}, but this "
+            f"environment hashes with {STRING_HASH_NAME} (install/remove the "
+            "xxhash package to match)"
+        )
     model_path = os.path.join(path, MODEL_DIR)
     objective = meta["metadata"].get("objective", "regression")
     if meta["backend"] == "xgboost":

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..hashing import xxh64
+from ..hashing import string_hash
 
 MAX_STRINGS_PER_FEATURE = 10_000  # reference: src/trainer/code/config.py:96
 PRUNE_MIN_STRING_COUNT = 20       # reference: src/trainer/code/config.py:18
@@ -102,7 +102,7 @@ def build_string_tables(stats: DataFrame, model_seed: int,
         hashes: list[int] = []
         for n_bits in range(max(int(math.log2(len(values))), 1), 64):
             mask = (1 << (n_bits + 1)) - 1
-            hashes = [xxh64(v, model_seed) & mask for v in values]
+            hashes = [string_hash(v, model_seed) & mask for v in values]
             if len(set(hashes)) == len(values):
                 break
         tables[feature] = hashes
@@ -114,7 +114,8 @@ class StringTable:
     deterministically in a narrow band.
 
     Semantics parity with reference feature_encoder.py:170-226 (StringTable),
-    with XXH64 in place of xxh3_64.
+    hash algorithm per hashing.string_hash (xxh3_64 when
+    importable, XXH64 fallback).
     """
 
     def __init__(self, hash_table: list[int], model_seed: int):
@@ -138,7 +139,7 @@ class StringTable:
         return (1 << top.bit_length()) - 1
 
     def encode(self, string: str) -> float:
-        h = xxh64(string, self.model_seed)
+        h = string_hash(string, self.model_seed)
         value = self.value_table.get(h & self.mask)
         if value is not None:
             return value
