@@ -146,6 +146,35 @@ def test_ivf_kmeans_centroids_and_recall(spark):
     assert all(r.vec_id % 4 == 0 for r in got)
 
 
+def test_lloyd_centroids_deterministic_and_clustering(spark):
+    """The oracle-checkable trained quantizer: identical across runs (no
+    RNG anywhere) and, on separated clusters, recovers the true
+    structure from the mod-k init within its 2 refinement rounds."""
+    import numpy as np
+    from tracker_trainer_spark.functions.similarity import (
+        ivf_assign, lloyd_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 10, (4, 8))
+    rows = [(i, (centers[i % 4] + rng.normal(0, 0.5, 8)).tolist())
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    c_a = lloyd_centroids(df, k=4, iters=2)
+    c_b = lloyd_centroids(df, k=4, iters=2)
+    assert c_a == c_b  # bitwise-deterministic
+
+    # mod-4 init == true cluster labels here, so round-1 means are the
+    # true centers and the assignment is the exact 4-way split
+    assigned = df.select("vec_id", ivf_assign("embedding", c_a).alias("cell"))
+    sizes = sorted(r["count"] for r in assigned.groupBy("cell").count().collect())
+    assert sizes == [50, 50, 50, 50]
+    got = np.asarray(c_a)
+    for true_c in centers:
+        assert np.linalg.norm(got - true_c, axis=1).min() < 0.5
+
+
 def test_ivf_index_build_probe(spark, tmp_path):
     """Persistent IVF: nprobe=k is exactly brute force; nprobe=1 reads
     only the probe's inverted list (partition-pruned scan)."""

@@ -177,6 +177,47 @@ def train_ivf_centroids(df: DataFrame, k: int = 8, seed: int = 11,
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 
+def lloyd_centroids(df: DataFrame, k: int = 8, iters: int = 2,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> list[list[float]]:
+    """Deterministic distributed Lloyd training for the oracle-checked
+    IVF query: init cells = id % k, then ``iters`` rounds of
+    (per-cell/per-dim mean → reassign to nearest centroid, ties to the
+    lowest cell).
+
+    Deterministic BY CONSTRUCTION (no RNG): a DuckDB oracle reproduces
+    the identical training in pure SQL, which a seeded Spark-ML KMeans
+    cannot (KMeans|| init draws library-internal randomness). The
+    persistent-index path (``build_ivf_index``) uses real KMeans; this
+    is the oracle-checkable trained quantizer.
+
+    Scale: each round is ONE hash aggregation producing k×dim partial
+    means (map-side combined), and only the k×dim centroid floats ever
+    reach the driver; reassignment is the vectorized ``ivf_assign``
+    kernel. Rounds are O(iters) passes over the data — iters stays
+    small (2) by design.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    mean_cols = [
+        F.avg(F.col("v")[i].cast("double")).alias(f"c{i}") for i in range(dim)
+    ]
+    assigned = df.select(
+        F.col(vec_col).alias("v"), (F.col(id_col) % k).cast("int").alias("cell")
+    )
+    cents: list[list[float]] = []
+    for _ in range(iters):
+        rows = assigned.groupBy("cell").agg(*mean_cols).collect()
+        # sort by cell id: list position tracks ascending cell id, so the
+        # argmin tie-break (first minimum) == SQL's ORDER BY dist, cid
+        cents = [[float(r[f"c{i}"]) for i in range(dim)]
+                 for r in sorted(rows, key=lambda r: r["cell"])]
+        assigned = df.select(
+            F.col(vec_col).alias("v"),
+            ivf_assign(vec_col, cents).alias("cell"),
+        )
+    return cents
+
+
 def ann_ivf_topk(
     df: DataFrame, probe: list[float], centroids: list[list[float]],
     k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id",

@@ -1022,18 +1022,16 @@ LIMIT 10
 
 
 def ann_ivf_topk(spark, sf_dir, probe_vec_id: int = 0, k: int = 10, n_cells: int = 8):
-    """IVF (nprobe=1) ANN: coarse-quantize to n_cells inverted lists,
-    search the probe's cell exactly. Scale path: at rest the table is
-    partitionBy(cell) so the cell prune is partition pruning, and the
-    quantizer is one vectorized matrix product per batch. Centroids here
-    are the first n_cells vectors (deterministic stand-in for k-means —
-    the structure, assignment and probe path are the real IVF shape)."""
+    """IVF (nprobe=1) ANN with a TRAINED coarse quantizer: deterministic
+    distributed Lloyd (mod-k init, 2 refinement rounds — see
+    similarity.lloyd_centroids for why not seeded KMeans: the oracle
+    must reproduce training in pure SQL), then prune the scan to the
+    probe's inverted list and compute exact cosine inside. Scale path:
+    at rest the table is partitionBy(cell) (build_ivf_index) so the cell
+    prune is partition pruning; training touches only k×dim driver
+    floats per round."""
     emb = _t(spark, sf_dir, "embeddings")
-    cent_rows = (
-        emb.where(F.col("vec_id") < n_cells).orderBy("vec_id")
-        .select("embedding").collect()
-    )
-    centroids = [[float(x) for x in r[0]] for r in cent_rows]
+    centroids = _sim.lloyd_centroids(emb, k=n_cells, iters=2)
     probe = [float(x) for x in
              emb.where(F.col("vec_id") == probe_vec_id).select("embedding").first()[0]]
     return (
@@ -1049,23 +1047,38 @@ WITH v AS (
   FROM embeddings
 ), norms AS (
   SELECT vec_id, sqrt(sum(e * e)) AS n FROM v GROUP BY vec_id
-), c AS (
-  SELECT vec_id AS cid, i, e FROM v WHERE vec_id < 8
-), d2 AS (
-  SELECT v.vec_id, c.cid, sum(c.e * c.e) - 2 * sum(v.e * c.e) AS d2
-  FROM v JOIN c USING (i) GROUP BY v.vec_id, c.cid
-), assign AS (
-  SELECT vec_id, cid FROM (
+), a0 AS (
+  SELECT vec_id, CAST(vec_id % 8 AS INT) AS cell FROM embeddings
+), c1 AS (
+  SELECT a0.cell AS cid, v.i, avg(v.e) AS e
+  FROM v JOIN a0 USING (vec_id) GROUP BY 1, 2
+), d1 AS (
+  SELECT v.vec_id, c1.cid, sum(c1.e * c1.e) - 2 * sum(v.e * c1.e) AS dist
+  FROM v JOIN c1 USING (i) GROUP BY 1, 2
+), a1 AS (
+  SELECT vec_id, cid AS cell FROM (
     SELECT vec_id, cid,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d1
+  ) WHERE rn = 1
+), c2 AS (
+  SELECT a1.cell AS cid, v.i, avg(v.e) AS e
+  FROM v JOIN a1 USING (vec_id) GROUP BY 1, 2
+), d2 AS (
+  SELECT v.vec_id, c2.cid, sum(c2.e * c2.e) - 2 * sum(v.e * c2.e) AS dist
+  FROM v JOIN c2 USING (i) GROUP BY 1, 2
+), a2 AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
     FROM d2
   ) WHERE rn = 1
-), probe_cell AS (SELECT cid FROM assign WHERE vec_id = 0),
+), probe_cell AS (SELECT cell FROM a2 WHERE vec_id = 0),
 q AS (SELECT i, e FROM v WHERE vec_id = 0),
 s AS (
   SELECT v.vec_id, sum(v.e * q.e) AS dot
   FROM v JOIN q USING (i)
-  WHERE v.vec_id IN (SELECT a.vec_id FROM assign a, probe_cell p WHERE a.cid = p.cid)
+  WHERE v.vec_id IN (SELECT a2.vec_id FROM a2, probe_cell p WHERE a2.cell = p.cell)
   GROUP BY v.vec_id
 )
 SELECT s.vec_id,
