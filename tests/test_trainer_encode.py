@@ -64,6 +64,63 @@ def test_propensity_rows_match_reference_golden_cases(spark):
             assert g == w, f"{os.path.basename(path)}:\n got {g}\nwant {w}"
 
 
+def test_encode_golden_vector_full_case(spark):
+    """Vector-level golden for the reference's encode_for_train_full.json
+    case (seed=1) through the FULL path: E1 explode → feature selection
+    → string stats/tables → encode_to_vectors. Values pinned so any
+    regression in selection order, table pruning, miss-encode hashing or
+    vector assembly trips here, not just in downstream model quality.
+
+    context.k1's value "1.0" occurs under the count>20 prune, so the
+    table is empty and it encodes via the deterministic miss path:
+    (string_hash("1.0", 1) & 0xFFFFFFFF) · 2⁻³² − 0.5."""
+    from tracker_trainer_spark.hashing import HAS_XXH3, string_hash
+    from tracker_trainer_spark.trainer.encode import (
+        encode_to_vectors,
+        feature_order,
+    )
+    from tracker_trainer_spark.trainer.selection import select_features
+    from tracker_trainer_spark.trainer.string_tables import (
+        build_string_tables,
+        string_stats,
+    )
+
+    case = json.load(open(f"{GOLDEN_DIR}/encode_for_train_full.json"))
+    rec = case["test_case"]["record"]
+    seed = case["model_seed"]
+    df = spark.createDataFrame(
+        [(rec["decision_id"], json.dumps(rec["item"]), json.dumps(rec["context"]),
+          json.dumps(rec["sample"]), float(rec["count"]))],
+        RD_SCHEMA,
+    )
+    rows = propensity_training_rows(df)
+    sel = select_features(rows, 10)
+    assert sel == ["context.k0", "context.k1", "item.$value"]
+    tables = build_string_tables(
+        string_stats(rows), seed, allowed_features=sel, prior_mean=0.0, prior_count=0
+    )
+    assert tables == {}  # "1.0" pruned by count>20 → miss-encode path
+    assert feature_order(sel) == ["context.k0", "context.k1", "item.$value", "t"]
+
+    out = sorted(
+        encode_to_vectors(rows, sel, tables, seed)
+        .select("features", "y", "w").collect(),
+        key=lambda r: -r["y"],
+    )
+    miss = ((string_hash("1.0", seed) & 0xFFFFFFFF) * 2**-32) - 0.5
+    if not HAS_XXH3:  # the committed pin (XXH64 container); both asserted
+        assert abs(miss - 0.460979213938117) < 1e-12
+    chosen, sample = out
+    assert (chosen["y"], chosen["w"]) == (1.0, 1.0)
+    assert (sample["y"], sample["w"]) == (0.0, 4.0)
+    for r, item_val in ((chosen, 0.0), (sample, 4.0)):
+        vec = r["features"]
+        assert vec[0] == 0.0                       # context.k0
+        assert abs(vec[1] - miss) < 1e-12          # context.k1 miss-encode
+        assert vec[2] == item_val                  # item.$value
+        assert vec[3] == 1653297422.0              # t from KSUID
+
+
 def test_string_tables_rank_and_encode(spark):
     # strings with clearly ordered mean targets: 'hi' high, 'mid', 'lo' low
     rows = []
