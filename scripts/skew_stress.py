@@ -1,0 +1,136 @@
+"""Skew-stress: the two places key skew could break the 100 TB story.
+
+1. Hot-key merge — ONE decision_id receiving 10⁶ reward partials (viral
+   decision / duplicate-delivery storm) on top of a normal background.
+   Without salting the whole hot group lands on one reducer;
+   ``merge_rewarded_decisions(salt_buckets=32)`` two-stage-aggregates it
+   exactly (the merge is associative). Both variants run; both must
+   return identical results; the report shows the salted plan holds.
+
+2. LSH mega-bucket — thousands of near-identical boilerplate docs that
+   share EVERY band bucket. Pair generation via bucket-collect streams
+   O(bucket) state per row instead of materializing an O(bucket²) join
+   side; the run proves the mega-bucket is enumerable without OOM and
+   reports pairs/s.
+
+Usage: python scripts/skew_stress.py [hot_partials] [mega_docs]
+       (defaults 1_000_000 and 3_000)
+Prints one JSON line per scenario.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tracker_trainer_spark import ksuid  # noqa: E402
+from tracker_trainer_spark.functions.dedup import near_dup_candidates  # noqa: E402
+from tracker_trainer_spark.ingest.merge import merge_rewarded_decisions  # noqa: E402
+from tracker_trainer_spark.session import get_spark  # noqa: E402
+
+TS = 1650000000
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def hot_key_merge(spark, hot_partials: int) -> dict:
+    hot_id = ksuid.deterministic_ksuid(TS, "hot")
+    n_background = 100_000
+    distinct_hot_msgs = 10_000  # duplicate deliveries: 100 dupes per msg
+
+    # background: normal decisions, one partial each
+    bg = spark.range(n_background).select(
+        F.concat(F.lit("bgid"), F.col("id").cast("string")).alias("decision_id"),
+        F.to_json(F.struct(F.col("id").alias("x"))).alias("item"),
+        F.lit(None).cast("string").alias("context"),
+        F.lit(2.0).alias("count"),
+        F.lit(None).cast("string").alias("sample"),
+        F.lit(None).cast("map<string,double>").alias("rewards"),
+    )
+    # hot partials: 10⁶ reward rows, all for ONE decision_id
+    hot = spark.range(hot_partials).select(
+        F.lit(hot_id).alias("decision_id"),
+        F.lit(None).cast("string").alias("item"),
+        F.lit(None).cast("string").alias("context"),
+        F.lit(None).cast("double").alias("count"),
+        F.lit(None).cast("string").alias("sample"),
+        F.create_map(
+            F.concat(F.lit("m"), F.pmod(F.col("id"), F.lit(distinct_hot_msgs)).cast("string")),
+            F.lit(1.0),
+        ).alias("rewards"),
+    )
+    df = bg.unionByName(hot).repartition(64).cache()
+    df.count()
+
+    out = {}
+    for label, salt in (("unsalted", None), ("salted", 32)):
+        t0 = time.perf_counter()
+        merged = merge_rewarded_decisions(df, group_cols=("decision_id",),
+                                          salt_buckets=salt)
+        rows = merged.count()
+        hot_row = merged.where(F.col("decision_id") == hot_id).select(
+            F.size("rewards").alias("n")).first()
+        dt = time.perf_counter() - t0
+        assert rows == n_background + 1, rows
+        assert hot_row["n"] == distinct_hot_msgs, hot_row
+        out[label] = {"s": round(dt, 2),
+                      "rows_per_s": round((n_background + hot_partials) / dt)}
+    df.unpersist()
+    plan = merge_rewarded_decisions(df, salt_buckets=32)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan and "Expand" not in plan
+    return {"scenario": "hot_key_merge", "hot_partials": hot_partials,
+            "background_rows": n_background, **out}
+
+
+def lsh_mega_bucket(spark, mega_docs: int) -> dict:
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    n_real = docs.count()
+    # IDENTICAL text ⇒ identical minhash signature ⇒ every band puts all
+    # mega_docs in one bucket — the worst-case mega-bucket by design
+    boiler = spark.range(mega_docs).select(
+        (F.lit(10_000_000) + F.col("id")).alias("doc_id"),
+        F.lit("standard boilerplate terms and conditions apply to this order "
+              "including arbitration notices and liability waivers").alias("text"),
+    )
+    df = docs.unionByName(boiler).cache()
+    df.count()
+
+    cand = near_dup_candidates(df)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    t0 = time.perf_counter()
+    n_pairs = cand.count()
+    dt = time.perf_counter() - t0
+    # every boilerplate pair shares every band → all C(mega,2) pairs emit
+    min_mega_pairs = mega_docs * (mega_docs - 1) // 2
+    assert n_pairs >= min_mega_pairs, (n_pairs, min_mega_pairs)
+    df.unpersist()
+    return {"scenario": "lsh_mega_bucket", "real_docs": n_real,
+            "mega_docs": mega_docs, "candidate_pairs": n_pairs,
+            "s": round(dt, 2), "pairs_per_s": round(n_pairs / dt)}
+
+
+def main():
+    hot = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    mega = int(sys.argv[2]) if len(sys.argv) > 2 else 3_000
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="skew-stress", master=f"local[{cpus}]",
+                      extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    from tracker_trainer_spark.session import warm_python_workers
+
+    warm_python_workers(spark)
+    print(json.dumps(hot_key_merge(spark, hot)), flush=True)
+    print(json.dumps(lsh_mega_bucket(spark, mega)), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -29,12 +29,21 @@ MERGE_VALUE_COLS = ("item", "context", "count", "sample")
 
 
 def _union_rewards(col: str = "rewards") -> Column:
-    """Aggregate expression: keyed union of reward maps within a group."""
-    empty = F.create_map().cast("map<string,double>")
-    # collect_list skips nulls (decision rows carry no rewards map)
-    return F.aggregate(
-        F.collect_list(col), empty, lambda acc, m: F.map_concat(acc, m)
+    """Aggregate expression: keyed union of reward maps within a group.
+
+    LINEAR in group size: flatten all entries once, then ONE
+    map_from_entries build (which applies LAST_WIN key dedup, same as
+    map_concat under the session's mapKeyDedupPolicy). The natural
+    fold — aggregate(collect_list, map_concat) — copies the accumulated
+    map every step: O(n²) per group, which a 10⁶-partial hot key turns
+    into ~10¹² operations on one reducer (measured: unbounded;
+    scripts/skew_stress.py). collect_list skips nulls (decision rows
+    carry no rewards map).
+    """
+    entries = F.flatten(
+        F.transform(F.collect_list(col), lambda m: F.map_entries(m))
     )
+    return F.map_from_entries(entries)
 
 
 def sum_map_values(col) -> Column:
