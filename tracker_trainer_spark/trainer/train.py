@@ -250,18 +250,28 @@ def _fit(encoded: DataFrame, objective: str, seed: int):
             )
         return est.fit(encoded)
 
-    # fallback backend: pyspark.ml GBT (NaN→0 imputation)
+    # fallback backend: pyspark.ml GBT (NaN→0 imputation) with the
+    # reference's validation-based stopping shape (propensities.py:
+    # 111-121, decision_trainer.py:85-94): is_val rows (L7 indicator,
+    # same 30% split) drive validationIndicatorCol stopping. GBT has no
+    # early_stopping_rounds — validationTol is its analogue — and GBT
+    # classifier loss keeps improving >tol for most of the ref's 200
+    # rounds (measured: tol-only ran ~80 s at sf0.1, blowing the E2E
+    # ≥1,100 rec/s envelope), so the propensity fallback caps rounds at
+    # 40; the decision regressor genuinely early-stops, so it keeps the
+    # ref's full 150 budget. The xgboost path uses exact ref rounds.
     from pyspark.ml.classification import GBTClassifier
     from pyspark.ml.regression import GBTRegressor
 
-    vec = _to_ml_vector(encoded)
+    common = dict(featuresCol="features", labelCol="y", weightCol="w",
+                  maxDepth=XGB_PARAMS["max_depth"], seed=seed,
+                  validationIndicatorCol="is_val")
+    vec = _to_ml_vector(encoded).withColumn("is_val", F.rand(seed + 7) < 0.3)
     if objective == "binary":
-        est = GBTClassifier(featuresCol="features", labelCol="y", weightCol="w",
-                            maxDepth=XGB_PARAMS["max_depth"], maxIter=20, seed=seed)
+        est = GBTClassifier(maxIter=40, **common)
         vec = vec.withColumn("y", F.col("y").cast("double"))
     else:
-        est = GBTRegressor(featuresCol="features", labelCol="y", weightCol="w",
-                           maxDepth=XGB_PARAMS["max_depth"], maxIter=20, seed=seed)
+        est = GBTRegressor(maxIter=XGB_PARAMS["num_round_decision"], **common)
     return est.fit(vec)
 
 
