@@ -465,6 +465,29 @@ FROM events GROUP BY event_type
 """
 
 
+def windowed_event_stats_batch(spark, sf_dir):
+    """§2.11 watermarked tumbling-window aggregation, oracle-checked:
+    runs the SAME ``windowed_event_stats`` function the ingest stream
+    uses (streaming/ingest_stream.py) in its batch mode, so the
+    streaming operator's window/agg semantics sit under the DuckDB
+    correctness gate — batch == stream is separately proven by
+    tests/test_streaming_window.py."""
+    from .streaming.ingest_stream import windowed_event_stats
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    out = windowed_event_stats(ev)
+    return out.select(
+        "window_start", "event_type", "n", r4(F.col("sum_value")).alias("sum_value")
+    )
+
+
+WINDOWED_EVENTS_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def merge_rewarded_events(spark, sf_dir):
     """The reward↔decision merge shape on the events table.
 
@@ -1814,6 +1837,7 @@ QUERIES = {
     "monthly_order_stats": monthly_order_stats,
     "nations_with_customers_and_suppliers": nations_with_customers_and_suppliers,
     "events_type_stats": events_type_stats,
+    "windowed_event_stats": windowed_event_stats_batch,
     "merge_rewarded_events": merge_rewarded_events,
     "reward_summary_stats": reward_summary_stats,
     "propensity_explode_events": propensity_explode_events,
@@ -1861,6 +1885,7 @@ ORACLES = {
     "monthly_order_stats": MONTHLY_SQL,
     "nations_with_customers_and_suppliers": INTERSECT_SQL,
     "events_type_stats": EVENTS_STATS_SQL,
+    "windowed_event_stats": WINDOWED_EVENTS_SQL,
     "merge_rewarded_events": MERGE_EVENTS_SQL,
     "reward_summary_stats": REWARD_STATS_SQL,
     "propensity_explode_events": PROPENSITY_SQL,
