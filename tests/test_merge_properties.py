@@ -127,3 +127,34 @@ def test_merge_matches_dict_oracle(spark, rows):
         for mid, val in rewards.items():
             assert round(val, 9) in g["rewards"][mid], (mid, val)
         assert abs(reward - sum(rewards.values())) < 1e-6
+
+
+# duplicate deliveries carry the SAME value per message_id (the
+# documented well-formed case — a conflicting-value duplicate has an
+# unspecified LAST_WIN winner in any plan, salted or not)
+_DUP_SAFE_VALUES = {"r1": 1.0, "r2": -0.5, "r3": 2.25}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=partials, salt=st.sampled_from([2, 7, 32]))
+def test_salted_merge_equals_unsalted(spark, rows, salt):
+    """salt_buckets is pure plan surgery: two-stage salted aggregation
+    must produce byte-identical merged output for ANY well-formed
+    partial mix and bucket count (the associativity claim behind the
+    hot-key path)."""
+    rows = [
+        r[:5] + ({k: _DUP_SAFE_VALUES[k] for k in r[5]} if r[5] is not None else None,)
+        for r in rows
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    plain = _merged_as_dict(spark, rows)
+    salted_out = finalize_for_storage(
+        merge_rewarded_decisions(df, salt_buckets=salt)
+    ).collect()
+    salted = {
+        r.decision_id: (r.item, r.context, r["count"], r.sample,
+                        json.loads(r.rewards), round(r.reward, 9))
+        for r in salted_out
+    }
+    assert salted == plain

@@ -78,3 +78,55 @@ def test_quarantine_future_ksuid_guard(spark, tmp_path):
     # must be given: no data files remain to infer it from)
     empty = spark.read.schema("decision_id string, reward double").parquet(path)
     assert empty.count() == 0
+
+
+def test_maintain_timeline_full_pass(spark, tmp_path):
+    """quarantine → groom → invariant in one entry: a timeline with a
+    poisoned file AND duplicate-key partials comes out clean."""
+    import json as _json
+
+    from tracker_trainer_spark.ingest.groom import maintain_timeline
+    from tracker_trainer_spark.ingest.merge import (
+        finalize_for_storage,
+        merge_rewarded_decisions,
+    )
+    from tracker_trainer_spark.ingest.sink import write_timeline
+
+    path = str(tmp_path / "tl3")
+    ids = [ksuid.deterministic_ksuid(TS + i, i) for i in range(30)]
+    base = [(None, d, _json.dumps({"x": i}), None, 2.0, None, None)
+            for i, d in enumerate(ids)]
+    schema = ("model string, decision_id string, item string, context string, "
+              "count double, sample string, rewards map<string,double>")
+    df = spark.createDataFrame([("m1",) + r[1:] for r in base], schema)
+    write_timeline(finalize_for_storage(merge_rewarded_decisions(
+        df, ("model", "decision_id"))), path)
+    # duplicate-key partial rewards (dirty partitions for groom)
+    partials = spark.createDataFrame(
+        [("m1", d, None, None, None, None,
+          {ksuid.deterministic_ksuid(TS + 500 + i, i): 1.0})
+         for i, d in enumerate(ids[:10])], schema)
+    write_timeline(finalize_for_storage(merge_rewarded_decisions(
+        partials, ("model", "decision_id"))), path)
+    # a poisoned file (invalid decision_id) appended inside a real
+    # partition directory, conforming to the stored schema
+    import glob as _glob
+
+    part_dir = sorted(_glob.glob(f"{path}/model=m1/dt=*"))[0]
+    stored = spark.read.parquet(part_dir)
+    bad_row = [tuple("###bad###" if f.name == "decision_id" else None
+                     for f in stored.schema.fields)]
+    spark.createDataFrame(bad_row, stored.schema).coalesce(1).write.mode(
+        "append").parquet(part_dir)
+
+    report = maintain_timeline(spark, path)
+    assert len(report["quarantined"]) == 1
+    assert report["groomed"] >= 1
+    left = spark.read.parquet(path)
+    assert left.where(F.col("decision_id") == "###bad###").count() == 0
+    assert left.count() == 30  # one row per decision again
+    # reward landed
+    assert left.where(F.col("reward") == 1.0).count() == 10
+
+    again = maintain_timeline(spark, path)
+    assert again == {"quarantined": [], "groomed": 0}

@@ -168,3 +168,32 @@ def assert_no_duplicate_keys(spark: SparkSession, path: str) -> None:
     )
     n = dups.count()
     assert n == 0, f"{n} duplicate decision_ids remain after groom"
+
+
+def maintain_timeline(spark: SparkSession, path: str,
+                      now_ts: float | None = None,
+                      max_records_per_file: int = MAX_RECORDS_PER_FILE,
+                      target_files_per_partition: int = 4,
+                      verify: bool = True) -> dict:
+    """The scheduled maintenance pass a timeline owner runs — the Spark
+    analogue of the reference's cron-driven groom Lambda plus its
+    read-side quarantine (reference: src/ingest/groom.py:159-180,
+    src/ingest/partition.py:357-372), in the only safe order:
+
+    1. quarantine files holding invalid decision_ids (they would poison
+       the dt-derivation and the merge keys groom relies on);
+    2. groom: re-merge + compact every dirty partition;
+    3. verify the one-row-per-key invariant.
+
+    Returns ``{"quarantined": [...uris], "groomed": n_partitions}``.
+    Idempotent end-to-end: a second run quarantines nothing, finds no
+    dirty partitions, and the invariant still holds.
+    """
+    from .quarantine import quarantine_invalid_files
+
+    quarantined = quarantine_invalid_files(spark, path, now_ts=now_ts)
+    groomed = groom(spark, path, max_records_per_file,
+                    target_files_per_partition)
+    if verify:
+        assert_no_duplicate_keys(spark, path)
+    return {"quarantined": quarantined, "groomed": groomed}
