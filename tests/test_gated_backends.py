@@ -97,6 +97,55 @@ def test_xgboost_fit_branch_logic(spark):
         assert not train_mod.HAS_XGBOOST
 
 
+def test_xgboost_scoring_branch_logic(spark):
+    """M2 xgboost path: NULL features become NaN before transform, and
+    the probability-of-class-1 extraction + prediction-column cleanup
+    happen exactly as on the fallback path."""
+    try:
+        import xgboost  # noqa: F401
+
+        pytest.skip("real xgboost present; fake-injection unnecessary")
+    except ImportError:
+        pass
+    import tracker_trainer_spark.trainer.train as train_mod
+
+    xgb, spark_mod, _calls = _fake_xgboost()
+    sys.modules["xgboost"] = xgb
+    sys.modules["xgboost.spark"] = spark_mod
+    try:
+        importlib.reload(train_mod)
+
+        seen = {}
+
+        class _Model:
+            def transform(self, df):
+                seen["rows"] = df.collect()
+                from pyspark.ml.functions import array_to_vector
+
+                return df.withColumn(
+                    "probability", array_to_vector(F.array(F.lit(0.25), F.lit(0.75)))
+                ).withColumn("rawPrediction", F.lit(0)).withColumn(
+                    "prediction", F.lit(1.0)
+                )
+
+        tm = train_mod.TrainedModel(
+            model=_Model(), feature_names=["a"], string_tables={}, model_seed=1
+        )
+        enc = spark.createDataFrame(
+            [([1.0, None],)], "features array<double>"
+        )
+        out = train_mod.propensity_scores(tm, enc)
+        assert out.columns == ["features", "propensity"]
+        row = out.first()
+        assert row["propensity"] == 0.75
+        feats = seen["rows"][0]["features"]
+        assert feats[0] == 1.0 and feats[1] != feats[1]  # NULL → NaN
+    finally:
+        del sys.modules["xgboost"]
+        del sys.modules["xgboost.spark"]
+        importlib.reload(train_mod)
+
+
 class _FakeBooster:
     def __init__(self, names):
         self.feature_names = list(names)
