@@ -157,3 +157,20 @@ def test_q21_no_expand_and_no_self_join_explosion(spark, sf_dir):
     plan = physical_plan(df)
     assert "Expand" not in plan
     assert plan.count("lineitem.parquet") <= 2
+
+
+def test_scoring_path_no_shuffle(spark, timeline):
+    """score_items is one narrow pass: flatten UDF + encode UDF + model
+    transform, zero exchanges before any caller-side ranking."""
+    import json as _json
+
+    from tracker_trainer_spark.trainer.scoring import score_items
+    from tracker_trainer_spark.trainer.train import train_two_phase
+
+    _, dec = train_two_phase(spark, timeline, model_seed=1, model="m1",
+                             max_features=20, explore=False)
+    cand = spark.createDataFrame(
+        [(i, _json.dumps({"x": i}), _json.dumps({"c": 1})) for i in range(6)],
+        "iid long, item string, context string",
+    )
+    assert count_shuffles(score_items(dec, cand, now_ts=1.0)) == 0

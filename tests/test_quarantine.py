@@ -130,3 +130,12 @@ def test_maintain_timeline_full_pass(spark, tmp_path):
 
     again = maintain_timeline(spark, path)
     assert again == {"quarantined": [], "groomed": 0}
+
+
+def test_maintain_timeline_fresh_deployment(spark, tmp_path):
+    """A first maintenance cycle on an absent timeline is a clean no-op
+    (quarantine, groom and verify all tolerate the empty listing)."""
+    from tracker_trainer_spark.ingest.groom import maintain_timeline
+
+    report = maintain_timeline(spark, str(tmp_path / "never-written"))
+    assert report == {"quarantined": [], "groomed": 0}

@@ -42,9 +42,14 @@ def find_invalid_files(spark: SparkSession, timeline_path: str,
     One narrow scan: decision_id + file name, predicate JVM-side,
     distinct-file collect bounded by the number of offending files.
     """
+    try:
+        df = spark.read.parquet(timeline_path)
+    except Exception as e:  # fresh deployment / already-empty timeline
+        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e):
+            return []
+        raise
     df = (
-        spark.read.parquet(timeline_path)
-        .select("decision_id", F.input_file_name().alias("_file"))
+        df.select("decision_id", F.input_file_name().alias("_file"))
         .where(~is_valid_ksuid_col("decision_id", now_ts))
         .select("_file")
         .distinct()
