@@ -129,10 +129,29 @@ def test_merge_matches_dict_oracle(spark, rows):
         assert abs(reward - sum(rewards.values())) < 1e-6
 
 
-# duplicate deliveries carry the SAME value per message_id (the
-# documented well-formed case — a conflicting-value duplicate has an
-# unspecified LAST_WIN winner in any plan, salted or not)
+# Well-formed data carries ONE distinct non-null payload per
+# decision_id (a decision is tracked once) and the same value per
+# duplicated message_id — conflicting payloads are producer corruption,
+# where first()/LAST_WIN resolve arbitrarily per plan. The property
+# below randomizes which fields are PRESENT per partial, but their
+# values are a fixed function of the key, per the documented contract.
 _DUP_SAFE_VALUES = {"r1": 1.0, "r2": -0.5, "r3": 2.25}
+_ITEM_OF = {"d1": '{"a":1}', "d2": '{"b":2}', "d3": '{"a":1}'}
+_COUNT_OF = {"d1": 2.0, "d2": 3.0, "d3": 5.0}
+
+
+def _well_formed(rows):
+    out = []
+    for did, item, context, count, sample, rewards in rows:
+        out.append((
+            did,
+            _ITEM_OF[did] if item is not None else None,
+            context,
+            _COUNT_OF[did] if count is not None else None,
+            sample,
+            {k: _DUP_SAFE_VALUES[k] for k in rewards} if rewards is not None else None,
+        ))
+    return out
 
 
 @settings(max_examples=8, deadline=None,
@@ -143,10 +162,7 @@ def test_salted_merge_equals_unsalted(spark, rows, salt):
     must produce byte-identical merged output for ANY well-formed
     partial mix and bucket count (the associativity claim behind the
     hot-key path)."""
-    rows = [
-        r[:5] + ({k: _DUP_SAFE_VALUES[k] for k in r[5]} if r[5] is not None else None,)
-        for r in rows
-    ]
+    rows = _well_formed(rows)
     df = spark.createDataFrame(rows, SCHEMA)
     plain = _merged_as_dict(spark, rows)
     salted_out = finalize_for_storage(

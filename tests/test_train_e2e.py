@@ -145,6 +145,38 @@ def test_phase2_applies_dropout_after_scoring(spark, timeline, monkeypatch):
     assert "_keep_context" in seen["cols"] and "w" in seen["cols"]
 
 
+def test_two_phase_checkpoint_fast_path(spark, timeline, tmp_path, monkeypatch):
+    """M5 wiring: a fresh phase-1 checkpoint skips propensity training
+    on the next run (ref checkpoint.py:26-91); stale/absent retrains."""
+    import tracker_trainer_spark.trainer.train as train_mod
+
+    ckpt = str(tmp_path / "ckpt")
+    prop1, _ = train_two_phase(spark, timeline, model_seed=1, model="m1",
+                               max_features=30, explore=False,
+                               checkpoint_dir=ckpt)
+
+    calls = []
+    orig = train_mod.train_propensity_model
+    monkeypatch.setattr(
+        train_mod, "train_propensity_model",
+        lambda *a, **kw: calls.append(1) or orig(*a, **kw),
+    )
+    prop2, dec2 = train_mod.train_two_phase(
+        spark, timeline, model_seed=1, model="m1",
+        max_features=30, explore=False, checkpoint_dir=ckpt,
+    )
+    assert calls == []  # phase 1 skipped entirely
+    assert prop2.feature_names == prop1.feature_names
+    assert dec2.model is not None
+
+    # age the checkpoint out → full retrain
+    _, _ = train_mod.train_two_phase(
+        spark, timeline, model_seed=1, model="m1", max_features=30,
+        explore=False, checkpoint_dir=ckpt, max_checkpoint_age=0.0,
+    )
+    assert calls == [1]
+
+
 def test_train_empty_timeline_raises_clearly(spark, tmp_path):
     import pytest as _pytest
 

@@ -10,3 +10,4 @@ from .weights import (  # noqa: F401
 )
 from .encode import propensity_training_rows, encode_to_vectors  # noqa: F401
 from .loader import load_training_frame  # noqa: F401
+from .scoring import score_items, rank_items  # noqa: F401

@@ -276,8 +276,29 @@ def _fit(encoded: DataFrame, objective: str, seed: int):
 
 
 def train_two_phase(spark: SparkSession, timeline_path: str, model_seed: int,
-                    model: str | None = None, **kw) -> tuple[TrainedModel, TrainedModel]:
-    """Full reference train entrypoint (reference: src/trainer/code/train:83-101)."""
-    p = train_propensity_model(spark, timeline_path, model_seed, model=model, **kw)
+                    model: str | None = None,
+                    checkpoint_dir: str | None = None,
+                    max_checkpoint_age: float = 7 * 24 * 3600.0,
+                    **kw) -> tuple[TrainedModel, TrainedModel]:
+    """Full reference train entrypoint (reference: src/trainer/code/train:83-101).
+
+    ``checkpoint_dir``: when set, a fresh phase-1 artifact there skips
+    propensity training entirely (the reference's checkpoint fast path,
+    src/trainer/code/checkpoint.py:26-91 — unreadable/stale/absent all
+    fall through to a full retrain), and a newly-trained phase-1 model
+    is saved back for the next run.
+    """
+    p = None
+    if checkpoint_dir is not None:
+        from .artifacts import load_checkpoint_if_fresh
+
+        p = load_checkpoint_if_fresh(spark, checkpoint_dir, max_checkpoint_age)
+    if p is None:
+        p = train_propensity_model(spark, timeline_path, model_seed,
+                                   model=model, **kw)
+        if checkpoint_dir is not None:
+            from .artifacts import save_model
+
+            save_model(p, checkpoint_dir, model_name=model or "model")
     d = train_decision_model(spark, timeline_path, p, model_seed, model=model, **kw)
     return p, d
