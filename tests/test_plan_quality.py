@@ -113,6 +113,7 @@ def test_loader_pushes_orphan_filter_and_prunes(spark, tmp_path):
     ("order_value_histogram", 2),       # envelope agg (broadcast) + bucket agg
     ("windowed_event_stats", 1),        # tumbling-window agg: exactly one exchange
     ("q5_nation_revenue", 1),           # all dims broadcast; one agg exchange
+    ("corpus_curation", 1),             # gates scan-side; only dedup shuffles
 ])
 def test_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles

@@ -724,6 +724,60 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def corpus_curation(spark, sf_dir, min_tokens: int = 30,
+                    min_stopword_ratio: float = 0.02,
+                    max_punct_ratio: float = 0.10):
+    """The end-to-end corpus-curation pass an LLM-data pipeline runs over
+    raw documents: quality gates (length, stopword ratio, punctuation
+    ratio) → language filter (n-gram stopword argmax) → exact dedup
+    (keep the lowest doc_id per content fingerprint) → survivors with a
+    composite quality score.
+
+    One scan computes every signal scan-side (all JVM column exprs); the
+    only shuffle is the dedup group-by, which moves (md5, doc_id,
+    score) — never the document body. At 100 TB the same plan holds:
+    gates prune before the shuffle, so the exchange carries only
+    survivors.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    stop = ["the", "a", "of", "and", "to", "in", "is"]
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop)))
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    scored = docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fingerprint"),
+        n_tokens.cast("long").alias("n_tokens"),
+        (n_stop / n_tokens).alias("_sr"),
+        (n_punct / F.length("text")).alias("_pr"),
+        _text.lang_guess(_text.tokens("text")).alias("lang"),
+    )
+    survivors = scored.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("_sr") >= min_stopword_ratio)
+        & (F.col("_pr") <= max_punct_ratio)
+        & (F.col("lang") == "en")
+    )
+    kept = (
+        survivors.groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("n_tokens").alias("n_tokens"),  # equal within a group
+            F.first("_sr").alias("_sr"),
+            F.first("_pr").alias("_pr"),
+        )
+    )
+    return kept.select(
+        "doc_id",
+        "n_tokens",
+        r4(F.col("_sr") * (F.lit(1.0) - F.col("_pr"))).alias("quality"),
+    )
+
+
+
+
+
 def doc_text_stats(spark, sf_dir):
     """Per-document quality metrics: token count, avg token length,
     punctuation ratio, stopword ratio (whitespace tokenizer)."""
@@ -1007,6 +1061,29 @@ WITH scored AS (
 )
 SELECT doc_id, fingerprint, {_lang_case_sql()} AS lang_guess
 FROM scored
+""".replace("{WS}", "\\s+")
+
+
+CORPUS_CURATION_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, md5(text) AS fingerprint,
+         len(regexp_split_to_array(text, '{{WS}}')) AS n_tokens,
+         len(list_filter(regexp_split_to_array(text, '{{WS}}'),
+                         t -> t IN ('the','a','of','and','to','in','is')))
+           / CAST(len(regexp_split_to_array(text, '{{WS}}')) AS DOUBLE) AS sr,
+         (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+           / CAST(length(text) AS DOUBLE) AS pr,
+         {_LANG_SCORE_SQL}
+  FROM documents
+), survivors AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= 30 AND sr >= 0.02 AND pr <= 0.10
+    AND {_lang_case_sql()} = 'en'
+)
+SELECT min(doc_id) AS doc_id,
+       first(n_tokens) AS n_tokens,
+       round(first(sr) * (1.0 - first(pr)), 4) AS quality
+FROM survivors GROUP BY fingerprint
 """.replace("{WS}", "\\s+")
 
 
@@ -1844,6 +1921,7 @@ QUERIES = {
     "user_sessions": user_sessions,
     "purchase_attribution_asof": purchase_attribution_asof,
     "dedup_exact_documents": dedup_exact_documents,
+    "corpus_curation": corpus_curation,
     "doc_text_stats": doc_text_stats,
     "ann_cosine_topk": ann_cosine_topk,
     "dedup_minhash_candidates": dedup_minhash_candidates,
@@ -1892,6 +1970,7 @@ ORACLES = {
     "user_sessions": SESSIONS_SQL,
     "purchase_attribution_asof": ASOF_SQL,
     "dedup_exact_documents": DEDUP_SQL,
+    "corpus_curation": CORPUS_CURATION_SQL,
     "doc_text_stats": TEXT_STATS_SQL,
     "ann_cosine_topk": ANN_SQL,
     "dedup_minhash_candidates": MINHASH_CAND_SQL,
