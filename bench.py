@@ -41,7 +41,8 @@ def duckdb_timings(sf_dir: str, threads: str) -> dict[str, float]:
             start = time.perf_counter()
             con.execute(sql).fetchall()
             runs.append(time.perf_counter() - start)
-        out[name] = round(min(runs), 3)
+        out[name] = min(runs)  # unrounded: sub-ms oracles must not
+        # round to 0.0 and silently vanish from the ratio map
     con.close()
     return out
 
@@ -78,6 +79,7 @@ def main() -> None:
     duck = duckdb_timings(sf_dir, cpus)
     ratios = {n: round(timings[n] / duck[n], 2)
               for n in timings if duck.get(n, 0) > 0}
+    duck = {n: round(v, 4) for n, v in duck.items()}  # rounded for display
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -68,8 +68,7 @@ def env_reward(day: int, action: str) -> float:
     return 1.0 if day == 0 else 0.0
 
 
-def choose(spark, dec_model, days: np.ndarray, rng, epoch: int,
-           model_seed: int) -> list[str]:
+def choose(spark, dec_model, days: np.ndarray, rng, epoch: int) -> list[str]:
     """Greedy argmax under the current model with epsilon exploration;
     epoch 0 (no model yet) is uniform random — the reference learner's
     cold start."""
@@ -101,7 +100,7 @@ def run(spark, work: str, n_per_epoch: int, epochs: int, seed: int = 13):
     out = []
     for epoch in range(epochs):
         days = rng.integers(0, 7, n_per_epoch)
-        picks = choose(spark, dec_model, days, rng, epoch, seed)
+        picks = choose(spark, dec_model, days, rng, epoch)
         rewards = [env_reward(int(d), a) for d, a in zip(days, picks)]
 
         # track: one decision (+ its unchosen sample) and one reward each

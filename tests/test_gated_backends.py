@@ -209,11 +209,15 @@ def test_coreml_export_branch_logic(tmp_path):
     record = {}
     sys.modules["coremltools"] = _fake_coremltools(record)
     try:
-        booster = _FakeBooster(["context.a", "item.b", "t"])
+        # a SparkXGB booster carries NO feature names of its own — the
+        # caller must supply them (save_model passes tm.feature_names)
+        booster = _FakeBooster([])
+        booster.feature_names = None
         written = export.export_client_artifacts(
             booster, str(tmp_path), "greetings",
             {"item.b": [3, 1]}, 42, created_at="2022-05-23T10:00:00",
             mean_item_count=2.5,
+            feature_names=["context.a", "item.b", "t"],
         )
         # both artifacts of the reference pair (decision_trainer.py:30-36)
         assert set(written) == {"xgb", "mlmodel"}

@@ -169,12 +169,20 @@ def test_two_phase_checkpoint_fast_path(spark, timeline, tmp_path, monkeypatch):
     assert prop2.feature_names == prop1.feature_names
     assert dec2.model is not None
 
-    # age the checkpoint out → full retrain
-    _, _ = train_mod.train_two_phase(
-        spark, timeline, model_seed=1, model="m1", max_features=30,
-        explore=False, checkpoint_dir=ckpt, max_checkpoint_age=0.0,
+    # a different seed must NOT reuse the checkpoint (wrong string
+    # tables / propensity distribution) — full retrain
+    train_mod.train_two_phase(
+        spark, timeline, model_seed=2, model="m1", max_features=30,
+        explore=False, checkpoint_dir=ckpt,
     )
     assert calls == [1]
+
+    # age the checkpoint out → full retrain
+    train_mod.train_two_phase(
+        spark, timeline, model_seed=2, model="m1", max_features=30,
+        explore=False, checkpoint_dir=ckpt, max_checkpoint_age=0.0,
+    )
+    assert calls == [1, 1]
 
 
 def test_train_empty_timeline_raises_clearly(spark, tmp_path):

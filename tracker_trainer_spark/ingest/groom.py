@@ -65,7 +65,9 @@ def plan_groom(spark: SparkSession, path: str,
         # analysis failure (conflicting partition layout, corrupt table)
         # must fail loudly — a silently no-op repair job on a broken
         # timeline would let duplicate keys accumulate unnoticed
-        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e):
+        from ..errors import is_absent_table_error
+
+        if is_absent_table_error(e):
             return GroomPlan(dirty=[], total_partitions=0, part_cols=())
         raise
     part_cols = _present_part_cols(df)
@@ -198,7 +200,8 @@ def maintain_timeline(spark: SparkSession, path: str,
         try:
             assert_no_duplicate_keys(spark, path)
         except Exception as e:  # absent/empty timeline: nothing to verify
-            if ("UNABLE_TO_INFER_SCHEMA" not in str(e)
-                    and "PATH_NOT_FOUND" not in str(e)):
+            from ..errors import is_absent_table_error
+
+            if not is_absent_table_error(e):
                 raise
     return {"quarantined": quarantined, "groomed": groomed}

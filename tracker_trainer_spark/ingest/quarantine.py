@@ -31,6 +31,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..ksuid import is_valid_ksuid_col
+from ..errors import is_absent_table_error
 
 UNRECOVERABLE_DIR = "_unrecoverable"
 
@@ -45,7 +46,7 @@ def find_invalid_files(spark: SparkSession, timeline_path: str,
     try:
         df = spark.read.parquet(timeline_path)
     except Exception as e:  # fresh deployment / already-empty timeline
-        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "PATH_NOT_FOUND" in str(e):
+        if is_absent_table_error(e):
             return []
         raise
     df = (
@@ -62,7 +63,21 @@ def quarantine_invalid_files(spark: SparkSession, timeline_path: str,
     """Relocate every file holding an invalid decision_id to
     ``<timeline>/_unrecoverable/<relative-path>``; returns the moved
     URIs. Idempotent: a second pass finds a clean timeline and moves
-    nothing."""
+    nothing.
+
+    Holds the timeline writer lock for the scan+move window: groom's
+    dynamic partition overwrite deletes files it compacted — renaming a
+    file groom is concurrently replacing would fail the move AND let
+    the invalid rows escape into the freshly-merged partition with no
+    audit trail. All timeline mutators serialize on the same lock."""
+    from .lock import timeline_lock
+
+    with timeline_lock(timeline_path):
+        return _quarantine_locked(spark, timeline_path, now_ts)
+
+
+def _quarantine_locked(spark: SparkSession, timeline_path: str,
+                       now_ts: float | None = None) -> list[str]:
     bad = find_invalid_files(spark, timeline_path, now_ts)
     if not bad:
         return []

@@ -38,9 +38,10 @@ MODEL_DIR = "model"
 def save_model(tm: TrainedModel, path: str, model_name: str = "model") -> None:
     """Persist a TrainedModel as a metadata.json + backend model dir."""
     os.makedirs(path, exist_ok=True)
+    created_at = time.time()
     meta = {
         "version": ARTIFACT_VERSION,
-        "created_at": time.time(),
+        "created_at": created_at,
         "model_name": model_name,
         "feature_names": tm.feature_names,
         "string_tables": tm.string_tables,
@@ -55,13 +56,22 @@ def save_model(tm: TrainedModel, path: str, model_name: str = "model") -> None:
     model_path = os.path.join(path, MODEL_DIR)
     if HAS_XGBOOST:
         # client artifacts: metadata-embedded model.xgb (+ model.mlmodel
-        # when coremltools is importable) — reference model_utils.py:275-321
+        # when coremltools is importable) — reference model_utils.py:275-321.
+        # ONE created_at for metadata.json and the embedded ai.improve
+        # stamp (UTC ISO of the same epoch); feature names passed
+        # explicitly — a SparkXGB booster trains on one vector column
+        # and carries none of its own.
+        from datetime import datetime, timezone
+
         from .export import export_client_artifacts
 
         export_client_artifacts(
             tm.model.get_booster(), path, model_name,
             tm.string_tables, tm.model_seed,
+            created_at=datetime.fromtimestamp(
+                created_at, timezone.utc).isoformat(),
             mean_item_count=tm.mean_item_count,
+            feature_names=tm.feature_names,
         )
     tm.model.write().overwrite().save(model_path)
 
@@ -104,10 +114,17 @@ def load_model(spark: SparkSession, path: str) -> TrainedModel:
 
 
 def load_checkpoint_if_fresh(spark: SparkSession, path: str,
-                             max_age_seconds: float) -> TrainedModel | None:
+                             max_age_seconds: float,
+                             model_name: str | None = None,
+                             model_seed: int | None = None) -> TrainedModel | None:
     """Checkpoint fast-path: reuse the stored model when the artifact
     version matches and it is younger than ``max_age_seconds``
-    (reference: src/trainer/code/checkpoint.py:26-91)."""
+    (reference: src/trainer/code/checkpoint.py:26-91).
+
+    ``model_name`` / ``model_seed``: when given, the checkpoint must
+    also have been trained for the SAME model and seed — a shared
+    checkpoint dir must never hand model "b" model "a"'s propensity
+    model (wrong distribution, wrong string tables, wrong IPW)."""
     meta_path = os.path.join(path, METADATA_FILE)
     if not os.path.exists(meta_path):
         return None
@@ -116,6 +133,10 @@ def load_checkpoint_if_fresh(spark: SparkSession, path: str,
     if meta.get("version") != ARTIFACT_VERSION:
         return None
     if time.time() - meta.get("created_at", 0) > max_age_seconds:
+        return None
+    if model_name is not None and meta.get("model_name") != model_name:
+        return None
+    if model_seed is not None and meta.get("model_seed") != model_seed:
         return None
     try:
         return load_model(spark, path)

@@ -173,15 +173,26 @@ def assert_feature_names_aligned(booster, mlmodel) -> None:
 def export_client_artifacts(booster, out_dir: str, model_name: str,
                             string_tables: dict, model_seed: int,
                             created_at: str | None = None,
-                            mean_item_count: float | None = None) -> dict:
+                            mean_item_count: float | None = None,
+                            feature_names: list[str] | None = None) -> dict:
     """Write the reference's client artifact pair into ``out_dir``:
     ``model.xgb`` always (metadata embedded first), ``model.mlmodel``
     when coremltools is importable. Returns {artifact: path} for what
-    was actually written."""
+    was actually written.
+
+    ``feature_names``: set on the booster before export. REQUIRED for
+    boosters trained through xgboost.spark — they train on one
+    assembled vector column, so ``booster.feature_names`` is None and
+    the export would otherwise fail (or, worse, embed f0..fN into
+    ``ai.improve.features`` and every client would mis-decode)."""
     import os
 
+    if feature_names is not None:
+        booster.feature_names = list(feature_names)
     if created_at is None:
-        created_at = datetime.now().isoformat()
+        from datetime import timezone
+
+        created_at = datetime.now(timezone.utc).isoformat()
     os.makedirs(out_dir, exist_ok=True)
     append_metadata_to_booster(
         booster, model_name, string_tables, model_seed, created_at,

@@ -49,7 +49,9 @@ def load_training_frame(spark: SparkSession, path: str,
     try:
         df = reader.parquet(path)
     except Exception as e:  # AnalysisException: no files yet
-        if "UNABLE_TO_INFER_SCHEMA" not in str(e) and "PATH_NOT_FOUND" not in str(e):
+        from ..errors import is_absent_table_error
+
+        if not is_absent_table_error(e):
             raise
         # fresh deployment: train path sees an empty, correctly-typed
         # frame (the reference's loader likewise yields an empty DF on an

@@ -292,7 +292,10 @@ def train_two_phase(spark: SparkSession, timeline_path: str, model_seed: int,
     if checkpoint_dir is not None:
         from .artifacts import load_checkpoint_if_fresh
 
-        p = load_checkpoint_if_fresh(spark, checkpoint_dir, max_checkpoint_age)
+        p = load_checkpoint_if_fresh(
+            spark, checkpoint_dir, max_checkpoint_age,
+            model_name=model or "model", model_seed=model_seed,
+        )
     if p is None:
         p = train_propensity_model(spark, timeline_path, model_seed,
                                    model=model, **kw)
