@@ -119,6 +119,48 @@ def lsh_mega_bucket(spark, mega_docs: int) -> dict:
             "s": round(dt, 2), "pairs_per_s": round(n_pairs / dt)}
 
 
+def asof_hot_user(spark, hot_events: int) -> dict:
+    """Third skew surface: the as-of join's running window partitions by
+    user — a celebrity user with 10⁶ events puts one window partition on
+    one task. The composition stays LINEAR per partition (sort + one
+    running last-non-null pass), so the hot task is slow-but-bounded,
+    never quadratic and never OOM (state is one payload struct)."""
+    from tracker_trainer_spark.functions.asof import asof_join
+
+    n_background_users = 50_000
+    bg = spark.range(n_background_users).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("user_id"),
+        (F.col("id") % 86_400).cast("timestamp").alias("ts"),
+        F.lit("view").alias("event_type"),
+        F.col("id").cast("double").alias("value"),
+    )
+    hot = spark.range(hot_events).select(
+        F.lit("celebrity").alias("user_id"),
+        (F.col("id") % 86_400).cast("timestamp").alias("ts"),
+        F.when(F.pmod(F.col("id"), F.lit(50)) == 0, F.lit("purchase"))
+        .otherwise(F.lit("view")).alias("event_type"),
+        F.col("id").cast("double").alias("value"),
+    )
+    ev = bg.unionByName(hot).repartition(64).cache()
+    n = ev.count()
+
+    purchases = ev.where(F.col("event_type") == "purchase")
+    prior = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", "ts", F.col("value").alias("prior_value"))
+    joined = asof_join(purchases, prior, on="ts", by="user_id",
+                       right_cols=["prior_value"])
+    t0 = time.perf_counter()
+    n_out = joined.count()
+    dt = time.perf_counter() - t0
+    matched = joined.where(F.col("asof_prior_value").isNotNull()).count()
+    ev.unpersist()
+    assert n_out == hot_events // 50, n_out
+    return {"scenario": "asof_hot_user", "events": n,
+            "hot_user_events": hot_events, "purchases": n_out,
+            "matched": matched, "s": round(dt, 2),
+            "events_per_s": round(n / dt)}
+
+
 def main():
     hot = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     mega = int(sys.argv[2]) if len(sys.argv) > 2 else 3_000
@@ -131,6 +173,7 @@ def main():
     warm_python_workers(spark)
     print(json.dumps(hot_key_merge(spark, hot)), flush=True)
     print(json.dumps(lsh_mega_bucket(spark, mega)), flush=True)
+    print(json.dumps(asof_hot_user(spark, hot)), flush=True)
     spark.stop()
 
 
