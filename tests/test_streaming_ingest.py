@@ -89,6 +89,33 @@ def test_stream_orphan_reward_then_late_decision(spark, paths):
     assert merged.reward == 2.0  # orphaned reward re-attached
 
 
+def test_stream_processing_time_trigger(spark, paths):
+    """The continuous-operation mode (Firehose cadence): a
+    ProcessingTime-trigger stream picks up files as they appear and
+    lands the same merged rows, then stops cleanly."""
+    d1 = deterministic_ksuid(TS, "pt-d1")
+    _write_gz(f"{paths['in']}/pt1.jsonl.gz", [
+        {"message_id": d1, "model": "m1", "count": 2, "item": {"x": 1}},
+    ])
+    q = start_timeline_stream(
+        spark, paths["in"], paths["timeline"], paths["ckpt"],
+        available_now=False, processing_time="1 seconds",
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(paths["timeline"]).count() >= 1:
+                    break
+            except Exception:
+                pass  # first batch not committed yet
+            time.sleep(0.5)
+        rows = spark.read.parquet(paths["timeline"])
+        assert rows.where(F.col("decision_id") == d1).count() == 1
+    finally:
+        q.stop()
+
+
 def test_stream_drops_invalid_records(spark, paths):
     good = deterministic_ksuid(TS, "ok")
     _write_gz(f"{paths['in']}/mixed.jsonl.gz", [
