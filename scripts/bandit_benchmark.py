@@ -1,5 +1,6 @@
-"""Model-quality benchmark: the reference's HappySunday bandit
-environment driven through THIS engine end-to-end.
+"""Model-quality benchmark: the reference's bandit environments
+(HappySunday + LinearValueMatcher) driven through THIS engine
+end-to-end.
 
 Reference analogue (reference: src/trainer/benchmark/benchmark.py:53-71,
 simulations.py:4-36, learner.py:73-88): coba runs an ImproveAILearner
@@ -60,24 +61,54 @@ TS0 = 1650000000  # past base so KSUIDs validate
 EPSILON = 0.1
 
 
-def env_reward(day: int, action: str) -> float:
-    if action == ACTIONS[0]:
-        return 10 / 1000
-    if action == ACTIONS[1]:
-        return 1 / 1000
-    return 1.0 if day == 0 else 0.0
+class HappySunday:
+    """simulations.py:38-64 HappySundayStrings: 3 message arms, payout
+    1.0 for Happy Sunday iff day==0, else tiny constants."""
+
+    name = "happy_sunday"
+    actions = ACTIONS
+    n_contexts = 7
+    random_expects = 0.051
+    optimal_expects = 0.151
+
+    @staticmethod
+    def reward(day: int, action) -> float:
+        if action == ACTIONS[0]:
+            return 10 / 1000
+        if action == ACTIONS[1]:
+            return 1 / 1000
+        return 1.0 if day == 0 else 0.0
 
 
-def choose(spark, dec_model, days: np.ndarray, rng, epoch: int) -> list[str]:
+class LinearValueMatcher:
+    """simulations.py:67-84: m integer arms, reward 1 iff action ==
+    context — the model must learn the full diagonal, not one hot day."""
+
+    name = "value_matcher"
+
+    def __init__(self, matches: int = 8):
+        self.actions = list(range(matches))
+        self.n_contexts = matches
+        self.random_expects = round(1 / matches, 4)
+        self.optimal_expects = 1.0
+
+    @staticmethod
+    def reward(context: int, action) -> float:
+        return 1.0 if action == context else 0.0
+
+
+def choose(spark, dec_model, days: np.ndarray, rng, epoch: int,
+           actions: list) -> list:
     """Greedy argmax under the current model with epsilon exploration;
     epoch 0 (no model yet) is uniform random — the reference learner's
     cold start."""
     n = len(days)
+    n_act = len(actions)
     if dec_model is None:
-        return [ACTIONS[rng.integers(0, 3)] for _ in range(n)]
+        return [actions[rng.integers(0, n_act)] for _ in range(n)]
     cand = spark.createDataFrame(
         [(int(i), json.dumps(a), json.dumps(int(d)))
-         for i, d in enumerate(days) for a in ACTIONS],
+         for i, d in enumerate(days) for a in actions],
         "iid long, item string, context string",
     )
     best = {
@@ -87,30 +118,33 @@ def choose(spark, dec_model, days: np.ndarray, rng, epoch: int) -> list[str]:
     picks = []
     for i in range(n):
         if rng.random() < EPSILON:
-            picks.append(ACTIONS[rng.integers(0, 3)])
+            picks.append(actions[rng.integers(0, n_act)])
         else:
             picks.append(json.loads(best[i]))
     return picks
 
 
-def run(spark, work: str, n_per_epoch: int, epochs: int, seed: int = 13):
+def run(spark, work: str, n_per_epoch: int, epochs: int, seed: int = 13,
+        env=HappySunday):
+    env = env() if isinstance(env, type) else env
     rng = np.random.default_rng(seed)
-    timeline = os.path.join(work, "timeline")
+    timeline = os.path.join(work, f"timeline_{env.name}")
     dec_model = None
     out = []
     for epoch in range(epochs):
-        days = rng.integers(0, 7, n_per_epoch)
-        picks = choose(spark, dec_model, days, rng, epoch)
-        rewards = [env_reward(int(d), a) for d, a in zip(days, picks)]
+        days = rng.integers(0, env.n_contexts, n_per_epoch)
+        picks = choose(spark, dec_model, days, rng, epoch, env.actions)
+        rewards = [env.reward(int(d), a) for d, a in zip(days, picks)]
 
         # track: one decision (+ its unchosen sample) and one reward each
         lines = []
         base = TS0 + epoch * n_per_epoch * 2
         for i, (d, a, r) in enumerate(zip(days, picks, rewards)):
             did = ksuid.deterministic_ksuid(base + 2 * i, f"d{epoch}-{i}")
-            others = [x for x in ACTIONS if x != a]
+            others = [x for x in env.actions if x != a]
             lines.append(json.dumps({
-                "message_id": did, "model": "bandit", "count": 3,
+                "message_id": did, "model": env.name,
+                "count": len(env.actions),
                 "item": a, "context": int(d),
                 "sample": others[rng.integers(0, len(others))],
             }))
@@ -118,9 +152,9 @@ def run(spark, work: str, n_per_epoch: int, epochs: int, seed: int = 13):
                 lines.append(json.dumps({
                     "message_id": ksuid.deterministic_ksuid(base + 2 * i + 1,
                                                             f"r{epoch}-{i}"),
-                    "model": "bandit", "decision_id": did, "reward": r,
+                    "model": env.name, "decision_id": did, "reward": r,
                 }))
-        src = os.path.join(work, f"epoch{epoch}")
+        src = os.path.join(work, f"{env.name}_epoch{epoch}")
         os.makedirs(src, exist_ok=True)
         with gzip.open(f"{src}/batch.jsonl.gz", "wt") as f:
             f.write("\n".join(lines))
@@ -135,13 +169,14 @@ def run(spark, work: str, n_per_epoch: int, epochs: int, seed: int = 13):
 
         t0 = time.perf_counter()
         _, dec_model = train_two_phase(
-            spark, timeline, model_seed=seed, model="bandit", explore=False)
+            spark, timeline, model_seed=seed, model=env.name, explore=False)
         fit_s = time.perf_counter() - t0
 
         out.append({
-            "epoch": epoch, "interactions": n_per_epoch,
+            "env": env.name, "epoch": epoch, "interactions": n_per_epoch,
             "mean_reward": round(float(np.mean(rewards)), 4),
-            "random_expects": 0.051, "optimal_expects": 0.151,
+            "random_expects": env.random_expects,
+            "optimal_expects": env.optimal_expects,
             "train_s": round(fit_s, 1),
         })
         print(json.dumps(out[-1]), flush=True)
@@ -158,7 +193,8 @@ def main():
     work = "/tmp/bandit_benchmark"
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work)
-    run(spark, work, n, epochs)
+    run(spark, work, n, epochs, env=HappySunday)
+    run(spark, work, n, epochs, env=LinearValueMatcher(8))
     spark.stop()
     shutil.rmtree(work, ignore_errors=True)
 
