@@ -38,7 +38,11 @@ def main() -> None:
     spark = get_spark(app_name="tts-train")
 
     ckpt_dir = os.path.join(out, "propensity")
-    prop = load_checkpoint_if_fresh(spark, ckpt_dir, max_age)
+    # model_name/model_seed gate the reuse: a shared output dir must
+    # never hand this job another model's (or seed's) propensity model
+    prop = load_checkpoint_if_fresh(spark, ckpt_dir, max_age,
+                                    model_name=model or "model",
+                                    model_seed=seed)
     if prop is None:
         prop = train_propensity_model(spark, timeline, seed, model=model)
         save_model(prop, ckpt_dir, model_name=model or "model")

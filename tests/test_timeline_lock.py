@@ -87,3 +87,37 @@ def test_append_waits_for_groom(spark, timeline):
     # repair the duplicate row we just appended; fixpoint still reachable
     groom(spark, timeline)
     assert groom(spark, timeline) == 0
+
+
+def test_hadoop_lock_leg(spark, tmp_path):
+    """The cross-FS marker lock (schemed paths route here): exclusive
+    create claims, contention times out, stale markers break, release
+    deletes the marker. Driven through the real Hadoop FS on file://."""
+    import os
+
+    import pytest as _pytest
+
+    from tracker_trainer_spark.ingest.lock import (
+        TimelineLockTimeout,
+        _hadoop_lock,
+        is_local_path,
+    )
+
+    uri = f"file://{tmp_path}/tl"
+    os.makedirs(f"{tmp_path}/tl")
+    assert is_local_path(uri) and not is_local_path("s3a://b/tl")
+
+    with _hadoop_lock(uri, timeout=5, stale_after=3600, poll=0.05):
+        assert os.path.exists(f"{tmp_path}/tl/_lock")
+        # second claimant cannot acquire while held
+        with _pytest.raises(TimelineLockTimeout):
+            with _hadoop_lock(uri, timeout=0.5, stale_after=3600, poll=0.05):
+                pass
+    assert not os.path.exists(f"{tmp_path}/tl/_lock")  # released
+
+    # stale marker (old mtime) is broken and the claim succeeds
+    open(f"{tmp_path}/tl/_lock", "w").close()
+    os.utime(f"{tmp_path}/tl/_lock", (1, 1))
+    with _hadoop_lock(uri, timeout=5, stale_after=10, poll=0.05):
+        pass
+    assert not os.path.exists(f"{tmp_path}/tl/_lock")

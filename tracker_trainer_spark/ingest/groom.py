@@ -28,6 +28,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..errors import is_absent_table_error
 from .merge import merge_rewarded_decisions, finalize_for_storage, parse_stored
 from .sink import MAX_RECORDS_PER_FILE
 
@@ -65,8 +66,6 @@ def plan_groom(spark: SparkSession, path: str,
         # analysis failure (conflicting partition layout, corrupt table)
         # must fail loudly — a silently no-op repair job on a broken
         # timeline would let duplicate keys accumulate unnoticed
-        from ..errors import is_absent_table_error
-
         if is_absent_table_error(e):
             return GroomPlan(dirty=[], total_partitions=0, part_cols=())
         raise
@@ -190,18 +189,27 @@ def maintain_timeline(spark: SparkSession, path: str,
     Returns ``{"quarantined": [...uris], "groomed": n_partitions}``.
     Idempotent end-to-end: a second run quarantines nothing, finds no
     dirty partitions, and the invariant still holds.
+
+    Holds the writer lock ONCE across quarantine+groom: with separate
+    lock windows, an invalid-KSUID append landing between the two would
+    be compacted into a merged file holding thousands of valid rows,
+    and the NEXT cycle's quarantine would relocate that whole file —
+    quarantining valid data. An absent timeline is a clean no-op that
+    touches nothing (no lock dir, no listing).
     """
-    from .quarantine import quarantine_invalid_files
+    from .lock import timeline_lock
+    from .quarantine import _quarantine_locked, timeline_exists
 
-    quarantined = quarantine_invalid_files(spark, path, now_ts=now_ts)
-    groomed = groom(spark, path, max_records_per_file,
-                    target_files_per_partition)
-    if verify:
-        try:
-            assert_no_duplicate_keys(spark, path)
-        except Exception as e:  # absent/empty timeline: nothing to verify
-            from ..errors import is_absent_table_error
-
-            if not is_absent_table_error(e):
-                raise
+    if not timeline_exists(spark, path):
+        return {"quarantined": [], "groomed": 0}
+    with timeline_lock(path):
+        quarantined = _quarantine_locked(spark, path, now_ts=now_ts)
+        groomed = _groom_locked(spark, path, max_records_per_file,
+                                target_files_per_partition)
+        if verify:
+            try:
+                assert_no_duplicate_keys(spark, path)
+            except Exception as e:  # fully-quarantined: nothing to verify
+                if not is_absent_table_error(e):
+                    raise
     return {"quarantined": quarantined, "groomed": groomed}

@@ -8,11 +8,19 @@ new S3 keys merged later — src/ingest/partition.py:340-354). With plain
 Parquet directories we serialize writers explicitly; a transactional
 table format (Delta/Iceberg) would subsume this.
 
-Mechanism: atomic ``mkdir`` of ``<timeline>/_lock`` (works on any
-Hadoop-compatible FS where directory creation is atomic; for object
-stores swap in a conditional-PUT marker). Stale locks older than
-``stale_after`` seconds are broken — crashed holders cannot wedge the
-pipeline forever.
+Mechanism, by filesystem:
+- **local paths** (no scheme / ``file://``): atomic ``mkdir`` of
+  ``<timeline>/_lock``;
+- **schemed paths** (``hdfs://``, ``s3a://``, …): an exclusive-create
+  marker file through the Hadoop FileSystem API
+  (``create(path, overwrite=false)``) — atomic on HDFS; on S3A it is
+  atomic only with conditional-create support (hadoop-aws ≥3.4.1,
+  ``fs.s3a.create.conditional.enabled``), otherwise best-effort — for
+  older S3 stacks use an external lock service or a transactional table
+  format (Delta/Iceberg), which subsumes this module.
+
+Stale locks older than ``stale_after`` seconds are broken — crashed
+holders cannot wedge the pipeline forever.
 """
 
 from __future__ import annotations
@@ -21,6 +29,7 @@ import json
 import os
 import time
 from contextlib import contextmanager
+from urllib.parse import urlparse
 
 LOCK_DIR = "_lock"
 
@@ -29,12 +38,21 @@ class TimelineLockTimeout(RuntimeError):
     pass
 
 
+def is_local_path(path: str) -> bool:
+    return urlparse(path).scheme in ("", "file")
+
+
 @contextmanager
 def timeline_lock(timeline_path: str, timeout: float = 120.0,
                   stale_after: float = 3600.0, poll: float = 0.25):
     """Hold the exclusive writer lock for a timeline directory."""
-    os.makedirs(timeline_path, exist_ok=True)
-    lock_path = os.path.join(timeline_path, LOCK_DIR)
+    if not is_local_path(timeline_path):
+        with _hadoop_lock(timeline_path, timeout, stale_after, poll):
+            yield
+        return
+    local = urlparse(timeline_path).path if "://" in timeline_path else timeline_path
+    os.makedirs(local, exist_ok=True)
+    lock_path = os.path.join(local, LOCK_DIR)
     meta_path = os.path.join(lock_path, "holder.json")
     deadline = time.time() + timeout
     while True:
@@ -56,6 +74,55 @@ def timeline_lock(timeline_path: str, timeout: float = 120.0,
         yield
     finally:
         _break_lock(lock_path, meta_path)
+
+
+@contextmanager
+def _hadoop_lock(timeline_path: str, timeout: float, stale_after: float,
+                 poll: float):
+    """Exclusive-create marker lock through the Hadoop FS API (the
+    cross-FS leg of timeline_lock; see module docstring for atomicity
+    per store). Needs an active SparkSession for the JVM gateway."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"locking {timeline_path} needs an active SparkSession "
+            "(Hadoop FS access)"
+        )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(timeline_path).getFileSystem(hconf)
+    marker = HPath(f"{timeline_path.rstrip('/')}/{LOCK_DIR}")
+    deadline = time.time() + timeout
+    while True:
+        try:
+            out = fs.create(marker, False)  # exclusive create
+            out.close()
+            break
+        except Exception as e:
+            if "AlreadyExists" not in str(e) and "already exists" not in str(e):
+                raise
+            try:
+                age = time.time() - fs.getFileStatus(marker).getModificationTime() / 1000.0
+            except Exception:
+                continue  # marker vanished — retry the claim
+            if age > stale_after:
+                fs.delete(marker, False)
+                continue
+            if time.time() > deadline:
+                raise TimelineLockTimeout(
+                    f"could not acquire {marker} within {timeout}s"
+                ) from None
+            time.sleep(poll)
+    try:
+        yield
+    finally:
+        try:
+            fs.delete(marker, False)
+        except Exception:
+            pass
 
 
 def _is_stale(meta_path: str, lock_path: str, stale_after: float) -> bool:

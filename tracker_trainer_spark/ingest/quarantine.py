@@ -36,6 +36,15 @@ from ..errors import is_absent_table_error
 UNRECOVERABLE_DIR = "_unrecoverable"
 
 
+def timeline_exists(spark: SparkSession, timeline_path: str) -> bool:
+    """Cheap existence probe through the Hadoop FS API (any scheme) —
+    lets maintenance entry points no-op on a fresh deployment WITHOUT
+    side effects (acquiring the lock would mkdir the timeline)."""
+    HPath = spark._jvm.org.apache.hadoop.fs.Path
+    p = HPath(timeline_path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
 def find_invalid_files(spark: SparkSession, timeline_path: str,
                        now_ts: float | None = None) -> list[str]:
     """File URIs in the timeline containing ≥1 invalid decision_id.
@@ -72,6 +81,8 @@ def quarantine_invalid_files(spark: SparkSession, timeline_path: str,
     audit trail. All timeline mutators serialize on the same lock."""
     from .lock import timeline_lock
 
+    if not timeline_exists(spark, timeline_path):
+        return []  # fresh deployment: no lock dir, no FS mutation
     with timeline_lock(timeline_path):
         return _quarantine_locked(spark, timeline_path, now_ts)
 

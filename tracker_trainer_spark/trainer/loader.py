@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..errors import is_absent_table_error
+
 TRAIN_COLUMNS = ["decision_id", "item", "context", "sample", "count", "reward"]
 
 
@@ -49,8 +51,6 @@ def load_training_frame(spark: SparkSession, path: str,
     try:
         df = reader.parquet(path)
     except Exception as e:  # AnalysisException: no files yet
-        from ..errors import is_absent_table_error
-
         if not is_absent_table_error(e):
             raise
         # fresh deployment: train path sees an empty, correctly-typed
