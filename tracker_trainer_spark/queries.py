@@ -1938,6 +1938,15 @@ QUERIES = {
     "train_encode_events": train_encode_events,
 }
 
+# Extended TPC-H shapes (Q2/Q8/Q9/Q11/Q16/Q20 adaptations) live in their
+# own module; registered here so the driver sees one registry.
+from tracker_trainer_spark.queries_relational_ext import (  # noqa: E402
+    EXT_ORACLES as _EXT_ORACLES,
+    EXT_QUERIES as _EXT_QUERIES,
+)
+
+QUERIES.update(_EXT_QUERIES)
+
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_revenue_orders": Q3_SQL,
@@ -1983,3 +1992,5 @@ ORACLES = {
     "dedup_embedding_cosine": DEDUP_EMB_SQL,
     "semantic_text_dedup": SEMANTIC_TEXT_SQL,
 }
+
+ORACLES.update(_EXT_ORACLES)
