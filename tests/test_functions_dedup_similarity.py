@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from tracker_trainer_spark.functions import (
     brute_force_topk,
+    connected_components,
     exact_dedup,
     jaccard,
     near_dup_candidates,
@@ -212,3 +213,55 @@ def test_ivf_index_build_probe(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*list_id[^\]]*)\]", plan)
     assert m, plan
+
+
+# --------------------------------------------------------------------------
+# connected components (large-star / small-star)
+# --------------------------------------------------------------------------
+
+def _union_find_labels(edges):
+    """Oracle: plain union-find; label = min member of each component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {n for e in edges for n in e if e[0] != e[1]}
+    return {n: find(n) for n in touched}
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(220)]
+    df = spark.createDataFrame(
+        [e for e in edges if e[0] != e[1]], "doc_id_a long, doc_id_b long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == _union_find_labels(edges)
+
+
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    # a 400-node path has diameter 400: label propagation would need 400
+    # rounds; star contraction must finish inside the 25-round cap
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "doc_id_a long, doc_id_b long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(chain).collect()}
+    assert len(got) == 401 and set(got.values()) == {0}
+
+
+def test_connected_components_empty_and_self_loops(spark):
+    empty = spark.createDataFrame([], "doc_id_a long, doc_id_b long")
+    assert connected_components(empty).count() == 0
+    loops = spark.createDataFrame([(7, 7), (8, 8)], "doc_id_a long, doc_id_b long")
+    assert connected_components(loops).count() == 0

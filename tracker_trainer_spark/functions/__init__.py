@@ -17,6 +17,7 @@ from .dedup import (  # noqa: F401
     candidates_from_shingles,
     lsh_band_hashes,
     near_dup_candidates,
+    connected_components,
     simhash,
     jaccard,
 )

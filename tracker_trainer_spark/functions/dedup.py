@@ -385,3 +385,89 @@ def simhash(tokens_col, bits: int = HASH_BITS) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+# --------------------------------------------------------------------------
+# Connected components: candidate pairs → transitive duplicate clusters
+# --------------------------------------------------------------------------
+
+def _cc_large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every neighbor v > u links to min(Γ(u) ∪ {u})."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least("_mv", "u").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _cc_small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: every neighbor v < u (and u itself) links to
+    the minimum of u's smaller neighborhood."""
+    canon = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = canon.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        canon.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select("u", F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Undirected edge list → (node, component) labels, component id =
+    minimum node id in the component.
+
+    Alternating large-star / small-star rounds (the published MapReduce
+    connected-components scheme of Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC 2014): each round is one groupBy-min
+    plus one key-equi-join — no all-pairs anything — and the edge set
+    converges to per-component stars in O(log n) rounds, vs. graph
+    diameter for plain min-label propagation (a 1M-doc chain of
+    boilerplate near-dups would need 1M propagation rounds but ~20 star
+    rounds). Per round the frame is locally checkpointed: iterative
+    lineage would otherwise grow the plan exponentially and re-run every
+    prior round per action.
+
+    Convergence is detected by an (edge-count, xor-of-edge-hashes)
+    checksum — one tiny action per round; a false-equal requires a
+    colliding xor of 64-bit hashes (xor, not sum: ANSI mode makes a
+    long sum overflow). Extends the LSH candidate generator:
+    candidates are *pairs*, but dedup policy needs *clusters* (keep one
+    survivor per transitive group), which is exactly this operator.
+    """
+    e = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev = None
+    for _ in range(max_iterations):
+        e = _cc_small_star(_cc_large_star(e)).localCheckpoint()
+        chk = e.agg(
+            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).first()
+        if prev == (chk["n"], chk["h"]):
+            break
+        prev = (chk["n"], chk["h"])
+    # fixpoint: every edge is (member, component-min); centers label
+    # themselves so each node appears exactly once
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .distinct()
+    )

@@ -938,6 +938,62 @@ def dedup_minhash_candidates(spark, sf_dir):
 MINHASH_CAND_SQL = f"WITH {_SH_SQL}\nSELECT doc_id_a, doc_id_b FROM cand"
 
 
+def dedup_minhash_clusters(spark, sf_dir):
+    """Transitive near-duplicate clusters: LSH candidate pairs →
+    connected components → one cluster label per document.
+
+    Candidate *pairs* aren't a dedup policy — near-dup groups are
+    transitive (A≈B, B≈C ⟹ {A,B,C} is one group even when A,C never
+    share a band). Components run the alternating large-star/small-star
+    rounds of `functions.dedup.connected_components` (O(log n) rounds,
+    one groupBy-min + one equi-join each, per-round localCheckpoint);
+    cluster_id = min doc_id of the component, so `doc_id == cluster_id`
+    is the keep-lowest-id survivor rule. Documents in no pair are their
+    own singleton cluster via the left join.
+
+    The oracle computes the same closure with a recursive CTE — fine at
+    oracle scale, quadratic blowup at real scale, which is exactly why
+    the engine side iterates star-contraction instead.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    cand = _dedup.near_dup_candidates(
+        docs, "doc_id", "text",
+        num_hashes=MINHASH_H, bands=MINHASH_BANDS, rows=MINHASH_ROWS,
+        seed=MINHASH_SEED,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    comp = _dedup.connected_components(cand)
+    return (
+        docs.join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MINHASH_CLUSTERS_SQL = f"""WITH RECURSIVE {_SH_SQL},
+sym AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM cand
+  UNION
+  SELECT doc_id_b, doc_id_a FROM cand
+),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+),
+labels AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN labels l USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard verification of the LSH candidate pairs.
 
@@ -1925,6 +1981,7 @@ QUERIES = {
     "doc_text_stats": doc_text_stats,
     "ann_cosine_topk": ann_cosine_topk,
     "dedup_minhash_candidates": dedup_minhash_candidates,
+    "dedup_minhash_clusters": dedup_minhash_clusters,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "doc_fingerprint_lang": doc_fingerprint_lang,
@@ -1983,6 +2040,7 @@ ORACLES = {
     "doc_text_stats": TEXT_STATS_SQL,
     "ann_cosine_topk": ANN_SQL,
     "dedup_minhash_candidates": MINHASH_CAND_SQL,
+    "dedup_minhash_clusters": MINHASH_CLUSTERS_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_simhash": SIMHASH_SQL,
     "doc_fingerprint_lang": FINGERPRINT_LANG_SQL,
