@@ -175,3 +175,74 @@ def test_scoring_path_no_shuffle(spark, timeline):
         "iid long, item string, context string",
     )
     assert count_shuffles(score_items(dec, cand, now_ts=1.0)) == 0
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    ("q2_min_cost_supplier", 2),   # (part,supp) agg + partkey window; dims/part broadcast
+    ("q8_market_share", 2),        # star joins broadcast at SF; year agg + sort
+    ("q9_product_profit", 2),      # star joins broadcast at SF; (nation,year) agg + sort
+    ("q16_supplier_counts", 3),    # two-phase distinct agg + sort; blacklist broadcast
+    ("q20_promotion_suppliers", 3),  # suppkey agg + semi-join + name sort
+])
+def test_ext_relational_shuffle_budgets(spark, sf_dir, name, max_shuffles):
+    assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles
+
+
+def test_q2_pushes_part_filter_and_no_nlj(spark, sf_dir):
+    from tracker_trainer_spark.plans import physical_plan
+    df = QUERIES["q2_min_cost_supplier"](spark, sf_dir)
+    fs = pushed_filters(df)
+    assert any("p_type" in f for f in fs)
+    assert any("p_size" in f for f in fs)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q9_pushes_name_contains(spark, sf_dir):
+    fs = pushed_filters(QUERIES["q9_product_profit"](spark, sf_dir))
+    assert any("StringContains" in f and "p_name" in f for f in fs)
+
+
+def test_q16_no_expand(spark, sf_dir):
+    # single count_distinct must plan as two-phase partial distinct
+    # aggregation, never the grouping-sets Expand rewrite
+    from tracker_trainer_spark.plans import physical_plan
+    assert "Expand" not in physical_plan(QUERIES["q16_supplier_counts"](spark, sf_dir))
+
+
+def test_q11_only_nlj_is_scalar_threshold(spark, sf_dir):
+    """The threshold cross-join is a 1-row broadcast by construction —
+    the ONE place a nested-loop join is the right plan. Everything else
+    must stay hash/broadcast equi-joins, and the per-part agg shuffles
+    once."""
+    from tracker_trainer_spark.plans import physical_plan
+    df = QUERIES["q11_important_parts"](spark, sf_dir)
+    plan = physical_plan(df)
+    # one NLJ node; the plan string repeats each node in its detail
+    # section, hence <= 2 occurrences of the name
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in plan
+    assert count_shuffles(df) <= 4
+    # the val subtree appears twice statically (filter side + threshold
+    # side) but AQE must dedupe it at runtime — one real shuffle of val
+    df.collect()
+    assert "ReusedExchange" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q20_pushes_shipdate_range(spark, sf_dir):
+    fs = pushed_filters(QUERIES["q20_promotion_suppliers"](spark, sf_dir))
+    assert any("GreaterThanOrEqual(l_shipdate" in f for f in fs)
+    assert any("LessThan(l_shipdate" in f for f in fs)
+
+
+def test_minhash_clusters_labels_join_scans_docs_once(spark, sf_dir):
+    """The final labeling plan: one documents scan joined to the
+    (checkpointed) component labels — component iteration must NOT
+    re-enter the plan (localCheckpoint truncates it)."""
+    from tracker_trainer_spark.plans import physical_plan
+    df = QUERIES["dedup_minhash_clusters"](spark, sf_dir)
+    plan = physical_plan(df)
+    # the candidate→component pipeline ran during construction and lives
+    # in the localCheckpoint; the final plan scans documents exactly once
+    assert plan.count("documents.parquet") == 1
+    assert count_shuffles(df) <= 3
