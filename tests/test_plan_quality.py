@@ -246,3 +246,13 @@ def test_minhash_clusters_labels_join_scans_docs_once(spark, sf_dir):
     # in the localCheckpoint; the final plan scans documents exactly once
     assert plan.count("documents.parquet") == 1
     assert count_shuffles(df) <= 3
+
+
+def test_funnel_single_agg_shuffle(spark, sf_dir):
+    """Sequence-funnel must be ONE fact shuffle (groupBy user) plus the
+    presentation sort — never the oracle's three correlated min-joins."""
+    df = QUERIES["funnel_view_click_purchase"](spark, sf_dir)
+    assert count_shuffles(df) <= 2
+    from tracker_trainer_spark.plans import physical_plan
+    plan = physical_plan(df)
+    assert plan.count("events.parquet") == 1  # one scan feeds the walk

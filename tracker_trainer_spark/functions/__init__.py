@@ -21,6 +21,11 @@ from .dedup import (  # noqa: F401
     simhash,
     jaccard,
 )
+from .sampling import (  # noqa: F401
+    hash_bucket,
+    hash_sample,
+    hash_split,
+)
 from .asof import asof_join  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_to_literal,

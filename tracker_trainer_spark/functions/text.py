@@ -9,6 +9,7 @@ extensions).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -122,3 +123,38 @@ def quality_metrics(text_col) -> dict[str, Column]:
         "punct_ratio": n_punct / F.length(c),
         "stopword_ratio": n_stop / n_tokens,
     }
+
+
+def dup_ngram_fraction(tokens_col, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram —
+    the Gopher-style repetition signal (Rae et al. 2021 §A1.1) for
+    filtering boilerplate/spam. Pure HOFs (size/array_distinct), narrow,
+    codegen; 0.0 for docs with fewer than n tokens."""
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    g = word_ngrams(t, n)
+    return F.when(
+        F.size(g) > 0, F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g)
+    ).otherwise(F.lit(0.0))
+
+
+def top_token_fraction(tokens_col) -> Column:
+    """Most-frequent-token share of the document (Gopher's top-n-gram
+    fraction at n=1). Needs a per-row mode count — a quadratic HOF
+    (count each distinct against the array) would blow up on long
+    docs, so this is a single Arrow-batched kernel: one narrow pass,
+    no shuffle, O(tokens) per row via a hash counter."""
+
+    @F.pandas_udf("double")
+    def _top(tok_arrays: pd.Series) -> pd.Series:
+        from collections import Counter
+
+        out = []
+        for a in tok_arrays:
+            if a is None or len(a) == 0:
+                out.append(0.0)
+            else:
+                out.append(Counter(a).most_common(1)[0][1] / len(a))
+        return pd.Series(out)
+
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    return _top(t)

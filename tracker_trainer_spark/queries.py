@@ -701,6 +701,92 @@ FROM per_session GROUP BY user_id
 """
 
 
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered-funnel analysis: per user, first view → first click
+    strictly after it → first purchase strictly after that.
+
+    Sequence semantics (stage N must follow stage N-1 in event-time) are
+    what SQL needs three correlated min-joins for. Spark-first shape:
+    ONE shuffle — groupBy(user) collects the (ts, type) pairs, and an
+    `aggregate` HOF walks the sorted sequence with a 3-field state
+    struct, JVM-side. Per-user state is 3 timestamps regardless of
+    event count, and per-user sequences are bounded (the same contract
+    as the sessionization window), so hot users are linear, never
+    quadratic. The oracle is the 3-join decorrelation — equivalent, but
+    3 fact shuffles instead of 1 at scale.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("seq")
+    )
+    null_ts = F.lit(None).cast("timestamp")
+    state = F.aggregate(
+        "seq",
+        F.struct(
+            null_ts.alias("tv"), null_ts.alias("tc"), null_ts.alias("tp")
+        ),
+        lambda s, e: F.struct(
+            F.coalesce(
+                s.getField("tv"),
+                F.when(e.getField("event_type") == "view", e.getField("ts")),
+            ).alias("tv"),
+            F.coalesce(
+                s.getField("tc"),
+                F.when(
+                    (e.getField("event_type") == "click")
+                    & s.getField("tv").isNotNull()
+                    & (e.getField("ts") > s.getField("tv")),
+                    e.getField("ts"),
+                ),
+            ).alias("tc"),
+            F.coalesce(
+                s.getField("tp"),
+                F.when(
+                    (e.getField("event_type") == "purchase")
+                    & s.getField("tc").isNotNull()
+                    & (e.getField("ts") > s.getField("tc")),
+                    e.getField("ts"),
+                ),
+            ).alias("tp"),
+        ),
+    )
+    return (
+        seq.select("user_id", state.alias("st"))
+        .select(
+            "user_id",
+            F.col("st.tv").alias("t_view"),
+            F.col("st.tc").alias("t_click"),
+            F.col("st.tp").alias("t_purchase"),
+        )
+        .orderBy("user_id")
+    )
+
+
+FUNNEL_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT u.user_id, v.t_view, c.t_click, p.t_purchase
+FROM u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Documents: dedup + text analysis (training-data pipeline operators)
 # --------------------------------------------------------------------------
@@ -814,6 +900,75 @@ FROM documents
 """
 
 
+def doc_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    §A1.1): most-frequent-word share + duplicate-bigram fraction — the
+    standard boilerplate/spam gates in large-corpus curation.
+
+    dup_bigram_frac is pure HOFs (codegen, narrow); top_word_frac needs
+    a per-row mode so it runs as one Arrow kernel. Zero shuffles either
+    way — repetition scoring at 100 TB is embarrassingly parallel."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = _text.tokens("text")
+    return docs.select(
+        "doc_id",
+        r4(_text.top_token_fraction(toks)).alias("top_word_frac"),
+        r4(_text.dup_ngram_fraction(toks, 2)).alias("dup_bigram_frac"),
+    )
+
+
+REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+),
+wc AS (
+  SELECT doc_id, w, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2
+),
+topw AS (SELECT doc_id, max(cnt) AS mx FROM wc GROUP BY 1),
+tot AS (SELECT doc_id, len(t) AS n FROM toks),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+bgs AS (
+  SELECT doc_id, round(1 - count(DISTINCT b) * 1.0 / count(*), 4) AS f
+  FROM bg GROUP BY 1
+)
+SELECT d.doc_id,
+       round(coalesce(topw.mx * 1.0 / tot.n, 0), 4) AS top_word_frac,
+       coalesce(bgs.f, 0.0) AS dup_bigram_frac
+FROM documents d
+JOIN tot USING (doc_id)
+LEFT JOIN topw ON topw.doc_id = d.doc_id
+LEFT JOIN bgs ON bgs.doc_id = d.doc_id
+"""
+
+
+def corpus_train_holdout(spark, sf_dir):
+    """Deterministic train/holdout split by md5 bucket of doc_id
+    (`functions.sampling`): membership is a pure function of the id —
+    identical across engines, row orders, reshuffles, and incremental
+    appends, unlike rand(seed)/sample(). All JVM column exprs, no
+    shuffle; the oracle recomputes the same digests in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _sampling.hash_bucket("doc_id").alias("bucket"),
+        _sampling.hash_split("doc_id", holdout_pct=10).alias("split"),
+    )
+
+
+TRAIN_HOLDOUT_SQL = """
+SELECT doc_id,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+            THEN 'holdout' ELSE 'train' END AS split
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Embeddings: similarity search
 # --------------------------------------------------------------------------
@@ -867,6 +1022,7 @@ FROM s ORDER BY dot / (nv * nq) DESC, vec_id LIMIT 10
 from tracker_trainer_spark.functions import dedup as _dedup  # noqa: E402
 from tracker_trainer_spark.functions import similarity as _sim  # noqa: E402
 from tracker_trainer_spark.functions import text as _text  # noqa: E402
+from tracker_trainer_spark.functions import sampling as _sampling  # noqa: E402
 
 # one deterministic parameterization shared by Spark plans and oracles
 MINHASH_H, MINHASH_BANDS, MINHASH_ROWS, MINHASH_SEED = 12, 4, 3, 7
@@ -1975,10 +2131,13 @@ QUERIES = {
     "reward_summary_stats": reward_summary_stats,
     "propensity_explode_events": propensity_explode_events,
     "user_sessions": user_sessions,
+    "funnel_view_click_purchase": funnel_view_click_purchase,
     "purchase_attribution_asof": purchase_attribution_asof,
     "dedup_exact_documents": dedup_exact_documents,
     "corpus_curation": corpus_curation,
     "doc_text_stats": doc_text_stats,
+    "doc_repetition_stats": doc_repetition_stats,
+    "corpus_train_holdout": corpus_train_holdout,
     "ann_cosine_topk": ann_cosine_topk,
     "dedup_minhash_candidates": dedup_minhash_candidates,
     "dedup_minhash_clusters": dedup_minhash_clusters,
@@ -2034,10 +2193,13 @@ ORACLES = {
     "reward_summary_stats": REWARD_STATS_SQL,
     "propensity_explode_events": PROPENSITY_SQL,
     "user_sessions": SESSIONS_SQL,
+    "funnel_view_click_purchase": FUNNEL_SQL,
     "purchase_attribution_asof": ASOF_SQL,
     "dedup_exact_documents": DEDUP_SQL,
     "corpus_curation": CORPUS_CURATION_SQL,
     "doc_text_stats": TEXT_STATS_SQL,
+    "doc_repetition_stats": REPETITION_SQL,
+    "corpus_train_holdout": TRAIN_HOLDOUT_SQL,
     "ann_cosine_topk": ANN_SQL,
     "dedup_minhash_candidates": MINHASH_CAND_SQL,
     "dedup_minhash_clusters": MINHASH_CLUSTERS_SQL,
