@@ -238,11 +238,16 @@ def _union_find_labels(edges):
     return {n: find(n) for n in touched}
 
 
-def test_connected_components_matches_union_find(spark):
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [
+    (42, 300, 220),   # sparse: many components
+    (7, 60, 200),     # dense: one near-complete component
+    (13, 500, 120),   # very sparse: mostly singletons + pairs
+])
+def test_connected_components_matches_union_find(spark, seed, n_nodes, n_edges):
     import random
 
-    rng = random.Random(42)
-    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(220)]
+    rng = random.Random(seed)
+    edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)]
     df = spark.createDataFrame(
         [e for e in edges if e[0] != e[1]], "doc_id_a long, doc_id_b long"
     )

@@ -59,3 +59,40 @@ def test_watermark_bounds_state(spark, sf_dir, tmp_path):
     # every emitted window closed before (max_ts - delay)
     from datetime import timedelta
     assert emitted + timedelta(hours=1) <= hi - timedelta(hours=2) + timedelta(hours=1)
+
+
+def _user_events(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for f_ in df.schema.fields:
+        if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            )
+    return df.select("user_id", "ts", "value")
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Gap-based sessions: a fully-drained stream must produce the
+    identical session set as the batch plan (complete mode merges
+    cross-batch session fragments in state)."""
+    from tracker_trainer_spark.streaming.ingest_stream import session_window_stats
+
+    batch = _user_events(spark, sf_dir)
+    src = str(tmp_path / "sess_src")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        session_window_stats(stream)
+        .writeStream.format("memory").queryName("sess_counts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.session_value)
+        for r in spark.table("sess_counts").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): (r.n_events, r.session_value)
+        for r in session_window_stats(batch).collect()
+    }
+    assert got == want and len(got) > 0

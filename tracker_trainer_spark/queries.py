@@ -701,6 +701,42 @@ FROM per_session GROUP BY user_id
 """
 
 
+def session_window_sessions(spark, sf_dir):
+    """Gap-based sessions via Spark's native `session_window` — the
+    streaming-capable twin of `user_sessions` (same 30-min rule; this
+    operator also runs watermarked on a stream, see
+    streaming/ingest_stream.py::session_window_stats and its parity
+    test). One shuffle; session state is merged per key by the agg.
+
+    The oracle replays the gap rule with lag() at microsecond precision:
+    a new session starts when ts - prev_ts >= 30 min — session_window's
+    half-open [start, start+gap) semantics."""
+    from tracker_trainer_spark.streaming.ingest_stream import session_window_stats
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return session_window_stats(ev).orderBy("user_id", "session_start")
+
+
+SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events, round(sum(value), 4) AS session_value
+FROM numbered GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 def funnel_view_click_purchase(spark, sf_dir):
     """Ordered-funnel analysis: per user, first view → first click
     strictly after it → first purchase strictly after that.
@@ -2131,6 +2167,7 @@ QUERIES = {
     "reward_summary_stats": reward_summary_stats,
     "propensity_explode_events": propensity_explode_events,
     "user_sessions": user_sessions,
+    "session_window_sessions": session_window_sessions,
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "purchase_attribution_asof": purchase_attribution_asof,
     "dedup_exact_documents": dedup_exact_documents,
@@ -2193,6 +2230,7 @@ ORACLES = {
     "reward_summary_stats": REWARD_STATS_SQL,
     "propensity_explode_events": PROPENSITY_SQL,
     "user_sessions": SESSIONS_SQL,
+    "session_window_sessions": SESSION_WINDOW_SQL,
     "funnel_view_click_purchase": FUNNEL_SQL,
     "purchase_attribution_asof": ASOF_SQL,
     "dedup_exact_documents": DEDUP_SQL,

@@ -159,3 +159,42 @@ def windowed_event_stats(events: DataFrame, ts_col: str = "ts",
             "sum_value",
         )
     )
+
+
+def session_window_stats(events: DataFrame, ts_col: str = "ts",
+                         gap: str = "30 minutes",
+                         watermark_delay: str = "2 hours",
+                         key_col: str = "user_id") -> DataFrame:
+    """Gap-based session windows per key — the streaming twin of the
+    batch `user_sessions` lag+running-sum sessionization (same 30-min
+    gap rule; session_window merges events closer than ``gap``, the lag
+    rule splits on gap > threshold — identical partitions except the
+    measure-zero exact-boundary tie).
+
+    Streaming state is bounded by the watermark: a session closes once
+    the watermark passes its end, exactly the late-reward retention
+    trade the reference makes with its 15-min Firehose window + groom
+    repair (SURVEY §2.11). Works on batch frames too (watermark
+    skipped) so the same operator is oracle-checkable.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    df = events
+    if not isinstance(df.schema[ts_col].dataType, TimestampType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast(TimestampType()))
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark_delay)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("win"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            F.col(key_col),
+            F.col("win.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
