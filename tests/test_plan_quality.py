@@ -256,3 +256,46 @@ def test_funnel_single_agg_shuffle(spark, sf_dir):
     from tracker_trainer_spark.plans import physical_plan
     plan = physical_plan(df)
     assert plan.count("events.parquet") == 1  # one scan feeds the walk
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    ("events_daily_pivot", 2),      # (day,type) partial pivot agg + day final
+    ("purchase_moving_avg", 1),     # one user_id exchange for the RANGE frame
+    ("lineitem_stats_profile", 1),  # all moment aggs in ONE hash agg pass
+    ("doc_tfidf_top_terms", 5),     # tf agg + df agg + join + doc window
+])
+def test_analytics_shuffle_budgets(spark, sf_dir, name, max_shuffles):
+    assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles
+
+
+def test_pivot_pinned_values_single_scan(spark, sf_dir):
+    """pivot() with the PINNED value list must compile straight to a
+    pivotfirst aggregate over ONE events scan — the open-vocabulary
+    form would first run a distinct-values job and a second scan."""
+    df = QUERIES["events_daily_pivot"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "pivotfirst" in opt and "click, error, purchase" in opt
+    from tracker_trainer_spark.plans import physical_plan
+    assert physical_plan(df).count("events.parquet") == 1
+    assert "event_type" not in df.columns  # fully pivoted away
+
+
+def test_moving_avg_prunes_and_pushes(spark, sf_dir):
+    df = QUERIES["purchase_moving_avg"](spark, sf_dir)
+    assert any("event_type" in f for f in pushed_filters(df))
+    for cols in scan_columns(df):
+        assert "props" not in cols  # untouched JSON payload never read
+
+
+def test_tfidf_single_documents_scan(spark, sf_dir):
+    """The cached TF relation must feed BOTH the score rows and the DF
+    aggregation — two documents scans means the cache regressed and the
+    token explode runs twice."""
+    from tracker_trainer_spark.plans import physical_plan
+    df = QUERIES["doc_tfidf_top_terms"](spark, sf_dir)
+    try:
+        plan = physical_plan(df)
+        assert plan.count("documents.parquet") <= 2  # text scan + pruned count scan
+        assert "InMemoryTableScan" in plan
+    finally:
+        spark.catalog.clearCache()

@@ -2200,6 +2200,15 @@ from tracker_trainer_spark.queries_relational_ext import (  # noqa: E402
 
 QUERIES.update(_EXT_QUERIES)
 
+# Extended analytics shapes (pivot, window frames, moment aggregates,
+# TF-IDF) — same one-registry contract.
+from tracker_trainer_spark.queries_analytics_ext import (  # noqa: E402
+    ANALYTICS_ORACLES as _ANALYTICS_ORACLES,
+    ANALYTICS_QUERIES as _ANALYTICS_QUERIES,
+)
+
+QUERIES.update(_ANALYTICS_QUERIES)
+
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_revenue_orders": Q3_SQL,
@@ -2252,3 +2261,4 @@ ORACLES = {
 }
 
 ORACLES.update(_EXT_ORACLES)
+ORACLES.update(_ANALYTICS_ORACLES)

@@ -1,0 +1,281 @@
+"""Extended analytics shapes: pivot/crosstab, window frames, statistical
+aggregates, and TF-IDF term ranking.
+
+These cover DataFrame operator families the base registry does not yet
+exercise — ``pivot`` (conditional-aggregate expansion), RANGE-frame
+window functions (time-based moving aggregates), second-moment
+statistical aggregates (corr/covar/stddev), and a classic IR scoring
+pipeline (tokenize → TF → DF → TF-IDF → per-doc top-k) — each as an
+oracle-checked query per the repo convention: identical column aliases
+on both sides, floats rounded to 4 decimals, deterministic tiebreakers
+under every top-k.
+
+Scale posture (100 TB):
+- pivot with a PINNED value list compiles to one hash agg of
+  conditional sums — a single shuffle on the row key, no second pass to
+  discover pivot values (the two-pass ``pivot(col)`` without a value
+  list collects distincts to the driver — avoided).
+- the RANGE frame sorts within user partitions only (one shuffle on
+  user_id); state per group is bounded by the frame width, not history.
+- corr/covar/stddev are single-pass mergeable moment sketches — the
+  same partial-aggregate shape as sum/count, one shuffle total for all
+  measures.
+- TF-IDF: token explode is scan-side; TF is a (doc,term) hash agg; DF
+  reuses the SAME (term)-keyed shuffle partial-aggregated from TF
+  output (already deduped per doc — orders of magnitude smaller than
+  raw tokens); the DF side of the join is term-cardinality sized and
+  AQE-broadcast when it fits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark, sf_dir, name):
+    from tracker_trainer_spark.queries import _t as _load
+
+    return _load(spark, sf_dir, name)
+
+
+def r4(c):
+    return F.round(c, 4)
+
+
+# --------------------------------------------------------------------------
+# Pivot / crosstab: day-of-month × event_type
+# --------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_daily_pivot(spark, sf_dir):
+    """Crosstab of event counts: one row per calendar day, one column
+    per event type, plus the day's total value.
+
+    The pivot value list is PINNED (the tracker's closed event-type
+    vocabulary) so the plan is a single conditional-aggregate hash agg —
+    one shuffle on the day key, no driver-side distinct-value collect
+    and no second job. Unknown future types would land nowhere, which is
+    the correct contract for a fixed-schema report; the open-vocabulary
+    variant is ``groupBy(day, event_type).count()`` (already covered by
+    ``events_type_stats``).
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            *[F.col(t).cast("long").alias(f"n_{t}") for t in EVENT_TYPES],
+        )
+    )
+
+
+EVENTS_DAILY_PIVOT_SQL = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'error')    AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'view')     AS n_view
+FROM events
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# RANGE-frame window: 7-day trailing moving aggregate per user
+# --------------------------------------------------------------------------
+
+def purchase_moving_avg(spark, sf_dir):
+    """Per purchase: the user's trailing-7-day moving average and count
+    of purchase value, via a time-RANGE window frame (not ROWS — the
+    frame is defined by event-time distance, so bursty users and sparse
+    users get the same 7-day semantics).
+
+    One shuffle (user_id) + in-partition time sort; frame state is
+    bounded by the 7-day width regardless of user history length, so a
+    celebrity user costs memory proportional to their 7-day burst, not
+    their lifetime. Spark's RANGE frame needs a numeric ordering key →
+    epoch MICROseconds (``unix_micros``), the exact integer DuckDB's
+    INTERVAL frame computes on — epoch *seconds* would truncate, pulling
+    same-second-later peers into the frame and shifting the 7-day edge.
+    """
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    # parquet event times arrive TIMESTAMP_NTZ; unix_micros needs
+    # TIMESTAMP — the cast applies a constant session-tz offset, which
+    # cancels in the frame's time differences (same normalization as
+    # streaming/ingest_stream.py's watermark path)
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    # exact moving sum: value → integer micro-units so the windowed sum
+    # is order-independent (DuckDB's segment-tree moving sum and Spark's
+    # running accumulation otherwise differ by 1 ulp, which flips the
+    # 4-decimal rounding at half-way values); the final double division
+    # is then bit-identical on both engines
+    value_u = F.round(F.col("value") * 1_000_000).cast("long")
+    return ev.withColumn("_vu", value_u).select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum("_vu").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double") / 1_000_000.0,
+            4,
+        ).alias("mavg_7d"),
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+    )
+
+
+PURCHASE_MOVING_AVG_SQL = """
+SELECT event_id, user_id,
+       round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w AS DOUBLE)
+             / CAST(count(*) OVER w AS DOUBLE) / 1000000.0, 4) AS mavg_7d,
+       count(*) OVER w AS n_7d
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# Statistical profile: correlation / covariance / dispersion per group
+# --------------------------------------------------------------------------
+
+def lineitem_stats_profile(spark, sf_dir):
+    """Second-moment profile of the fact table per return flag:
+    quantity↔price correlation, sample covariance, and dispersion.
+
+    All five measures are single-pass mergeable moment aggregates
+    (sum/sum²/cross-sum partials) — ONE hash agg, one shuffle, the same
+    cost shape as a plain sum at any scale. corr is scale-free so the
+    cross-engine FP drift is far inside the 4-decimal rounding; the
+    covariance is normalized to a per-price ratio for the same reason
+    (raw covar magnitudes ~1e5 would round-trip fine too, but the ratio
+    keeps the check tolerance-independent of SF).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r4(F.corr("l_quantity", "l_extendedprice")).alias("qty_price_corr"),
+            r4(
+                F.covar_samp("l_quantity", "l_extendedprice")
+                / F.avg("l_extendedprice")
+            ).alias("qty_price_covar_ratio"),
+            r4(F.stddev_samp("l_quantity")).alias("qty_stddev"),
+            r4(F.stddev_samp("l_discount")).alias("discount_stddev"),
+        )
+    )
+
+
+LINEITEM_STATS_SQL = """
+SELECT l_returnflag,
+       count(*) AS n,
+       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice) / avg(l_extendedprice), 4)
+         AS qty_price_covar_ratio,
+       round(stddev_samp(l_quantity), 4) AS qty_stddev,
+       round(stddev_samp(l_discount), 4) AS discount_stddev
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# TF-IDF: top terms per document
+# --------------------------------------------------------------------------
+
+def doc_tfidf_top_terms(spark, sf_dir, k: int = 3, min_len: int = 4):
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Pipeline: whitespace tokenize (same rule as the dedup shingles) →
+    lowercase, keep terms ≥ ``min_len`` chars → term frequency per
+    (doc, term) → document frequency per term — computed FROM the TF
+    output, which is already one row per (doc, term), so the raw token
+    explosion is aggregated away before the second shuffle → idf =
+    ln(N / df) with the corpus size N broadcast as a 1-row literal →
+    per-doc top-k window with (score, term) tiebreak.
+
+    Scale: the explode never shuffles (scan-side generate → partial
+    agg); (doc,term) and (term) aggs are the only exchanges; the DF
+    table is vocabulary-sized and joins back via AQE broadcast when it
+    fits, hash join otherwise. The top-k window rides the doc_id
+    shuffle already required by the final grouping.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n")))
+    terms = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+        )
+        .where(F.length("term") >= min_len)
+    )
+    # cache: TF feeds both the score rows and the DF aggregation — without
+    # it the plan re-scans documents and re-explodes tokens for the DF
+    # branch (the same one-pass-feeds-two-consumers pattern as the
+    # dedup_ngram_jaccard shingle cache)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).cache()
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df, "term")
+        .join(n_docs)
+        .withColumn("tfidf", r4(F.col("tf") * F.log(F.col("_n") / F.col("df"))))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", F.col("rank").cast("long").alias("rank"), "term", "tfidf")
+    )
+
+
+DOC_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '\\s+')) AS t(term)
+  WHERE len(t.term) >= 4
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+  FROM tf JOIN df USING (term), n
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 3
+"""
+
+
+ANALYTICS_QUERIES = {
+    "events_daily_pivot": events_daily_pivot,
+    "purchase_moving_avg": purchase_moving_avg,
+    "lineitem_stats_profile": lineitem_stats_profile,
+    "doc_tfidf_top_terms": doc_tfidf_top_terms,
+}
+
+ANALYTICS_ORACLES = {
+    "events_daily_pivot": EVENTS_DAILY_PIVOT_SQL,
+    "purchase_moving_avg": PURCHASE_MOVING_AVG_SQL,
+    "lineitem_stats_profile": LINEITEM_STATS_SQL,
+    "doc_tfidf_top_terms": DOC_TFIDF_SQL,
+}
