@@ -299,3 +299,35 @@ def test_tfidf_single_documents_scan(spark, sf_dir):
         assert "InMemoryTableScan" in plan
     finally:
         spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    ("cube_orders_margin", 1),        # one Expand + one hash agg exchange
+    ("events_json_value_stats", 1),   # scan-side JSON extract + one agg
+    ("orders_profile", 2),            # multi-distinct Expand rewrite: 2 phases
+    ("customer_spend_quartiles", 2),  # spend agg + the ntile global sort
+])
+def test_analytics2_shuffle_budgets(spark, sf_dir, name, max_shuffles):
+    assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles
+
+
+def test_cube_single_scan_with_expand(spark, sf_dir):
+    """All four grouping sets from ONE orders scan via Expand — the
+    union-of-aggs spelling would scan four times."""
+    from tracker_trainer_spark.plans import physical_plan
+    df = QUERIES["cube_orders_margin"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("orders.parquet") == 1
+    assert "Expand" in plan
+
+
+def test_ntile_sorts_aggregated_relation_only(spark, sf_dir):
+    """The ntile global sort must run on the per-customer aggregate
+    (customer cardinality), never on the orders fact — the agg has to
+    appear BELOW the window sort in the plan."""
+    from tracker_trainer_spark.plans import physical_plan
+    df = QUERIES["customer_spend_quartiles"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "ntile" in plan.lower()
+    # exactly one Sort node (the window's), fed by the hash agg
+    assert plan.count("+- Sort") + plan.count("Sort [") >= 1

@@ -266,11 +266,180 @@ SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 3
 """
 
 
+
+
+
+# --------------------------------------------------------------------------
+# CUBE grouping sets with grouping-id
+# --------------------------------------------------------------------------
+
+def cube_orders_margin(spark, sf_dir):
+    """Order counts + revenue over the full (status × priority) CUBE —
+    all four grouping sets in ONE pass.
+
+    Same single-Expand shape as the rollup query: the cube expands each
+    input row into its 4 grouping-set rows scan-side, then ONE hash agg
+    — versus 4 separate scans+aggs for the union spelling. Null group
+    keys are labeled 'ALL' so the subtotal rows are engine-portable
+    (Spark's grouping_id bit order vs DuckDB's GROUPING need not agree)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r4(F.sum("o_totalprice")).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+CUBE_ORDERS_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
+# JSON path extraction over the event payload
+# --------------------------------------------------------------------------
+
+def events_json_value_stats(spark, sf_dir):
+    """Aggregate by a field EXTRACTED from the JSON payload column —
+    the ad-hoc-analytics twin of the ingest path's schematized VARIANT
+    parse (P1): ``get_json_object`` runs JVM-side inside codegen, so
+    the untyped payload never leaves the scan pipeline.
+
+    Groups the extracted integer into deciles: one narrow extract +
+    one hash agg; the JSON parse cost is scan-side and the payload
+    column is pruned everywhere downstream."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(F.floor(k / 10).alias("k_decile"), "value")
+        .groupBy("k_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r4(F.sum("value")).alias("sum_value"),
+        )
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10) AS BIGINT)
+         AS k_decile,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Table profiling: nulls / distincts / envelopes in one pass
+# --------------------------------------------------------------------------
+
+def orders_profile(spark, sf_dir):
+    """Data-quality profile of the orders table — row count, key
+    distinctness, null fractions, and value/date envelopes — the
+    describe()-style audit a pipeline runs before trusting an input
+    drop.
+
+    ONE aggregate pass: every measure is a mergeable partial (count,
+    conditional count, min/max, exact count-distinct planned as the
+    two-phase partial-distinct agg, no Expand). At 100 TB the exact
+    distinct swaps to approx_count_distinct (HLL sketch, fixed memory)
+    without changing the query shape — exact is the oracle-checkable
+    spelling."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_orderkey").alias("n_orderkeys"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+        r4(F.avg(F.col("o_totalprice").isNull().cast("int"))).alias("null_frac_totalprice"),
+        r4(F.min("o_totalprice")).alias("min_totalprice"),
+        r4(F.max("o_totalprice")).alias("max_totalprice"),
+        F.min("o_orderdate").cast("date").cast("string").alias("first_day"),
+        F.max("o_orderdate").cast("date").cast("string").alias("last_day"),
+    )
+
+
+ORDERS_PROFILE_SQL = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT o_orderkey) AS n_orderkeys,
+       count(DISTINCT o_custkey) AS n_customers,
+       round(avg(CAST(o_totalprice IS NULL AS INT)), 4) AS null_frac_totalprice,
+       round(min(o_totalprice), 4) AS min_totalprice,
+       round(max(o_totalprice), 4) AS max_totalprice,
+       CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS first_day,
+       CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS last_day
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# NTILE segmentation: customer spend quartiles
+# --------------------------------------------------------------------------
+
+def customer_spend_quartiles(spark, sf_dir):
+    """Customer-value segmentation: total spend per customer → ntile(4)
+    quartiles → per-quartile size and spend share.
+
+    Two shuffles: the per-customer spend agg, then the ntile window —
+    which needs a TOTAL order, the one genuinely global sort in the
+    registry (ntile's bucket boundaries depend on global rank). The
+    sorted relation is customer-cardinality (already aggregated), not
+    fact-cardinality, so the sort input is the small side; the tiebreak
+    on custkey makes bucket assignment deterministic across engines."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("_spend")
+    )
+    w = Window.orderBy(F.desc("_spend"), F.asc("o_custkey"))
+    return (
+        spend.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            r4(F.sum("_spend")).alias("total_spend"),
+        )
+        .select(F.col("quartile").cast("long").alias("quartile"),
+                "n_customers", "total_spend")
+    )
+
+
+CUSTOMER_QUARTILES_SQL = """
+WITH spend AS (
+  SELECT o_custkey, sum(o_totalprice) AS s FROM orders GROUP BY 1
+), tiled AS (
+  SELECT ntile(4) OVER (ORDER BY s DESC, o_custkey ASC) AS quartile, s
+  FROM spend
+)
+SELECT CAST(quartile AS BIGINT) AS quartile,
+       count(*) AS n_customers,
+       round(sum(s), 4) AS total_spend
+FROM tiled
+GROUP BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
     "events_daily_pivot": events_daily_pivot,
     "purchase_moving_avg": purchase_moving_avg,
     "lineitem_stats_profile": lineitem_stats_profile,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
+    "cube_orders_margin": cube_orders_margin,
+    "events_json_value_stats": events_json_value_stats,
+    "orders_profile": orders_profile,
+    "customer_spend_quartiles": customer_spend_quartiles,
 }
 
 ANALYTICS_ORACLES = {
@@ -278,4 +447,8 @@ ANALYTICS_ORACLES = {
     "purchase_moving_avg": PURCHASE_MOVING_AVG_SQL,
     "lineitem_stats_profile": LINEITEM_STATS_SQL,
     "doc_tfidf_top_terms": DOC_TFIDF_SQL,
+    "cube_orders_margin": CUBE_ORDERS_SQL,
+    "events_json_value_stats": EVENTS_JSON_SQL,
+    "orders_profile": ORDERS_PROFILE_SQL,
+    "customer_spend_quartiles": CUSTOMER_QUARTILES_SQL,
 }
