@@ -331,3 +331,24 @@ def test_ntile_sorts_aggregated_relation_only(spark, sf_dir):
     assert "ntile" in plan.lower()
     # exactly one Sort node (the window's), fed by the hash agg
     assert plan.count("+- Sort") + plan.count("Sort [") >= 1
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    ("dedup_incremental_batch", 2),    # corpus-fp distinct + anti-join/window key
+    ("stratified_sample_by_lang", 1),  # narrow hash filter + one lang agg
+])
+def test_curation_shuffle_budgets(spark, sf_dir, name, max_shuffles):
+    assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles
+
+
+def test_incremental_dedup_shuffles_fingerprints_not_text(spark, sf_dir):
+    """Both exchanges must carry the 16-byte fingerprint, never the
+    document text — the property that keeps the anti-join cheap at
+    100 TB."""
+    from tracker_trainer_spark.plans import physical_plan
+    df = QUERIES["dedup_incremental_batch"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)

