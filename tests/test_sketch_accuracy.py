@@ -1,0 +1,84 @@
+"""Sketch swap-path guarantees: the docstrings of orders_profile and
+order_value_percentiles claim the exact aggregates swap to
+approx_count_distinct / percentile_approx at 100 TB "without changing
+the query shape". These tests pin that claim: same frame, same grouping,
+sketch result within the published error envelope of the exact one, and
+the sketches MERGE (the property that makes them shuffle-safe — partial
+sketches per partition union into the global answer)."""
+
+from pyspark.sql import functions as F
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    o = _orders(spark, sf_dir)
+    exact, approx = o.agg(
+        F.count_distinct("o_custkey").alias("e"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("a"),
+    ).first()
+    # HLL++ rsd=0.02 → 3-sigma envelope 6%
+    assert abs(approx - exact) <= max(0.06 * exact, 1)
+
+
+def test_percentile_approx_within_rank_error(spark, sf_dir):
+    """percentile_approx(accuracy=a) guarantees rank error <= n/a: the
+    approx p-quantile's true rank must sit within that band."""
+    o = _orders(spark, sf_dir)
+    acc = 1000
+    n = o.count()
+    row = o.agg(
+        F.percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.99))).alias("e"),
+        F.percentile_approx(
+            "o_totalprice", F.array(F.lit(0.5), F.lit(0.99)), F.lit(acc)
+        ).alias("a"),
+    ).first()
+    for p, approx_v in zip((0.5, 0.99), row.a):
+        true_rank = o.where(F.col("o_totalprice") <= approx_v).count()
+        assert abs(true_rank - p * n) <= n / acc + 1, (p, approx_v)
+
+
+def test_hll_sketches_merge_across_splits(spark, sf_dir):
+    """The distributed-aggregation property itself: per-split HLL
+    sketches unioned with hll_union_agg give the SAME estimate as one
+    sketch over all rows — so partial aggregation before the exchange
+    (what Spark plans for approx_count_distinct) loses nothing."""
+    o = _orders(spark, sf_dir).withColumn(
+        "half", (F.col("o_orderkey") % 2).cast("int")
+    )
+    whole = o.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est")
+    ).first().est
+    merged = (
+        o.groupBy("half")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .first()
+        .est
+    )
+    assert merged == whole
+
+
+def test_profile_swaps_to_sketch_same_shape(spark, sf_dir):
+    """The orders_profile swap: replacing count_distinct with
+    approx_count_distinct must REMOVE the multi-distinct Expand rewrite
+    (sketches need no distinct expansion) and keep a single agg pass —
+    the cheaper plan the docstring promises at scale."""
+    from tracker_trainer_spark.plans import count_shuffles, physical_plan
+
+    o = _orders(spark, sf_dir)
+    sketch_profile = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct("o_orderkey").alias("n_orderkeys"),
+        F.approx_count_distinct("o_custkey").alias("n_customers"),
+        F.round(F.min("o_totalprice"), 4).alias("min_totalprice"),
+        F.round(F.max("o_totalprice"), 4).alias("max_totalprice"),
+    )
+    plan = physical_plan(sketch_profile)
+    assert "Expand" not in plan
+    assert count_shuffles(sketch_profile) == 1
+    row = sketch_profile.first()
+    exact = o.agg(F.count_distinct("o_custkey").alias("e")).first().e
+    assert abs(row.n_customers - exact) <= max(0.15 * exact, 2)
