@@ -352,3 +352,17 @@ def test_incremental_dedup_shuffles_fingerprints_not_text(spark, sf_dir):
     import re
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1)
+
+
+def test_gapfill_caches_bucketed_and_single_fact_pass(spark, sf_dir):
+    """gapfill's envelope agg and grid join must both read the CACHED
+    bucket aggregate — without it each consumer re-evaluates down to
+    the fact scan (measured 2x)."""
+    from tracker_trainer_spark.plans import count_shuffles, physical_plan
+    df = QUERIES["purchase_daily_gapfill"](spark, sf_dir)
+    try:
+        plan = physical_plan(df)
+        assert "InMemoryTableScan" in plan
+        assert count_shuffles(df) <= 3  # bucket agg + envelope agg + summary
+    finally:
+        spark.catalog.clearCache()

@@ -544,6 +544,75 @@ GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# Gap-filled time series: dense daily grid + LOCF per user
+# --------------------------------------------------------------------------
+
+def purchase_daily_gapfill(spark, sf_dir):
+    """Per-user daily purchase series densified over each user's active
+    span with last-observation-carried-forward fill, summarized per
+    user (grid size, observed buckets, LOCF mass poured into gaps).
+
+    Runs through functions/timeseries.py::gapfill_locf — the
+    time_bucket_gapfill+locf shape: bucket agg (one (user,day)
+    shuffle) → scan-side sequence/explode grid → left join actuals →
+    LOCF window riding the same user partitioning. Daily values are
+    fixed to 4 decimals and the gap sum runs over integer 1e4-units so
+    both engines sum identical exact values in any order.
+    """
+    from tracker_trainer_spark.functions.timeseries import gapfill_locf, time_bucket
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        "user_id", time_bucket("ts").alias("day")
+    ).agg(r4(F.sum("value")).alias("v"))
+    filled = gapfill_locf(daily, ["user_id"], "day", "v", step="1 day")
+    fill_u = F.round(F.col("filled_value") * 10_000).cast("long")
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.count("v").alias("n_observed"),
+            r4(
+                F.coalesce(
+                    F.sum(F.when(F.col("is_gap"), fill_u)), F.lit(0)
+                ).cast("double")
+                / 10_000.0
+            ).alias("gap_fill_mass"),
+        )
+    )
+
+
+PURCHASE_GAPFILL_SQL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, round(sum(value), 4) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), env AS (
+  SELECT user_id, min(day) AS b0, max(day) AS b1 FROM daily GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 DAY)) AS day
+  FROM env
+), joined AS (
+  SELECT g.user_id, g.day, d.v
+  FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+), locf AS (
+  SELECT user_id, day, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+  FROM joined
+)
+SELECT user_id,
+       count(*) AS n_buckets,
+       count(v) AS n_observed,
+       round(CAST(coalesce(sum(CASE WHEN v IS NULL
+                 THEN CAST(round(fv * 10000) AS BIGINT) END), 0) AS DOUBLE)
+             / 10000.0, 4) AS gap_fill_mass
+FROM locf
+GROUP BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
     "events_daily_pivot": events_daily_pivot,
     "purchase_moving_avg": purchase_moving_avg,
@@ -555,6 +624,7 @@ ANALYTICS_QUERIES = {
     "customer_spend_quartiles": customer_spend_quartiles,
     "dedup_incremental_batch": dedup_incremental_batch,
     "stratified_sample_by_lang": stratified_sample_by_lang,
+    "purchase_daily_gapfill": purchase_daily_gapfill,
 }
 
 ANALYTICS_ORACLES = {
@@ -568,4 +638,5 @@ ANALYTICS_ORACLES = {
     "customer_spend_quartiles": CUSTOMER_QUARTILES_SQL,
     "dedup_incremental_batch": DEDUP_INCREMENTAL_SQL,
     "stratified_sample_by_lang": STRATIFIED_SAMPLE_SQL,
+    "purchase_daily_gapfill": PURCHASE_GAPFILL_SQL,
 }
