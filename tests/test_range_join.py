@@ -111,3 +111,62 @@ def test_oracle_agreement_against_theta_join(spark, frames):
         .collect()
     )
     assert got == want and len(got) > 50
+
+
+# ---------------------------------------------------------------------------
+# interval × interval overlap join
+# ---------------------------------------------------------------------------
+
+def test_overlap_join_differential_vs_theta(spark):
+    """Bucketed overlap join == the naive theta join on random
+    intervals (including spans crossing many bins and exact-touch
+    endpoints), each pair exactly once."""
+    import numpy as np
+    import pandas as pd
+    from tracker_trainer_spark.functions.range_join import interval_overlap_join
+
+    rng = np.random.default_rng(11)
+    def mk(n, tag):
+        lo = rng.integers(0, 5000, n)
+        return pd.DataFrame({
+            "k": rng.integers(0, 4, n),
+            f"{tag}_id": np.arange(n),
+            f"{tag}_lo": pd.to_datetime(lo, unit="s"),
+            f"{tag}_hi": pd.to_datetime(lo + rng.integers(0, 900, n), unit="s"),
+        })
+    a, b = mk(80, "a"), mk(70, "b")
+    A, B = spark.createDataFrame(a), spark.createDataFrame(b)
+
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(
+            A, B, "a_lo", "a_hi", "b_lo", "b_hi", on=["k"], bin_seconds=300
+        ).collect()
+    )
+    theta = A.alias("l").join(
+        B.alias("r"),
+        (F.col("l.k") == F.col("r.k"))
+        & (F.col("l.a_lo") <= F.col("r.b_hi"))
+        & (F.col("r.b_lo") <= F.col("l.a_hi")),
+    )
+    want = sorted((r.a_id, r.b_id) for r in theta.collect())
+    assert got == want and len(got) > 0
+    assert len(got) == len(set(got))  # exactly-once
+
+
+def test_overlap_join_is_hash_join(spark):
+    import pandas as pd
+    from tracker_trainer_spark.functions.range_join import interval_overlap_join
+    from tracker_trainer_spark.plans import physical_plan
+
+    a = pd.DataFrame({"k": [1], "a_lo": pd.to_datetime([0], unit="s"),
+                      "a_hi": pd.to_datetime([100], unit="s")})
+    b = pd.DataFrame({"k": [1], "b_lo": pd.to_datetime([50], unit="s"),
+                      "b_hi": pd.to_datetime([150], unit="s")})
+    df = interval_overlap_join(
+        spark.createDataFrame(a), spark.createDataFrame(b),
+        "a_lo", "a_hi", "b_lo", "b_hi", on=["k"], bin_seconds=60,
+    )
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -69,3 +69,46 @@ def interval_join(
         F.explode(F.sequence(F.floor(lo / bin_seconds), F.floor(hi / bin_seconds))),
     )
     return iv.join(p, [*on, "_bin"]).where(pt.between(lo, hi)).drop("_bin")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: list[str],
+    bin_seconds: int,
+) -> DataFrame:
+    """Interval × interval overlap join: rows = (left ⊕ right) for every
+    pair whose [start, end] spans intersect and whose `on` keys match —
+    the temporal-database overlap primitive (campaign windows × user
+    sessions, outage spans × job runs).
+
+    Same bin-bucketing as `interval_join`, with the exactly-once twist
+    both-sides explosion needs: a pair sharing k bins would match k
+    times, so each pair is emitted only in its CANONICAL bin — the bin
+    containing the overlap's start, ``max(left_start, right_start)``.
+    Both sides explode to their covered bins (bounded by span/W), the
+    (key, bin) equi-join shards hot keys by time, and the residual
+    checks the exact overlap plus canonical-bin ownership. No dedup
+    pass, no theta join, each match produced exactly once.
+    """
+    if bin_seconds <= 0:
+        raise ValueError(f"bin_seconds must be positive, got {bin_seconds}")
+
+    llo, lhi = F.unix_timestamp(F.col(left_start)), F.unix_timestamp(F.col(left_end))
+    rlo, rhi = F.unix_timestamp(F.col(right_start)), F.unix_timestamp(F.col(right_end))
+
+    lv = left.withColumn(
+        "_bin",
+        F.explode(F.sequence(F.floor(llo / bin_seconds), F.floor(lhi / bin_seconds))),
+    )
+    rv = right.withColumn(
+        "_bin",
+        F.explode(F.sequence(F.floor(rlo / bin_seconds), F.floor(rhi / bin_seconds))),
+    )
+    overlap = (llo <= rhi) & (rlo <= lhi)
+    canonical = F.floor(F.greatest(llo, rlo) / bin_seconds) == F.col("_bin")
+    return lv.join(rv, [*on, "_bin"]).where(overlap & canonical).drop("_bin")
