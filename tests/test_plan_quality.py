@@ -366,3 +366,18 @@ def test_gapfill_caches_bucketed_and_single_fact_pass(spark, sf_dir):
         assert count_shuffles(df) <= 3  # bucket agg + envelope agg + summary
     finally:
         spark.catalog.clearCache()
+
+
+def test_psi_caches_counts_and_bounded_shuffles(spark, sf_dir):
+    """The PSI totals branch must read the cached per-bucket counts —
+    not re-aggregate the fact — and the whole query stays within the
+    envelope+counts+totals exchange budget."""
+    from tracker_trainer_spark.plans import count_shuffles, physical_plan
+    df = QUERIES["value_drift_psi"](spark, sf_dir)
+    try:
+        plan = physical_plan(df)
+        assert "InMemoryTableScan" in plan
+        assert plan.count("events.parquet") <= 2  # envelope scan + binning scan
+        assert count_shuffles(df) <= 3
+    finally:
+        spark.catalog.clearCache()

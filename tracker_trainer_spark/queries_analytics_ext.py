@@ -613,6 +613,83 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Distribution drift: population stability index between time windows
+# --------------------------------------------------------------------------
+
+def value_drift_psi(spark, sf_dir, buckets: int = 10):
+    """Population Stability Index of purchase value: first half of the
+    month (reference window = the trainer's world) vs the second half
+    (serving window) — the standard model-monitoring gate for "has the
+    input distribution shifted since training".
+
+    Shape: global min/max envelope (1-row broadcast, as in
+    order_value_histogram) → each event bins scan-side → ONE hash agg
+    of conditional counts per (bucket, window) → per-bucket PSI term
+    with Laplace smoothing (+0.5/bin) so empty bins stay finite. Counts
+    are integers, so p, q, and the log term are bit-identical across
+    engines. At 100 TB this is one fact pass + a 10-row result;
+    drift(feature_i) for the full feature map is the same query over
+    the exploded feature column.
+    """
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    env = F.broadcast(
+        ev.agg(F.min("value").alias("_lo"), F.max("value").alias("_hi"))
+    )
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("_lo"))
+                / (F.col("_hi") - F.col("_lo")) * buckets) + 1,
+        F.lit(buckets),
+    )
+    is_ref = F.dayofmonth("ts") <= 15
+    # cached: counts (<= `buckets` rows) feeds both the totals agg and
+    # the PSI projection — without it the totals branch re-evaluates the
+    # whole fact lineage (measured: 4 static scans -> 2)
+    counts = (
+        ev.join(env)
+        .select(bucket.alias("bucket"), is_ref.alias("_ref"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("_ref").cast("int")).alias("n_ref"),
+            F.sum((~F.col("_ref")).cast("int")).alias("n_cur"),
+        )
+        .cache()
+    )
+    tot = F.broadcast(
+        counts.agg(F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc"))
+    )
+    p = (F.col("n_ref") + 0.5) / (F.col("_tr") + 0.5 * buckets)
+    q = (F.col("n_cur") + 0.5) / (F.col("_tc") + 0.5 * buckets)
+    return (
+        counts.join(tot)
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_ref",
+            "n_cur",
+            r4((p - q) * F.log(p / q)).alias("psi_term"),
+        )
+    )
+
+
+VALUE_DRIFT_PSI_SQL = """
+WITH purch AS (
+  SELECT value, day(ts) <= 15 AS is_ref FROM events WHERE event_type = 'purchase'
+), env AS (SELECT min(value) AS lo, max(value) AS hi FROM purch),
+counts AS (
+  SELECT CAST(least(floor((value - lo) / (hi - lo) * 10) + 1, 10) AS BIGINT) AS bucket,
+         sum(CAST(is_ref AS INT)) AS n_ref,
+         sum(CAST(NOT is_ref AS INT)) AS n_cur
+  FROM purch, env
+  GROUP BY 1
+), tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts)
+SELECT bucket, n_ref, n_cur,
+       round(((n_ref + 0.5) / (tr + 5.0) - (n_cur + 0.5) / (tc + 5.0))
+             * ln(((n_ref + 0.5) / (tr + 5.0)) / ((n_cur + 0.5) / (tc + 5.0))), 4)
+         AS psi_term
+FROM counts, tot
+"""
+
+
 ANALYTICS_QUERIES = {
     "events_daily_pivot": events_daily_pivot,
     "purchase_moving_avg": purchase_moving_avg,
@@ -625,6 +702,7 @@ ANALYTICS_QUERIES = {
     "dedup_incremental_batch": dedup_incremental_batch,
     "stratified_sample_by_lang": stratified_sample_by_lang,
     "purchase_daily_gapfill": purchase_daily_gapfill,
+    "value_drift_psi": value_drift_psi,
 }
 
 ANALYTICS_ORACLES = {
@@ -639,4 +717,5 @@ ANALYTICS_ORACLES = {
     "dedup_incremental_batch": DEDUP_INCREMENTAL_SQL,
     "stratified_sample_by_lang": STRATIFIED_SAMPLE_SQL,
     "purchase_daily_gapfill": PURCHASE_GAPFILL_SQL,
+    "value_drift_psi": VALUE_DRIFT_PSI_SQL,
 }

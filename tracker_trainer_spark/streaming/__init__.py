@@ -7,3 +7,4 @@ from .stateful_merge import (  # noqa: F401
     MERGED_SCHEMA,
     stateful_merge_stream,
 )
+from .stream_join import decisions_rewards_join  # noqa: F401
