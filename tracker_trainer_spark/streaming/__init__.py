@@ -8,3 +8,4 @@ from .stateful_merge import (  # noqa: F401
     stateful_merge_stream,
 )
 from .stream_join import decisions_rewards_join  # noqa: F401
+from .score_stream import score_stream, start_ranking_stream  # noqa: F401
