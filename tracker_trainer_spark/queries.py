@@ -1186,6 +1186,81 @@ ORDER BY doc_id
 """
 
 
+
+def dedup_cluster_survivors(spark, sf_dir):
+    """Quality-ranked dedup survivors: one representative per near-dup
+    cluster, keeping the LONGEST member (n_chars, tie → lowest doc_id)
+    — the curation policy that retains the most complete copy of a
+    mirrored/truncated document family, vs the lowest-id rule of
+    `dedup_minhash_clusters`.
+
+    Same LSH→connected-components pipeline; the survivor choice is one
+    argmax window over the cluster key, riding the labeling join's
+    shuffle. Output is cluster-cardinality (survivor + member count).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    cand = _dedup.near_dup_candidates(
+        docs, "doc_id", "text",
+        num_hashes=MINHASH_H, bands=MINHASH_BANDS, rows=MINHASH_ROWS,
+        seed=MINHASH_SEED,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    comp = _dedup.connected_components(cand)
+    labeled = (
+        docs.join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, F.col("doc_id"))).alias("survivor_id"),
+            F.max(F.when(F.col("_rn") == 1, F.col("n_chars"))).alias("survivor_chars"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+DEDUP_SURVIVORS_SQL = f"""WITH RECURSIVE {_SH_SQL},
+sym AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM cand
+  UNION
+  SELECT doc_id_b, doc_id_a FROM cand
+),
+reach(src, dst) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+),
+labels AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+labeled AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN labels l USING (doc_id)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM labeled
+)
+SELECT cluster_id,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+       max(CASE WHEN rn = 1 THEN n_chars END) AS survivor_chars,
+       count(*) AS n_members
+FROM ranked
+GROUP BY cluster_id
+"""
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard verification of the LSH candidate pairs.
 
@@ -2178,6 +2253,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "dedup_minhash_candidates": dedup_minhash_candidates,
     "dedup_minhash_clusters": dedup_minhash_clusters,
+    "dedup_cluster_survivors": dedup_cluster_survivors,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "doc_fingerprint_lang": doc_fingerprint_lang,
@@ -2250,6 +2326,7 @@ ORACLES = {
     "ann_cosine_topk": ANN_SQL,
     "dedup_minhash_candidates": MINHASH_CAND_SQL,
     "dedup_minhash_clusters": MINHASH_CLUSTERS_SQL,
+    "dedup_cluster_survivors": DEDUP_SURVIVORS_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_simhash": SIMHASH_SQL,
     "doc_fingerprint_lang": FINGERPRINT_LANG_SQL,
