@@ -355,3 +355,102 @@ def bucket_pair_cosines(df: DataFrame, planes: list[list[int]],
         .withColumnRenamed("id_a", f"{id_col}_a")
         .withColumnRenamed("id_b", f"{id_col}_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed vectors + asymmetric distance
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(df: DataFrame, m: int = 8, k: int = 16, seed: int = 11,
+                       vec_col: str = "embedding",
+                       max_iter: int = 10) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: the vector splits into `m`
+    contiguous subvectors and each subspace gets its own KMeans(k)
+    codebook (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", TPAMI 2011).
+
+    The 100 TB memory story: a 64-dim float64 vector is 512 bytes; its
+    PQ code is `m` small ints (m log2(k) bits of information) — a
+    50-100× compression that lets a billion-vector index sit in executor
+    memory while the exact vectors stay on disk for optional re-ranking.
+
+    Training is m independent distributed KMeans fits over narrow
+    subvector slices (each fit sees dim/m columns); only the m×k×(dim/m)
+    codebook floats reach the driver — structurally tiny.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    books: list[list[list[float]]] = []
+    for i in range(m):
+        sub = df.select(
+            array_to_vector(
+                F.transform(
+                    F.slice(F.col(vec_col), i * d + 1, d),
+                    lambda x: x.cast("double"),
+                )
+            ).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + i, maxIter=max_iter).fit(sub)
+        books.append([list(map(float, c)) for c in model.clusterCenters()])
+    return books
+
+
+def pq_encode(vec_col, codebooks: list[list[list[float]]]) -> Column:
+    """Vector → array<int> of `m` codebook indices (nearest centroid per
+    subspace, squared-L2). One Arrow kernel pass: the (m, k, d) codebook
+    tensor broadcasts into each batch; per batch the assignment is m
+    matrix products — no shuffle, no per-row Python."""
+    B = np.asarray(codebooks, dtype=np.float64)          # (m, k, d)
+    m, k, d = B.shape
+    norms = (B ** 2).sum(axis=2)                          # (m, k)
+
+    @F.pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        out = np.empty((X.shape[0], m), dtype=np.int32)
+        for i in range(m):
+            S = X[:, i * d:(i + 1) * d]                   # (n, d)
+            # argmin_j |s - c_j|^2 = argmin_j (|c_j|^2 - 2 s·c_j)
+            out[:, i] = (norms[i] - 2.0 * S @ B[i].T).argmin(axis=1)
+        return pd.Series([list(map(int, r)) for r in out])
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return enc(c)
+
+
+def pq_adc_topk(codes_df: DataFrame, probe: list[float],
+                codebooks: list[list[list[float]]], k: int = 10,
+                code_col: str = "pq_code", id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC): the
+    probe stays exact, each database vector is its PQ reconstruction.
+    dist²(probe, x) ≈ Σ_i lut[i][code_i] where the (m, k) lookup table
+    of per-subspace squared distances is built once on the driver and
+    broadcast into an Arrow kernel — scoring touches ONLY the m-int
+    codes, never the raw vectors, and TakeOrdered avoids a global sort.
+    """
+    B = np.asarray(codebooks, dtype=np.float64)           # (m, k, d)
+    m, _, d = B.shape
+    p = np.asarray(probe, dtype=np.float64)
+    lut = np.stack([
+        ((B[i] - p[i * d:(i + 1) * d]) ** 2).sum(axis=1) for i in range(m)
+    ])                                                    # (m, k)
+
+    @F.pandas_udf("double")
+    def adc(codes: pd.Series) -> pd.Series:
+        C = np.asarray([np.asarray(c, dtype=np.int64) for c in codes])
+        if len(C) == 0:
+            return pd.Series([], dtype=float)
+        return pd.Series(lut[np.arange(m), C].sum(axis=1))
+
+    return (
+        codes_df.select(id_col, adc(F.col(code_col)).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
