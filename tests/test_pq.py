@@ -76,3 +76,35 @@ def test_pq_adc_scores_codes_without_shuffle(spark, sf_dir):
     df = pq_adc_topk(codes, probe, books, k=5)
     assert count_shuffles(df) == 0
     assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_ivf_pq_composition_recall_and_prune(spark, sf_dir):
+    """IVF cell prune + in-cell ADC: at nprobe=n_cells it equals plain
+    ADC (no candidates lost); at nprobe=1 it scans one cell and still
+    finds the probe itself."""
+    from tracker_trainer_spark.functions.similarity import (
+        ivf_assign,
+        ivf_pq_topk,
+        train_ivf_centroids,
+    )
+
+    emb = _embeddings(spark, sf_dir).cache()
+    cents = train_ivf_centroids(emb, k=4, seed=11)
+    books = train_pq_codebooks(emb, m=16, k=64, seed=11)
+    codes = emb.select(
+        "vec_id",
+        ivf_assign("embedding", cents).alias("cell"),
+        pq_encode("embedding", books).alias("pq_code"),
+    ).cache()
+    probe = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+
+    full = [r.vec_id for r in pq_adc_topk(codes, probe, books, k=10).collect()]
+    allcells = [r.vec_id for r in
+                ivf_pq_topk(codes, probe, cents, books, k=10, nprobe=4).collect()]
+    assert full == allcells                      # nprobe=all == plain ADC
+
+    one = {r.vec_id for r in
+           ivf_pq_topk(codes, probe, cents, books, k=10, nprobe=1).collect()}
+    assert 0 in one and len(one) <= 10
+    emb.unpersist()
+    codes.unpersist()

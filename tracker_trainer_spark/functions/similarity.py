@@ -454,3 +454,26 @@ def pq_adc_topk(codes_df: DataFrame, probe: list[float],
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_pq_topk(codes_df: DataFrame, probe: list[float],
+                centroids: list[list[float]],
+                codebooks: list[list[list[float]]], k: int = 10,
+                cell_col: str = "cell", code_col: str = "pq_code",
+                id_col: str = "vec_id", nprobe: int = 1) -> DataFrame:
+    """IVF-PQ: the billion-scale composition — coarse IVF cells prune
+    the candidate set (partition pruning at rest), then ADC ranks the
+    survivors touching only their PQ codes. The index row is
+    (id, cell, m ints): for a billion vectors ≈ a few GB in executor
+    memory, with raw vectors left on disk for optional exact re-rank.
+
+    ``nprobe`` widens the search to the n nearest coarse cells — the
+    recall/latency knob (IVF's cell-edge misses recover as nprobe
+    grows, cost grows linearly in scanned cells).
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    p = np.asarray(probe, dtype=np.float64)
+    near = np.argsort(((C - p) ** 2).sum(axis=1), kind="stable")[:nprobe]
+    pruned = codes_df.where(F.col(cell_col).isin(*[int(c) for c in near]))
+    return pq_adc_topk(pruned, probe, codebooks, k=k,
+                       code_col=code_col, id_col=id_col)
