@@ -270,3 +270,21 @@ def test_connected_components_empty_and_self_loops(spark):
     assert connected_components(empty).count() == 0
     loops = spark.createDataFrame([(7, 7), (8, 8)], "doc_id_a long, doc_id_b long")
     assert connected_components(loops).count() == 0
+
+
+def test_cc_fast_path_equals_distributed(spark):
+    """The small-graph union-find and the star-contraction iteration
+    must label identically — same random graph, threshold forced each
+    way."""
+    import numpy as np
+    from tracker_trainer_spark.functions.dedup import connected_components
+
+    rng = np.random.default_rng(9)
+    edges = [(int(a), int(b)) for a, b in
+             zip(rng.integers(0, 200, 300), rng.integers(0, 200, 300))]
+    df = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+    fast = {(r.node, r.component)
+            for r in connected_components(df).collect()}
+    dist = {(r.node, r.component)
+            for r in connected_components(df, small_graph_threshold=0).collect()}
+    assert fast == dist and len(fast) > 0
