@@ -84,3 +84,31 @@ def test_top_token_fraction_values(spark):
         ).collect()
     }
     assert got == {1: 0.75, 2: 0.25, 3: 1.0}
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """A-ES inclusion probability ∝ weight: a 2-point weight mix (1 vs
+    20) must over-select the heavy rows roughly in proportion."""
+    from pyspark.sql import functions as F
+    from tracker_trainer_spark.functions.sampling import weighted_sample
+
+    rows = [(i, 20.0 if i % 10 == 0 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample(df, "id", "w", 200).collect()
+    heavy = sum(1 for r in got if r.w == 20.0)
+    # heavy rows: 200 of 2000 carry 20/(20*200+1800) = 69% of mass;
+    # deterministic draw (measured 133/200) — assert well above the
+    # 10% unweighted rate and below all-heavy
+    assert 80 <= heavy <= 195, heavy
+
+
+def test_weighted_sample_is_deterministic(spark):
+    from pyspark.sql import functions as F
+    from tracker_trainer_spark.functions.sampling import weighted_sample
+
+    df = spark.range(500).select(
+        F.col("id"), (F.lit(1.0) + F.col("id")).alias("w")
+    )
+    a = sorted(r.id for r in weighted_sample(df, "id", "w", 50).collect())
+    b = sorted(r.id for r in weighted_sample(df, "id", "w", 50).collect())
+    assert a == b and len(a) == 50

@@ -50,3 +50,36 @@ def hash_sample(df: DataFrame, key, pct: int, buckets: int = 100) -> DataFrame:
     """Keep a deterministic ~pct% of rows by key hash (Bernoulli by
     bucket, NOT by position — stable under any ordering/partitioning)."""
     return df.where(hash_bucket(key, buckets) < F.lit(pct))
+
+
+def weighted_sample_key(key, weight) -> Column:
+    """Efraimidis–Spirakis (A-ES) weighted-sampling key: each row draws
+    u ∈ (0,1) deterministically from its id hash and scores
+    u^(1/w) — the top-k rows by this key are a weighted random sample
+    without replacement (Efraimidis & Spirakis, IPL 2006), with
+    inclusion probability proportional to weight.
+
+    Deterministic + engine-portable: u = (first-8-hex-of-md5 + 0.5) /
+    2^32, so the "random" draw is a pure function of the key — the same
+    auditability contract as hash_bucket, and the top-k is reproducible
+    in any engine with md5. Log-space spelling ln(u)/w avoids pow
+    underflow for large weights; ordering is identical.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = (
+        F.conv(F.substring(F.md5(k.cast("string")), 1, 8), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2 ** 32))
+    return F.log(u) / w
+
+
+def weighted_sample(df: DataFrame, key: str, weight: str, n: int) -> DataFrame:
+    """Top-n rows by the A-ES key — a weighted sample without
+    replacement; plans as TakeOrdered (no global sort)."""
+    return (
+        df.withColumn("_es", weighted_sample_key(key, weight))
+        .orderBy(F.desc("_es"))
+        .limit(n)
+        .drop("_es")
+    )

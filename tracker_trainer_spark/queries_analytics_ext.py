@@ -690,6 +690,45 @@ FROM counts, tot
 """
 
 
+# --------------------------------------------------------------------------
+# Weighted sampling (A-ES): length-weighted corpus subsample
+# --------------------------------------------------------------------------
+
+def weighted_doc_sample(spark, sf_dir, n: int = 50):
+    """Length-weighted document sample: 50 docs drawn without
+    replacement with probability ∝ n_chars, via the deterministic
+    Efraimidis–Spirakis key (functions/sampling.py::weighted_sample_key)
+    — long documents over-sampled the way a token-budgeted training mix
+    wants, yet fully reproducible (the "draw" is a pure function of
+    doc_id, same auditor contract as the hash splits).
+
+    Plan: one narrow key computation + TakeOrdered — no shuffle, no
+    global sort; at 100 TB the top-n selection is the same
+    per-partition-heap + driver-merge as any top-k.
+    """
+    from tracker_trainer_spark.functions.sampling import weighted_sample_key
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", "lang", "n_chars",
+            r4(weighted_sample_key("doc_id", "n_chars")).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(n)
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, lang, n_chars,
+       round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 + 0.5) / 4294967296.0) / n_chars, 4) AS es_key
+FROM documents
+ORDER BY es_key DESC, doc_id ASC
+LIMIT 50
+"""
+
+
 ANALYTICS_QUERIES = {
     "events_daily_pivot": events_daily_pivot,
     "purchase_moving_avg": purchase_moving_avg,
@@ -703,6 +742,7 @@ ANALYTICS_QUERIES = {
     "stratified_sample_by_lang": stratified_sample_by_lang,
     "purchase_daily_gapfill": purchase_daily_gapfill,
     "value_drift_psi": value_drift_psi,
+    "weighted_doc_sample": weighted_doc_sample,
 }
 
 ANALYTICS_ORACLES = {
@@ -718,4 +758,5 @@ ANALYTICS_ORACLES = {
     "stratified_sample_by_lang": STRATIFIED_SAMPLE_SQL,
     "purchase_daily_gapfill": PURCHASE_GAPFILL_SQL,
     "value_drift_psi": VALUE_DRIFT_PSI_SQL,
+    "weighted_doc_sample": WEIGHTED_SAMPLE_SQL,
 }
