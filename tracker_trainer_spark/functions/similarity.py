@@ -477,3 +477,29 @@ def ivf_pq_topk(codes_df: DataFrame, probe: list[float],
     pruned = codes_df.where(F.col(cell_col).isin(*[int(c) for c in near]))
     return pq_adc_topk(pruned, probe, codebooks, k=k,
                        code_col=code_col, id_col=id_col)
+
+
+def random_projection(vec_col, out_dim: int, in_dim: int,
+                      seed: int = 11) -> Column:
+    """Johnson–Lindenstrauss random projection: vector → `out_dim`
+    floats via a seeded Gaussian matrix, preserving pairwise distances
+    within (1±ε) w.h.p. — the cheap dimensionality cut applied BEFORE
+    expensive similarity passes (LSH bucketing, PQ training, brute
+    cosine) when embeddings are wider than the task needs.
+
+    The (in_dim, out_dim) matrix is generated deterministically from
+    the seed on each executor (no broadcast needed — ~64×32 floats) and
+    applied as one Arrow matmul per batch; a narrow map, no shuffle.
+    """
+    @F.pandas_udf("array<double>")
+    def proj(vs: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(seed)
+        R = rng.standard_normal((in_dim, out_dim)) / np.sqrt(out_dim)
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        if len(X) == 0:
+            return pd.Series([], dtype=object)
+        Y = X @ R
+        return pd.Series([list(map(float, r)) for r in Y])
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return proj(c)
