@@ -82,3 +82,30 @@ def test_profile_swaps_to_sketch_same_shape(spark, sf_dir):
     row = sketch_profile.first()
     exact = o.agg(F.count_distinct("o_custkey").alias("e")).first().e
     assert abs(row.n_customers - exact) <= max(0.15 * exact, 2)
+
+
+def test_count_min_sketch_overestimates_within_bound(spark, sf_dir):
+    """Count-min heavy hitters: estimates are >= true counts (one-sided
+    by construction) and within eps*N of them — the fixed-memory
+    frequency sketch the per-term TF/DF aggs swap to when the vocab
+    itself no longer fits a hash agg."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eps, conf = 0.01, 0.95
+    sk = ev.agg(
+        F.count_min_sketch(
+            "event_type", F.lit(eps), F.lit(conf), F.lit(42)
+        ).alias("sk")
+    ).first().sk
+    true = {r.event_type: r.n for r in
+            ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_total = sum(true.values())
+
+    # probe the sketch through the JVM helper
+    jvm = spark.sparkContext._jvm
+    jsk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(sk))
+    for et, n in true.items():
+        est = jsk.estimateCount(et)
+        assert est >= n                      # never undercounts
+        assert est - n <= eps * n_total + 1  # within the eps*N bound
