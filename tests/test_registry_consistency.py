@@ -12,7 +12,10 @@ def test_every_oracle_has_a_query():
 def test_queries_without_oracle_are_the_declared_exceptions():
     # non-SQL-expressible ops only — anything else missing an oracle is
     # a silent hole in the correctness gate
-    assert set(QUERIES) - set(ORACLES) == {"train_encode_events"}
+    assert set(QUERIES) - set(ORACLES) == {
+        "train_encode_events",    # Arrow encode kernels
+        "media_image_features",   # binary media pipeline
+    }
 
 
 def test_query_callables_take_spark_and_sfdir():

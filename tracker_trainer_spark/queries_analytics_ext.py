@@ -729,6 +729,43 @@ LIMIT 50
 """
 
 
+# --------------------------------------------------------------------------
+# Multimodal pipeline surface (rows-only check: binary media, no SQL oracle)
+# --------------------------------------------------------------------------
+
+def media_image_features(spark, sf_dir):
+    """The multimodal pipeline end-to-end as a registry-visible query:
+    deterministic synthetic media table (binary payload + typed meta,
+    built distributed) → image decode (documented deterministic stub —
+    no PIL in-container; the mapInPandas plumbing, schemas, and batch
+    shapes are the real artifact) → per-channel mean/std features →
+    per-kind feature summary.
+
+    No SQL oracle (binary media is the declared non-SQL surface; the
+    driver records the rows-only check). Deterministic output:
+    synthetic content is md5-chained bytes, the fake decode is a pure
+    function of them, so row counts and feature values are stable
+    across runs.
+    """
+    from tracker_trainer_spark.multimodal.media import (
+        decode_images,
+        image_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=96, partitions=8)
+    feats = image_features(decode_images(media))
+    return (
+        feats.select(
+            "media_id",
+            F.size("features").alias("n_features"),
+            r4(F.aggregate("features", F.lit(0.0), lambda a, x: a + x))
+            .alias("feature_sum"),
+        )
+        .orderBy("media_id")
+    )
+
+
 ANALYTICS_QUERIES = {
     "events_daily_pivot": events_daily_pivot,
     "purchase_moving_avg": purchase_moving_avg,
@@ -743,6 +780,8 @@ ANALYTICS_QUERIES = {
     "purchase_daily_gapfill": purchase_daily_gapfill,
     "value_drift_psi": value_drift_psi,
     "weighted_doc_sample": weighted_doc_sample,
+    # rows-only by design (binary media): no oracle entry
+    "media_image_features": media_image_features,
 }
 
 ANALYTICS_ORACLES = {
