@@ -1261,6 +1261,91 @@ GROUP BY cluster_id
 """
 
 
+
+def doc_centrality_pagerank(spark, sf_dir, iters: int = 5, damping: float = 0.85):
+    """Document centrality over the near-dup similarity graph: 5 fixed
+    power-iteration rounds of PageRank on the symmetric LSH candidate
+    graph — the "how templated is this document family" signal (hubs of
+    boilerplate score high), and the registry's iterative-algorithm
+    parity case: a FIXED iteration count makes the computation
+    SQL-expressible, so the oracle runs the identical 5 unrolled rounds
+    in DuckDB.
+
+    Per round: one (src)-keyed join of ranks onto edges + one (dst)
+    hash agg — the sparse matvec shape; ranks stay (N×1), edges never
+    rescan the corpus (the candidate pipeline runs once). Isolated
+    documents hold the teleport mass (1-d)/N. At 100 TB the rounds are
+    the same two exchanges regardless of N; lineage grows linearly in
+    `iters` (5), far below checkpoint-needing depth.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # 1 scalar to the driver — bounded by definition
+    cand = _dedup.near_dup_candidates(
+        docs.join(_t(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", "text"),
+        "doc_id", "text",
+        num_hashes=MINHASH_H, bands=MINHASH_BANDS, rows=MINHASH_ROWS,
+        seed=MINHASH_SEED,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    sym = (
+        cand.select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
+        .union(cand.select(F.col("doc_id_b").alias("a"), F.col("doc_id_a").alias("b")))
+        .distinct()
+        .localCheckpoint()  # candidate pipeline runs ONCE, not per round
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    pr = docs.select("doc_id", F.lit(1.0 / n).alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            sym.join(pr, sym.a == pr.doc_id)
+            .join(deg, "a")
+            .groupBy("b")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
+        )
+        pr = docs.join(contrib, docs.doc_id == contrib.b, "left").select(
+            "doc_id",
+            (F.lit((1.0 - damping) / n)
+             + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("pr"),
+        )
+    return (
+        pr.select("doc_id", (F.col("pr") * 1000).alias("_s"))
+        .select("doc_id", F.round("_s", 4).alias("pr_x1000"))
+        .orderBy(F.desc("pr_x1000"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank matching doc_centrality_pagerank."""
+    parts = [
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)",
+        "sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM cand"
+        " UNION SELECT doc_id_b, doc_id_a FROM cand)",
+        "deg AS (SELECT a, CAST(count(*) AS DOUBLE) AS deg FROM sym GROUP BY a)",
+        "pr0 AS (SELECT doc_id, 1.0 / n.n AS pr FROM documents, n)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"c{t + 1} AS (SELECT s.b AS doc_id, sum(p.pr / dg.deg) AS c"
+            f" FROM sym s JOIN pr{t} p ON p.doc_id = s.a"
+            f" JOIN deg dg ON dg.a = s.a GROUP BY s.b)"
+        )
+        parts.append(
+            f"pr{t + 1} AS (SELECT d.doc_id,"
+            f" (1.0 - {damping}) / n.n + {damping} * coalesce(c.c, 0.0) AS pr"
+            f" FROM documents d LEFT JOIN c{t + 1} c USING (doc_id), n)"
+        )
+    return (
+        f"WITH {_SH_SQL},\n" + ",\n".join(parts)
+        + f"\nSELECT doc_id, round(pr * 1000, 4) AS pr_x1000"
+        f" FROM pr{iters} ORDER BY pr_x1000 DESC, doc_id ASC LIMIT 20"
+    )
+
+
+PAGERANK_SQL = _pagerank_sql()
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard verification of the LSH candidate pairs.
 
@@ -2254,6 +2339,7 @@ QUERIES = {
     "dedup_minhash_candidates": dedup_minhash_candidates,
     "dedup_minhash_clusters": dedup_minhash_clusters,
     "dedup_cluster_survivors": dedup_cluster_survivors,
+    "doc_centrality_pagerank": doc_centrality_pagerank,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_simhash": dedup_simhash,
     "doc_fingerprint_lang": doc_fingerprint_lang,
@@ -2327,6 +2413,7 @@ ORACLES = {
     "dedup_minhash_candidates": MINHASH_CAND_SQL,
     "dedup_minhash_clusters": MINHASH_CLUSTERS_SQL,
     "dedup_cluster_survivors": DEDUP_SURVIVORS_SQL,
+    "doc_centrality_pagerank": PAGERANK_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_simhash": SIMHASH_SQL,
     "doc_fingerprint_lang": FINGERPRINT_LANG_SQL,
