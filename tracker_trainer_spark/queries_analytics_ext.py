@@ -766,6 +766,58 @@ def media_image_features(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# Exponentially-decayed engagement value (half-life feature)
+# --------------------------------------------------------------------------
+
+def user_decayed_value(spark, sf_dir, half_life_days: float = 7.0):
+    """Per-user exponentially-decayed purchase value at the user's last
+    event — the standard recency-weighted engagement feature (recent
+    purchases count fully, week-old ones half, by the half-life).
+
+    Naively this is a per-row exp(-λ(T_u − t_i)) needing T_u before the
+    sum — two passes. The factorization exp(-λT_u)·Σ v_i·exp(λ t_i)
+    makes it ONE hash aggregate (both factors are group aggregates over
+    the same shuffle): the sum runs over exp-weighted values and the max
+    timestamp rescales it after the fact. Time is days since the epoch
+    floor so the exponentials stay in range. Same expression verbatim
+    in the oracle.
+    """
+    lam = 0.6931471805599453 / half_life_days  # ln 2 / half-life
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    t_days = (
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("double")
+        / F.lit(86400.0 * 1_000_000)
+        - F.lit(19700.0)  # ~2023-12 epoch-day floor keeps exp() small
+    )
+    return (
+        ev.select("user_id", t_days.alias("_t"), "value")
+        .groupBy("user_id")
+        .agg(
+            r4(
+                F.exp(F.lit(-lam) * F.max("_t"))
+                * F.sum(F.col("value") * F.exp(F.lit(lam) * F.col("_t")))
+            ).alias("decayed_value"),
+            F.count(F.lit(1)).alias("n_purchases"),
+        )
+    )
+
+
+USER_DECAYED_SQL = """
+WITH p AS (
+  SELECT user_id, value,
+         CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0 - 19700.0 AS t
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id,
+       round(exp(-0.0990210257942779 * max(t))
+             * sum(value * exp(0.0990210257942779 * t)), 4) AS decayed_value,
+       count(*) AS n_purchases
+FROM p
+GROUP BY user_id
+"""
+
+
 ANALYTICS_QUERIES = {
     "events_daily_pivot": events_daily_pivot,
     "purchase_moving_avg": purchase_moving_avg,
@@ -780,6 +832,7 @@ ANALYTICS_QUERIES = {
     "purchase_daily_gapfill": purchase_daily_gapfill,
     "value_drift_psi": value_drift_psi,
     "weighted_doc_sample": weighted_doc_sample,
+    "user_decayed_value": user_decayed_value,
     # rows-only by design (binary media): no oracle entry
     "media_image_features": media_image_features,
 }
@@ -798,4 +851,5 @@ ANALYTICS_ORACLES = {
     "purchase_daily_gapfill": PURCHASE_GAPFILL_SQL,
     "value_drift_psi": VALUE_DRIFT_PSI_SQL,
     "weighted_doc_sample": WEIGHTED_SAMPLE_SQL,
+    "user_decayed_value": USER_DECAYED_SQL,
 }
