@@ -381,3 +381,31 @@ def test_psi_caches_counts_and_bounded_shuffles(spark, sf_dir):
         assert count_shuffles(df) <= 3
     finally:
         spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    ("weighted_doc_sample", 0),   # A-ES key is narrow; TakeOrdered top-n
+    ("user_decayed_value", 1),    # the factorization's single hash agg
+    ("doc_centrality_pagerank", 20),  # 5 rounds x (src join + dst agg) x2 sides
+])
+def test_round2_tail_shuffle_budgets(spark, sf_dir, name, max_shuffles):
+    assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    from tracker_trainer_spark.plans import physical_plan
+    df = QUERIES["weighted_doc_sample"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_pagerank_candidates_run_once(spark, sf_dir):
+    """The LSH pipeline must be localCheckpointed before iteration —
+    the final plan scans the checkpoint RDD, not documents per round."""
+    from tracker_trainer_spark.plans import physical_plan
+    plan = physical_plan(QUERIES["doc_centrality_pagerank"](spark, sf_dir))
+    # docs scan appears for ranks init/reattach, but the text column
+    # (LSH input) must not be read in the iterated plan at all
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            assert "text" not in line
