@@ -25,8 +25,12 @@ from .sampling import (  # noqa: F401
     hash_bucket,
     hash_sample,
     hash_split,
+    weighted_sample,
+    weighted_sample_key,
 )
 from .asof import asof_join  # noqa: F401
+from .range_join import interval_join, interval_overlap_join  # noqa: F401
+from .timeseries import gapfill_locf, time_bucket  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_to_literal,
     dot,
@@ -41,4 +45,9 @@ from .similarity import (  # noqa: F401
     build_ivf_index,
     load_ivf_centroids,
     ivf_index_topk,
+    train_pq_codebooks,
+    pq_encode,
+    pq_adc_topk,
+    ivf_pq_topk,
+    random_projection,
 )

@@ -1,14 +1,15 @@
-"""Extended analytics shapes: pivot/crosstab, window frames, statistical
-aggregates, and TF-IDF term ranking.
+"""Extended analytics shapes beyond the base registry: pivot/crosstab,
+RANGE window frames, statistical aggregates, TF-IDF, CUBE grouping
+sets, JSON-path analytics, table profiling, NTILE segmentation,
+incremental dedup, stratified + weighted sampling, time-series gapfill,
+PSI drift monitoring, decayed-value features, and the multimodal
+pipeline surface.
 
-These cover DataFrame operator families the base registry does not yet
-exercise — ``pivot`` (conditional-aggregate expansion), RANGE-frame
-window functions (time-based moving aggregates), second-moment
-statistical aggregates (corr/covar/stddev), and a classic IR scoring
-pipeline (tokenize → TF → DF → TF-IDF → per-doc top-k) — each as an
-oracle-checked query per the repo convention: identical column aliases
-on both sides, floats rounded to 4 decimals, deterministic tiebreakers
-under every top-k.
+Each covers a DataFrame operator family the base registry does not
+exercise, as an oracle-checked query per the repo convention (identical
+column aliases on both sides, floats rounded to 4 decimals,
+deterministic tiebreakers under every top-k) — except the declared
+binary-media entry, which the driver checks rows-only.
 
 Scale posture (100 TB):
 - pivot with a PINNED value list compiles to one hash agg of
