@@ -819,6 +819,70 @@ GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Skyline / Pareto frontier
+# --------------------------------------------------------------------------
+
+def customer_pareto_frontier(spark, sf_dir):
+    """Skyline query: customers not dominated on (total spend, order
+    count) — the Pareto frontier operator (Börzsönyi et al., ICDE 2001),
+    a family classic engines ship as SKYLINE OF and Spark expresses as
+    window algebra.
+
+    2-D skyline without the quadratic self-join: sort the PRE-AGGREGATED
+    per-customer points by spend (customer cardinality — the global
+    window sorts the small aggregate, same posture as the ntile query);
+    a point is dominated iff a strictly-higher-spend point has >= its
+    order count (running max over the strict-upper RANGE frame) or a
+    spend-tied point has strictly more orders. Spend sums in exact
+    integer cents so the RANGE frame's equality classes agree across
+    engines. The oracle is the NOT EXISTS dominance spelling —
+    quadratic, fine at oracle scale, exactly why the engine side uses
+    the windowed form.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    pts = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("spend_c"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w_strict = (
+        Window.orderBy(F.asc("spend_c")).rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_tie = Window.partitionBy("spend_c")
+    return (
+        pts.withColumn("_mx_above", F.max("n_orders").over(w_strict))
+        .withColumn("_mx_tie", F.max("n_orders").over(w_tie))
+        .where(
+            (F.col("_mx_above").isNull() | (F.col("_mx_above") < F.col("n_orders")))
+            & (F.col("_mx_tie") == F.col("n_orders"))
+        )
+        .select(
+            "o_custkey",
+            r4(F.col("spend_c").cast("double") / 100.0).alias("total_spend"),
+            "n_orders",
+        )
+    )
+
+
+PARETO_SQL = """
+WITH pts AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_c,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT p.o_custkey,
+       round(CAST(p.spend_c AS DOUBLE) / 100.0, 4) AS total_spend,
+       p.n_orders
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.spend_c >= p.spend_c AND q.n_orders >= p.n_orders
+    AND (q.spend_c > p.spend_c OR q.n_orders > p.n_orders)
+)
+"""
+
+
 ANALYTICS_QUERIES = {
     "events_daily_pivot": events_daily_pivot,
     "purchase_moving_avg": purchase_moving_avg,
@@ -834,6 +898,7 @@ ANALYTICS_QUERIES = {
     "value_drift_psi": value_drift_psi,
     "weighted_doc_sample": weighted_doc_sample,
     "user_decayed_value": user_decayed_value,
+    "customer_pareto_frontier": customer_pareto_frontier,
     # rows-only by design (binary media): no oracle entry
     "media_image_features": media_image_features,
 }
@@ -853,4 +918,5 @@ ANALYTICS_ORACLES = {
     "value_drift_psi": VALUE_DRIFT_PSI_SQL,
     "weighted_doc_sample": WEIGHTED_SAMPLE_SQL,
     "user_decayed_value": USER_DECAYED_SQL,
+    "customer_pareto_frontier": PARETO_SQL,
 }
