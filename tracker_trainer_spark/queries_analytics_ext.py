@@ -883,6 +883,48 @@ WHERE NOT EXISTS (
 """
 
 
+# --------------------------------------------------------------------------
+# Unpivot / melt: wide measures → long (measure, value) rows
+# --------------------------------------------------------------------------
+
+def lineitem_measures_unpivot(spark, sf_dir):
+    """Melt the wide per-returnflag aggregate into long (measure, value)
+    rows — `unpivot` (the inverse of the pivot query), the standard
+    wide→long reshape feeding generic charting/metric sinks.
+
+    The unpivot runs AFTER the aggregation, on the 3-row wide frame —
+    the expansion is a zero-shuffle Expand over tiny data riding the one
+    real exchange (the hash agg). Values are rounded BEFORE the melt so
+    both engines unpivot identical doubles.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        r4(F.sum("l_quantity")).alias("sum_qty"),
+        r4(F.sum("l_extendedprice")).alias("sum_price"),
+        r4(F.avg("l_discount")).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "avg_disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 4) AS sum_qty,
+         round(sum(l_extendedprice), 4) AS sum_price,
+         round(avg(l_discount), 4) AS avg_disc
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, measure, value
+FROM wide
+UNPIVOT (value FOR measure IN (sum_qty, sum_price, avg_disc))
+"""
+
+
 ANALYTICS_QUERIES = {
     "events_daily_pivot": events_daily_pivot,
     "purchase_moving_avg": purchase_moving_avg,
@@ -899,6 +941,7 @@ ANALYTICS_QUERIES = {
     "weighted_doc_sample": weighted_doc_sample,
     "user_decayed_value": user_decayed_value,
     "customer_pareto_frontier": customer_pareto_frontier,
+    "lineitem_measures_unpivot": lineitem_measures_unpivot,
     # rows-only by design (binary media): no oracle entry
     "media_image_features": media_image_features,
 }
@@ -919,4 +962,5 @@ ANALYTICS_ORACLES = {
     "weighted_doc_sample": WEIGHTED_SAMPLE_SQL,
     "user_decayed_value": USER_DECAYED_SQL,
     "customer_pareto_frontier": PARETO_SQL,
+    "lineitem_measures_unpivot": UNPIVOT_SQL,
 }
