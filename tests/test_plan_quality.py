@@ -409,3 +409,21 @@ def test_pagerank_candidates_run_once(spark, sf_dir):
     for line in plan.splitlines():
         if "ReadSchema" in line:
             assert "text" not in line
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    ("customer_pareto_frontier", 2),   # spend agg + the skyline window sort
+    ("lineitem_measures_unpivot", 1),  # one hash agg; melt Expand is post-agg
+])
+def test_reshape_shuffle_budgets(spark, sf_dir, name, max_shuffles):
+    assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles
+
+
+def test_skyline_has_no_self_join(spark, sf_dir):
+    """The windowed skyline must never plan the quadratic dominance
+    join the oracle uses."""
+    from tracker_trainer_spark.plans import physical_plan
+    plan = physical_plan(QUERIES["customer_pareto_frontier"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("orders.parquet") == 1
