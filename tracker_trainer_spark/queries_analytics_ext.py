@@ -925,6 +925,54 @@ UNPIVOT (value FOR measure IN (sum_qty, sum_price, avg_disc))
 """
 
 
+# --------------------------------------------------------------------------
+# Sliding (hopping) windows: overlapping time buckets
+# --------------------------------------------------------------------------
+
+def sliding_event_counts(spark, sf_dir, width_min: int = 60, slide_min: int = 30):
+    """Per-type event counts over 1-hour windows hopping every 30
+    minutes — the SLIDING variant of the tumbling `windowed_event_stats`
+    (each event lands in width/slide = 2 windows).
+
+    Spark's `window(ts, width, slide)` compiles to a scan-side Expand of
+    each row into its covering windows followed by ONE hash agg — no
+    self-join against a window table. The oracle spells the same
+    expansion with generate_series over the covering window starts.
+    Works identically on a stream (add a watermark) — the batch form is
+    the oracle-checkable one.
+    """
+    ev = _t(spark, sf_dir, "events")
+    win = F.window("ts", f"{width_min} minutes", f"{slide_min} minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+SLIDING_COUNTS_SQL = """
+WITH starts AS (
+  SELECT event_type, ts,
+         unnest(generate_series(
+           -- earliest window covering ts: align down to the slide grid
+           -- from (ts - width + 1us); latest: align ts down to the grid
+           to_timestamp(ceil((epoch_us(ts) - 3600000000 + 1) / 1800000000.0)
+                        * 1800.0),
+           to_timestamp(floor(epoch_us(ts) / 1800000000.0) * 1800.0),
+           INTERVAL 30 MINUTES)) AS window_start
+  FROM events
+)
+SELECT CAST(CAST(window_start AS TIMESTAMP) AS VARCHAR) AS window_start,
+       event_type, count(*) AS n
+FROM starts
+GROUP BY 1, 2
+"""
+
+
 ANALYTICS_QUERIES = {
     "events_daily_pivot": events_daily_pivot,
     "purchase_moving_avg": purchase_moving_avg,
@@ -942,6 +990,7 @@ ANALYTICS_QUERIES = {
     "user_decayed_value": user_decayed_value,
     "customer_pareto_frontier": customer_pareto_frontier,
     "lineitem_measures_unpivot": lineitem_measures_unpivot,
+    "sliding_event_counts": sliding_event_counts,
     # rows-only by design (binary media): no oracle entry
     "media_image_features": media_image_features,
 }
@@ -963,4 +1012,5 @@ ANALYTICS_ORACLES = {
     "user_decayed_value": USER_DECAYED_SQL,
     "customer_pareto_frontier": PARETO_SQL,
     "lineitem_measures_unpivot": UNPIVOT_SQL,
+    "sliding_event_counts": SLIDING_COUNTS_SQL,
 }
