@@ -170,3 +170,27 @@ def test_overlap_join_is_hash_join(spark):
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_overlap_join_rejects_subsecond_gaps(spark):
+    """The residual must compare raw timestamps: intervals separated by
+    a sub-second gap share a truncated second but do NOT overlap."""
+    import pandas as pd
+    from tracker_trainer_spark.functions.range_join import interval_overlap_join
+
+    a = pd.DataFrame({"k": [1, 1], "a_id": [0, 1],
+                      "a_lo": pd.to_datetime([0, 5_000_000], unit="us"),
+                      "a_hi": pd.to_datetime([200_000, 5_200_000], unit="us")})
+    b = pd.DataFrame({"k": [1, 1], "b_id": [0, 1],
+                      "b_lo": pd.to_datetime([800_000, 5_100_000], unit="us"),
+                      "b_hi": pd.to_datetime([900_000, 5_900_000], unit="us")})
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(
+            spark.createDataFrame(a), spark.createDataFrame(b),
+            "a_lo", "a_hi", "b_lo", "b_hi", on=["k"], bin_seconds=60,
+        ).collect()
+    )
+    # pair (0,0): gap 0.2s-0.8s within one second -> NOT a match;
+    # pair (1,1): genuine sub-second overlap -> match
+    assert got == [(1, 1)]

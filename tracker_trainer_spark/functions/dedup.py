@@ -481,15 +481,15 @@ def connected_components(
     # corpora are usually far smaller than the corpus; below the
     # threshold a driver union-find beats O(log n) distributed rounds
     # of fixed scheduling cost (measured ~5 s -> <1 s at sf0.1's 261
-    # edges). The collect is BOUNDED by the threshold check that
-    # precedes it — above threshold the distributed iteration runs,
-    # so the 100 TB posture (no unbounded driver row collection)
-    # holds. Results are identical: min-id labels either way.
-    n_edges = e.count()
-    if n_edges <= small_graph_threshold:
-        labels = _union_find_components(
-            [(r["u"], r["v"]) for r in e.collect()]
-        )
+    # edges). ONE take(threshold+1) both tests the size and fetches the
+    # rows — bounded driver memory by construction, and no separate
+    # count() pass re-evaluating the expensive candidate lineage (the
+    # 100 TB posture: above threshold the sentinel row is found early
+    # and the distributed iteration proceeds with no full extra pass).
+    # Results are identical: min-id labels either way.
+    head = e.take(small_graph_threshold + 1)
+    if len(head) <= small_graph_threshold:
+        labels = _union_find_components([(r["u"], r["v"]) for r in head])
         spark = edges.sparkSession
         schema = e.select(
             F.col("u").alias("node"), F.col("u").alias("component")

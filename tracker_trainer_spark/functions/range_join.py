@@ -109,6 +109,14 @@ def interval_overlap_join(
         "_bin",
         F.explode(F.sequence(F.floor(rlo / bin_seconds), F.floor(rhi / bin_seconds))),
     )
-    overlap = (llo <= rhi) & (rlo <= lhi)
+    # exact residual on the RAW timestamp columns — the second-truncated
+    # unix_timestamp values are only bin coordinates; comparing them here
+    # would admit pairs separated by a sub-second gap
+    overlap = (F.col(left_start) <= F.col(right_end)) & (
+        F.col(right_start) <= F.col(left_end)
+    )
+    # canonical ownership stays on the truncated grid: both sides' bin
+    # ranges cover floor(max(lo)/W) regardless of sub-second parts, so
+    # each overlapping pair is still emitted exactly once
     canonical = F.floor(F.greatest(llo, rlo) / bin_seconds) == F.col("_bin")
     return lv.join(rv, [*on, "_bin"]).where(overlap & canonical).drop("_bin")

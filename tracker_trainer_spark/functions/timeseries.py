@@ -28,13 +28,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+_BUCKET_UNITS = {"1 day": "day", "1 hour": "hour", "1 minute": "minute"}
+
+
 def time_bucket(ts_col, width: str = "1 day") -> Column:
-    """Event-time → bucket start (timestamp floor at `width`)."""
+    """Event-time → bucket start (timestamp floor at `width`). Unknown
+    widths raise — silently coarsening to a default would corrupt every
+    downstream gapfill/feature computation."""
+    if width not in _BUCKET_UNITS:
+        raise ValueError(
+            f"unsupported bucket width {width!r}; one of {sorted(_BUCKET_UNITS)}"
+        )
     c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
-    return F.date_trunc(
-        {"1 day": "day", "1 hour": "hour", "1 minute": "minute"}.get(width, "day"),
-        c,
-    )
+    return F.date_trunc(_BUCKET_UNITS[width], c)
 
 
 def gapfill_locf(

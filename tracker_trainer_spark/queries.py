@@ -1281,8 +1281,7 @@ def doc_centrality_pagerank(spark, sf_dir, iters: int = 5, damping: float = 0.85
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()  # 1 scalar to the driver — bounded by definition
     cand = _dedup.near_dup_candidates(
-        docs.join(_t(spark, sf_dir, "documents"), "doc_id")
-        .select("doc_id", "text"),
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
         "doc_id", "text",
         num_hashes=MINHASH_H, bands=MINHASH_BANDS, rows=MINHASH_ROWS,
         seed=MINHASH_SEED,

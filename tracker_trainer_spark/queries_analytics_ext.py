@@ -710,13 +710,17 @@ def weighted_doc_sample(spark, sf_dir, n: int = 50):
     from tracker_trainer_spark.functions.sampling import weighted_sample_key
 
     docs = _t(spark, sf_dir, "documents")
+    # select on the EXACT key (rounding it first would collapse the
+    # selection into ~1e-4-wide tie buckets decided by doc_id, breaking
+    # the inclusion∝weight property); the displayed column rounds AFTER
+    # the cut. Exact-key doubles are identical in both engines (same
+    # integer hash → same ln/divide), so the selected set hash-matches.
+    key = weighted_sample_key("doc_id", "n_chars")
     return (
-        docs.select(
-            "doc_id", "lang", "n_chars",
-            r4(weighted_sample_key("doc_id", "n_chars")).alias("es_key"),
-        )
-        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        docs.select("doc_id", "lang", "n_chars", key.alias("_k"))
+        .orderBy(F.desc("_k"), F.asc("doc_id"))
         .limit(n)
+        .select("doc_id", "lang", "n_chars", r4(F.col("_k")).alias("es_key"))
     )
 
 
@@ -725,7 +729,8 @@ SELECT doc_id, lang, n_chars,
        round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                  + 0.5) / 4294967296.0) / n_chars, 4) AS es_key
 FROM documents
-ORDER BY es_key DESC, doc_id ASC
+ORDER BY ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            + 0.5) / 4294967296.0) / n_chars DESC, doc_id ASC
 LIMIT 50
 """
 
@@ -956,17 +961,17 @@ def sliding_event_counts(spark, sf_dir, width_min: int = 60, slide_min: int = 30
 
 SLIDING_COUNTS_SQL = """
 WITH starts AS (
-  SELECT event_type, ts,
+  SELECT event_type,
+         -- covering window starts on the slide grid, in epoch SECONDS
+         -- (pure integer arithmetic: no to_timestamp/TIMESTAMPTZ, so the
+         -- result is independent of DuckDB's session TimeZone)
          unnest(generate_series(
-           -- earliest window covering ts: align down to the slide grid
-           -- from (ts - width + 1us); latest: align ts down to the grid
-           to_timestamp(ceil((epoch_us(ts) - 3600000000 + 1) / 1800000000.0)
-                        * 1800.0),
-           to_timestamp(floor(epoch_us(ts) / 1800000000.0) * 1800.0),
-           INTERVAL 30 MINUTES)) AS window_start
+           CAST(ceil((epoch_us(ts) - 3600000000 + 1) / 1800000000.0) AS BIGINT) * 1800,
+           CAST(floor(epoch_us(ts) / 1800000000.0) AS BIGINT) * 1800,
+           1800)) AS start_s
   FROM events
 )
-SELECT CAST(CAST(window_start AS TIMESTAMP) AS VARCHAR) AS window_start,
+SELECT CAST(make_timestamp(start_s * 1000000) AS VARCHAR) AS window_start,
        event_type, count(*) AS n
 FROM starts
 GROUP BY 1, 2

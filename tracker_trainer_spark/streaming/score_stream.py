@@ -44,12 +44,21 @@ def start_ranking_stream(tm: TrainedModel, stream: DataFrame,
                          now_ts: float | None = None,
                          available_now: bool = True,
                          processing_time: str | None = None):
-    """Rank candidates per decision each micro-batch and append winners
-    to a parquet sink; returns the StreamingQuery."""
-    def _rank_batch(batch: DataFrame, _id: int) -> None:
+    """Rank candidates per decision each micro-batch and write winners
+    to a parquet sink; returns the StreamingQuery.
+
+    foreachBatch is at-least-once: a retry after a partial write would
+    duplicate winners under a blind append. Each batch therefore
+    overwrites its OWN `batch_id=<id>` subdirectory — the retry replaces
+    the partial output instead of appending beside it, making the sink
+    exactly-once. Readers load ``sink_path`` and partition discovery
+    surfaces batch_id as a column.
+    """
+    def _rank_batch(batch: DataFrame, batch_id: int) -> None:
         (
             rank_items(tm, batch, group_col, now_ts=now_ts)
-            .write.mode("append").parquet(sink_path)
+            .write.mode("overwrite")
+            .parquet(f"{sink_path}/batch_id={batch_id}")
         )
 
     writer = (
