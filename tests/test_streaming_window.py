@@ -96,3 +96,16 @@ def test_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in session_window_stats(batch).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_windowed_stats_rejects_non_timestamp_event_time(spark):
+    """A bigint event-time (what nanosAsLong=true delivers from raw
+    parquet) must raise, not be cast as seconds into garbage windows."""
+    import pytest
+
+    df = spark.range(10).select(
+        F.col("id").alias("ts"), F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+    )
+    with pytest.raises(TypeError, match="timestamp"):
+        windowed_event_stats(df)

@@ -121,3 +121,24 @@ def test_hadoop_lock_leg(spark, tmp_path):
     with _hadoop_lock(uri, timeout=5, stale_after=10, poll=0.05):
         pass
     assert not os.path.exists(f"{tmp_path}/tl/_lock")
+
+
+def test_lock_normalizes_hadoop_single_slash_file_uri(tmp_path):
+    """file:/path (Hadoop's normalized form) and the plain path must
+    contend for the SAME lock — the scheme-stripping bug let both
+    'exclusive' holders in simultaneously."""
+    import pytest
+
+    from tracker_trainer_spark.ingest.lock import (
+        TimelineLockTimeout,
+        timeline_lock,
+    )
+
+    tl = str(tmp_path / "tl")
+    with timeline_lock(f"file:{tl}"):
+        with pytest.raises(TimelineLockTimeout):
+            with timeline_lock(tl, timeout=0.5):
+                pass
+    # released: the plain path can acquire now
+    with timeline_lock(tl, timeout=0.5):
+        pass

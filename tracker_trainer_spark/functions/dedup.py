@@ -498,14 +498,26 @@ def connected_components(
             list(labels.items()) or [], schema=schema
         )
     prev = None
+    converged = False
     for _ in range(max_iterations):
         e = _cc_small_star(_cc_large_star(e)).localCheckpoint()
         chk = e.agg(
             F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
         ).first()
         if prev == (chk["n"], chk["h"]):
+            converged = True
             break
         prev = (chk["n"], chk["h"])
+    if not converged:
+        # a non-fixpoint edge set can label one node with MULTIPLE
+        # components — silently wrong dedup downstream. The star rounds
+        # converge in O(log n); 25 rounds covers any realistic graph, so
+        # exhaustion means something is broken — fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "star-contraction rounds — raise max_iterations or inspect "
+            "the edge distribution"
+        )
     # fixpoint: every edge is (member, component-min); centers label
     # themselves so each node appears exactly once
     return (

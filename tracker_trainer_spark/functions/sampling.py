@@ -39,11 +39,19 @@ def hash_bucket(key, buckets: int = 100) -> Column:
 def hash_split(
     key, holdout_pct: int = 10, buckets: int = 100, split_col_names=("train", "holdout")
 ) -> Column:
-    """Label rows 'train'/'holdout' deterministically by key hash."""
+    """Label rows 'train'/'holdout' deterministically by key hash.
+
+    NULL keys get a NULL label (not silently 'train'): a row with no id
+    has no reproducible membership under the audit contract, and a bare
+    ``otherwise`` would bias every such row into the train split while
+    ``hash_sample`` drops them — callers decide the NULL policy
+    explicitly."""
     train_name, holdout_name = split_col_names
-    return F.when(
-        hash_bucket(key, buckets) < F.lit(holdout_pct), F.lit(holdout_name)
-    ).otherwise(F.lit(train_name))
+    b = hash_bucket(key, buckets)
+    return (
+        F.when(b < F.lit(holdout_pct), F.lit(holdout_name))
+        .when(b >= F.lit(holdout_pct), F.lit(train_name))
+    )
 
 
 def hash_sample(df: DataFrame, key, pct: int, buckets: int = 100) -> DataFrame:

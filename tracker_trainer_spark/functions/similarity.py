@@ -208,7 +208,13 @@ def lloyd_centroids(df: DataFrame, k: int = 8, iters: int = 2,
     for _ in range(iters):
         rows = assigned.groupBy("cell").agg(*mean_cols).collect()
         # sort by cell id: list position tracks ascending cell id, so the
-        # argmin tie-break (first minimum) == SQL's ORDER BY dist, cid
+        # argmin tie-break (first minimum) == SQL's ORDER BY dist, cid.
+        # If a cell EMPTIES, later positions shift down one — harmless
+        # for oracle parity: position i ↔ the i-th smallest surviving
+        # cid is an order-preserving bijection, so per-cell means,
+        # distances, argmin ranks, and inverted-list MEMBERSHIP all
+        # correspond across rounds (the labels differ, the partition of
+        # vectors does not); the trained index just has < k live cells.
         cents = [[float(r[f"c{i}"]) for i in range(dim)]
                  for r in sorted(rows, key=lambda r: r["cell"])]
         assigned = df.select(

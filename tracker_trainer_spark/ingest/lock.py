@@ -50,7 +50,13 @@ def timeline_lock(timeline_path: str, timeout: float = 120.0,
         with _hadoop_lock(timeline_path, timeout, stale_after, poll):
             yield
         return
-    local = urlparse(timeline_path).path if "://" in timeline_path else timeline_path
+    # strip the scheme via urlparse whenever one is present — Hadoop
+    # normalizes file URIs to the single-slash form (file:/tmp/x), which
+    # a '://' substring test misses, sending the mkdir to a bogus
+    # relative './file:/...' directory while a plain-path caller locks
+    # the real one (two "exclusive" holders)
+    parsed = urlparse(timeline_path)
+    local = parsed.path if parsed.scheme else timeline_path
     os.makedirs(local, exist_ok=True)
     lock_path = os.path.join(local, LOCK_DIR)
     meta_path = os.path.join(lock_path, "holder.json")
@@ -104,17 +110,22 @@ def _hadoop_lock(timeline_path: str, timeout: float, stale_after: float,
         except Exception as e:
             if "AlreadyExists" not in str(e) and "already exists" not in str(e):
                 raise
-            try:
-                age = time.time() - fs.getFileStatus(marker).getModificationTime() / 1000.0
-            except Exception:
-                continue  # marker vanished — retry the claim
-            if age > stale_after:
-                fs.delete(marker, False)
-                continue
+            # EVERY contention path below re-checks the deadline and
+            # sleeps before retrying — a persistent metadata-read failure
+            # (throttling storm, expired credentials) must degrade into a
+            # bounded TimelineLockTimeout, never an unthrottled busy loop
             if time.time() > deadline:
                 raise TimelineLockTimeout(
                     f"could not acquire {marker} within {timeout}s"
                 ) from None
+            try:
+                age = time.time() - fs.getFileStatus(marker).getModificationTime() / 1000.0
+            except Exception:
+                time.sleep(poll)
+                continue  # marker vanished or unreadable — retry the claim
+            if age > stale_after:
+                fs.delete(marker, False)
+                continue
             time.sleep(poll)
     try:
         yield

@@ -862,17 +862,16 @@ def corpus_curation(spark, sf_dir, min_tokens: int = 30,
     survivors.
     """
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), r"\s+")
-    stop = ["the", "a", "of", "and", "to", "in", "is"]
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop)))
-    n_punct = F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    # gates come from the ONE canonical definition (functions/text.py) —
+    # a divergent inline copy would silently de-sync curation from the
+    # metrics it documents itself as applying
+    qm = _text.quality_metrics("text")
     scored = docs.select(
         "doc_id",
         F.md5(F.col("text")).alias("fingerprint"),
-        n_tokens.cast("long").alias("n_tokens"),
-        (n_stop / n_tokens).alias("_sr"),
-        (n_punct / F.length("text")).alias("_pr"),
+        qm["n_tokens"].cast("long").alias("n_tokens"),
+        qm["stopword_ratio"].alias("_sr"),
+        qm["punct_ratio"].alias("_pr"),
         _text.lang_guess(_text.tokens("text")).alias("lang"),
     )
     survivors = scored.where(
@@ -904,19 +903,15 @@ def doc_text_stats(spark, sf_dir):
     """Per-document quality metrics: token count, avg token length,
     punctuation ratio, stopword ratio (whitespace tokenizer)."""
     docs = _t(spark, sf_dir, "documents")
-    tokens = F.split(F.col("text"), r"\s+")
-    stop = ["the", "a", "of", "and", "to", "in", "is"]
-    n_tokens = F.size(tokens)
-    n_stop = F.size(F.filter(tokens, lambda t: t.isin(*stop)))
-    n_punct = F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    qm = _text.quality_metrics("text")  # the one canonical definition
     return docs.select(
         "doc_id",
-        F.length("text").cast("long").alias("n_chars_calc"),
-        n_tokens.cast("long").alias("n_tokens"),
+        qm["n_chars"].cast("long").alias("n_chars_calc"),
+        qm["n_tokens"].cast("long").alias("n_tokens"),
         _text.subword_token_count("text").cast("long").alias("n_subword_tokens"),
-        r4((F.length("text") - n_tokens + 1) / n_tokens).alias("avg_token_len"),
-        r4(n_punct / F.length("text")).alias("punct_ratio"),
-        r4(n_stop / n_tokens).alias("stopword_ratio"),
+        r4(qm["avg_token_len"]).alias("avg_token_len"),
+        r4(qm["punct_ratio"]).alias("punct_ratio"),
+        r4(qm["stopword_ratio"]).alias("stopword_ratio"),
     )
 
 

@@ -123,6 +123,29 @@ def start_timeline_stream(spark: SparkSession, source_path: str,
     return writer.start()
 
 
+def _normalize_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """TIMESTAMP passes through; TIMESTAMP_NTZ (the parquet default)
+    casts to TIMESTAMP (required by watermarks; session tz is a constant
+    offset). Anything else RAISES: a blind cast on e.g. the bigint-nanos
+    column that spark.sql.legacy.parquet.nanosAsLong=true (this repo's
+    session default) delivers would interpret the value as SECONDS and
+    silently compute windows billions of years out — callers must
+    convert explicitly (``F.timestamp_micros(ns / 1000)``)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, TimestampType):
+        return df
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast(TimestampType()))
+    raise TypeError(
+        f"event-time column {ts_col!r} is {dt.simpleString()}; expected "
+        "timestamp/timestamp_ntz — convert explicitly (e.g. "
+        "timestamp_micros for integer nanos/1000) before windowing"
+    )
+
+
 def windowed_event_stats(events: DataFrame, ts_col: str = "ts",
                          window_duration: str = "1 hour",
                          watermark_delay: str = "2 hours",
@@ -136,14 +159,8 @@ def windowed_event_stats(events: DataFrame, ts_col: str = "ts",
     plan ignores the watermark — useful for oracle comparisons).
     """
     from pyspark.sql import functions as F  # local: keep module header lean
-    from pyspark.sql.types import TimestampType
 
-    df = events
-    # Parquet event times arrive as TIMESTAMP_NTZ (no zone); watermarks
-    # require TIMESTAMP. Normalize here — in the shared path — so stream
-    # and batch aggregate over the identical column type.
-    if not isinstance(df.schema[ts_col].dataType, TimestampType):
-        df = df.withColumn(ts_col, F.col(ts_col).cast(TimestampType()))
+    df = _normalize_event_time(events, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark_delay)
     return (
@@ -178,11 +195,8 @@ def session_window_stats(events: DataFrame, ts_col: str = "ts",
     skipped) so the same operator is oracle-checkable.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import TimestampType
 
-    df = events
-    if not isinstance(df.schema[ts_col].dataType, TimestampType):
-        df = df.withColumn(ts_col, F.col(ts_col).cast(TimestampType()))
+    df = _normalize_event_time(events, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark_delay)
     return (

@@ -32,15 +32,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import TimestampType
 
 
 def _norm_ts(df: DataFrame, col: str) -> DataFrame:
     """Parquet event times arrive TIMESTAMP_NTZ; watermarks require
-    TIMESTAMP (same normalization as ingest_stream.py)."""
-    if not isinstance(df.schema[col].dataType, TimestampType):
-        df = df.withColumn(col, F.col(col).cast(TimestampType()))
-    return df
+    TIMESTAMP (same normalization + same non-timestamp guard as
+    ingest_stream._normalize_event_time — a blind cast would read
+    bigint nanos as seconds)."""
+    from .ingest_stream import _normalize_event_time
+
+    return _normalize_event_time(df, col)
 
 
 def decisions_rewards_join(

@@ -51,8 +51,6 @@ def save_model(tm: TrainedModel, path: str, model_name: str = "model") -> None:
         "backend": "xgboost" if HAS_XGBOOST else "spark-ml",
         "string_hash": STRING_HASH_NAME,
     }
-    with open(os.path.join(path, METADATA_FILE), "w") as f:
-        json.dump(meta, f, sort_keys=True)
     model_path = os.path.join(path, MODEL_DIR)
     if HAS_XGBOOST:
         # client artifacts: metadata-embedded model.xgb (+ model.mlmodel
@@ -74,6 +72,13 @@ def save_model(tm: TrainedModel, path: str, model_name: str = "model") -> None:
             feature_names=tm.feature_names,
         )
     tm.model.write().overwrite().save(model_path)
+    # metadata.json is the COMMIT MARKER and must be written LAST: a
+    # crash between a fresh metadata and the (stale) model dir would
+    # otherwise leave a checkpoint whose seed/tables pass the
+    # load_checkpoint_if_fresh gate while the trees underneath belong to
+    # the previous train — silently-wrong propensities downstream.
+    with open(os.path.join(path, METADATA_FILE), "w") as f:
+        json.dump(meta, f, sort_keys=True)
 
 
 def load_model(spark: SparkSession, path: str) -> TrainedModel:
