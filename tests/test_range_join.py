@@ -194,3 +194,38 @@ def test_overlap_join_rejects_subsecond_gaps(spark):
     # pair (0,0): gap 0.2s-0.8s within one second -> NOT a match;
     # pair (1,1): genuine sub-second overlap -> match
     assert got == [(1, 1)]
+
+
+def test_overlap_join_differential_with_microsecond_timestamps(spark):
+    """Random MICROSECOND-resolution intervals (the post-fix regime):
+    bucketed overlap == theta join when truncated seconds collide but
+    raw spans do or don't overlap."""
+    import numpy as np
+    import pandas as pd
+    from tracker_trainer_spark.functions.range_join import interval_overlap_join
+
+    rng = np.random.default_rng(21)
+    def mk(n, tag):
+        lo = rng.integers(0, 600_000_000, n)        # 10 min span, in us
+        return pd.DataFrame({
+            "k": rng.integers(0, 3, n),
+            f"{tag}_id": np.arange(n),
+            f"{tag}_lo": pd.to_datetime(lo, unit="us"),
+            f"{tag}_hi": pd.to_datetime(lo + rng.integers(0, 90_000_000, n), unit="us"),
+        })
+    a, b = mk(60, "a"), mk(60, "b")
+    A, B = spark.createDataFrame(a), spark.createDataFrame(b)
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(
+            A, B, "a_lo", "a_hi", "b_lo", "b_hi", on=["k"], bin_seconds=30
+        ).collect()
+    )
+    theta = A.alias("l").join(
+        B.alias("r"),
+        (F.col("l.k") == F.col("r.k"))
+        & (F.col("l.a_lo") <= F.col("r.b_hi"))
+        & (F.col("r.b_lo") <= F.col("l.a_hi")),
+    )
+    want = sorted((r.a_id, r.b_id) for r in theta.collect())
+    assert got == want and len(got) == len(set(got)) and len(got) > 0
