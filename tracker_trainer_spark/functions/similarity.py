@@ -258,6 +258,31 @@ def ann_lsh_topk(
     )
 
 
+def ann_lsh_multiprobe_topk(
+    df: DataFrame, probe: list[float], planes: list[list[int]], k: int = 10,
+    hamming: int = 1, vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB 2007): widen the search to
+    every bucket within `hamming` bit flips of the probe's bucket — the
+    recall knob for hyperplane LSH. A near neighbor lost to one
+    hyperplane's sign flip sits in a Hamming-1 bucket; probing those
+    recovers it at (1 + n_planes) buckets of cost instead of doubling
+    the table count the single-probe recall fix would need.
+
+    The predicate is ``bit_count(bucket XOR probe_bucket) <= hamming``
+    — one codegen expression, still a scan-side prune before any
+    shuffle; at rest with bucket partitioning it is partition pruning
+    over the (n_planes choose <=hamming) cells.
+    """
+    probe_bucket = 0
+    for p, plane in enumerate(planes):
+        if sum(float(a) * b for a, b in zip(probe, plane)) >= 0:
+            probe_bucket |= 1 << p
+    b = hyperplane_bucket(vec_col, planes)
+    near = F.bit_count(b.bitwiseXOR(F.lit(probe_bucket))) <= hamming
+    return brute_force_topk(df.where(near), probe, k, vec_col, id_col)
+
+
 # --------------------------------------------------------------------------
 # Persistent IVF index: build once, partition-pruned probes forever
 # --------------------------------------------------------------------------

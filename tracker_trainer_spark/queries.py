@@ -1523,6 +1523,41 @@ LIMIT 10
 """
 
 
+
+def ann_lsh_multiprobe(spark, sf_dir, probe_vec_id: int = 0, k: int = 10):
+    """Multi-probe LSH ANN (Hamming<=1 bucket expansion) — the recall
+    knob over ann_lsh_bucketed: near neighbors lost to one hyperplane's
+    sign flip are recovered from the adjacent buckets at (1 + n_planes)
+    buckets of scan cost. Same exact-cosine scoring inside the widened
+    candidate set; the oracle widens its bucket predicate identically
+    (bit_count(xor) <= 1)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in
+             emb.where(F.col("vec_id") == probe_vec_id).select("embedding").first()[0]]
+    return (
+        _sim.ann_lsh_multiprobe_topk(emb, probe, _PLANES, k=k)
+        .select("vec_id", r4(F.col("cosine")).alias("cosine"))
+    )
+
+
+ANN_LSH_MULTIPROBE_SQL = f"""WITH {_VEC_SQL},
+probe AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+q AS (SELECT i, e FROM v WHERE vec_id = 0),
+s AS (
+  SELECT v.vec_id, sum(v.e * q.e) AS dot
+  FROM v JOIN q USING (i)
+  WHERE v.vec_id IN (SELECT b.vec_id FROM buckets b, probe p
+                     WHERE bit_count(xor(b.bucket, p.bucket)) <= 1)
+  GROUP BY v.vec_id
+)
+SELECT s.vec_id,
+       round(s.dot / (nv.n * (SELECT n FROM norms WHERE vec_id = 0)), 4) AS cosine
+FROM s JOIN norms nv ON nv.vec_id = s.vec_id
+ORDER BY s.dot / (nv.n * (SELECT n FROM norms WHERE vec_id = 0)) DESC, s.vec_id
+LIMIT 10
+"""
+
+
 def ann_ivf_topk(spark, sf_dir, probe_vec_id: int = 0, k: int = 10, n_cells: int = 8):
     """IVF (nprobe=1) ANN with a TRAINED coarse quantizer: deterministic
     distributed Lloyd (mod-k init, 2 refinement rounds — see
@@ -2338,6 +2373,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "doc_fingerprint_lang": doc_fingerprint_lang,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_similar_pairs": embedding_similar_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -2412,6 +2448,7 @@ ORACLES = {
     "dedup_simhash": SIMHASH_SQL,
     "doc_fingerprint_lang": FINGERPRINT_LANG_SQL,
     "ann_lsh_bucketed": ANN_LSH_SQL,
+    "ann_lsh_multiprobe": ANN_LSH_MULTIPROBE_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "embedding_similar_pairs": SIMILAR_PAIRS_SQL,
     "dedup_embedding_cosine": DEDUP_EMB_SQL,
