@@ -1,8 +1,12 @@
 """Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR and print one
 JSON line {"metric": ..., "value": total_sec, "unit": "sec", "queries": ...}.
 
-Each query is fully materialized (count + collect of the final result) so
-the measured time covers scan → shuffle → action, not plan construction.
+Each query is fully materialized so the measured time covers scan →
+shuffle → action, not plan construction. Materialization is Arrow on BOTH
+engines (Spark ``toPandas()``, DuckDB ``.df()``): row-object ``collect()``
+/ ``fetchall()`` deserialization dominated wide results (propensity
+explode: 0.95 s collect vs 0.43 s Arrow for identical engine work) and
+measures the client protocol, not the engine.
 """
 
 from __future__ import annotations
@@ -39,7 +43,7 @@ def duckdb_timings(sf_dir: str, threads: str) -> dict[str, float]:
         runs = []
         for _ in range(2):
             start = time.perf_counter()
-            con.execute(sql).fetchall()
+            con.execute(sql).df()
             runs.append(time.perf_counter() - start)
         out[name] = min(runs)  # unrounded: sub-ms oracles must not
         # round to 0.0 and silently vanish from the ratio map
@@ -61,8 +65,8 @@ def main() -> None:
     from tracker_trainer_spark.session import warm_python_workers
 
     warm_python_workers(spark)
-    QUERIES["events_type_stats"](spark, sf_dir).collect()
-    QUERIES["dedup_minhash_candidates"](spark, "/root/testdata/sf0.001").collect()
+    QUERIES["events_type_stats"](spark, sf_dir).toPandas()
+    QUERIES["dedup_minhash_candidates"](spark, "/root/testdata/sf0.001").toPandas()
 
     # best-of-2 per query: single-shot numbers on a shared box mix
     # scheduler noise into the measurement (observed 5-10x swings on
@@ -72,7 +76,7 @@ def main() -> None:
         runs = []
         for _ in range(2):
             start = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            fn(spark, sf_dir).toPandas()
             runs.append(time.perf_counter() - start)
         timings[name] = round(min(runs), 3)
 
