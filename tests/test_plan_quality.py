@@ -419,6 +419,21 @@ def test_reshape_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles
 
 
+def test_bm25_explodes_postings_only(spark, sf_dir):
+    """BM25's document-length pass must be the scan-side size(split(…))
+    — exactly ONE Generate (the query-term posting explode) in the whole
+    plan — with the vocabulary-sized df side broadcast."""
+    import re
+    from tracker_trainer_spark.plans import physical_plan
+    df = QUERIES["doc_bm25_search"](spark, sf_dir)
+    plan = physical_plan(df)
+    # formatted plans list every node twice (tree + detail): count ids
+    assert len(set(re.findall(r"Generate \((\d+)\)", plan))) == 1
+    assert has_broadcast_join(df)
+    for cols in scan_columns(df):
+        assert cols <= {"doc_id", "text"}
+
+
 def test_skyline_has_no_self_join(spark, sf_dir):
     """The windowed skyline must never plan the quadratic dominance
     join the oracle uses."""

@@ -897,6 +897,104 @@ WHERE NOT EXISTS (
 
 
 # --------------------------------------------------------------------------
+# BM25 ranked retrieval
+# --------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ("dup", "spark", "join")
+
+
+def doc_bm25_search(spark, sf_dir, terms=BM25_QUERY_TERMS,
+                    k1: float = 1.2, b: float = 0.75, topk: int = 10):
+    """Okapi BM25 ranked retrieval: top-k documents for a pinned bag of
+    query terms (Robertson & Spärck Jones; the scoring function behind
+    Lucene/Elasticsearch defaults). score(d) = Σ_t idf(t) ·
+    tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)), idf = ln(1 +
+    (N − df + 0.5)/(df + 0.5)).
+
+    Scale posture: document length |d| is a scan-side ``size(split(…))``
+    — NO token explode for the length/avgdl pass (the naive
+    explode+count doubles the corpus scan). The explode that does run is
+    filtered to the query terms at the generate, so only matching
+    (doc, term) rows survive into the first aggregation — posting-list
+    sized, not corpus-token sized. df aggregates from the tf output
+    (already 1 row per doc×term) and broadcasts (|terms| rows); the
+    per-doc length frame joins tf by doc_id under AQE. Rounding happens
+    once, on the final summed score, and the top-k orders by the ROUNDED
+    score with a doc_id tiebreak so both engines rank identically.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    # cache: the narrow (doc_id, dl) frame feeds both the avgdl aggregate
+    # and the per-doc score join — uncached, each consumer re-scans the
+    # full text column to recompute lengths (same pattern as the tf cache
+    # in doc_tfidf_top_terms)
+    dl = docs.select("doc_id", F.size(toks).alias("dl")).cache()
+    stats = F.broadcast(
+        dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs"))
+    )
+    # cache: tf feeds both the score rows and the df aggregation —
+    # uncached, the posting explode (and its text scan) runs twice
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .where(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .join(stats)
+        .groupBy("doc_id")
+        .agg(
+            r4(F.sum(idf * F.col("tf") * F.lit(k1 + 1.0) / denom)).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(topk)
+    )
+
+
+BM25_SQL = """
+WITH dl AS (
+  SELECT doc_id, len(regexp_split_to_array(lower(text), '\\s+')) AS dl
+  FROM documents
+), stats AS (
+  SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl
+), tf AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '\\s+')) AS t(term)
+  WHERE t.term IN ('dup', 'spark', 'join')
+  GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+)
+SELECT tf.doc_id,
+       round(sum(
+         ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+         * tf.tf * 2.2
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+       ), 4) AS bm25,
+       count(*) AS n_terms_matched
+FROM tf
+JOIN df USING (term)
+JOIN dl USING (doc_id), stats
+GROUP BY 1
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
 # Unpivot / melt: wide measures → long (measure, value) rows
 # --------------------------------------------------------------------------
 
@@ -1002,6 +1100,7 @@ ANALYTICS_QUERIES = {
     "weighted_doc_sample": weighted_doc_sample,
     "user_decayed_value": user_decayed_value,
     "customer_pareto_frontier": customer_pareto_frontier,
+    "doc_bm25_search": doc_bm25_search,
     "lineitem_measures_unpivot": lineitem_measures_unpivot,
     "sliding_event_counts": sliding_event_counts,
     # rows-only by design (binary media): no oracle entry
@@ -1024,6 +1123,7 @@ ANALYTICS_ORACLES = {
     "weighted_doc_sample": WEIGHTED_SAMPLE_SQL,
     "user_decayed_value": USER_DECAYED_SQL,
     "customer_pareto_frontier": PARETO_SQL,
+    "doc_bm25_search": BM25_SQL,
     "lineitem_measures_unpivot": UNPIVOT_SQL,
     "sliding_event_counts": SLIDING_COUNTS_SQL,
 }
