@@ -109,3 +109,31 @@ def test_windowed_stats_rejects_non_timestamp_event_time(spark):
     )
     with pytest.raises(TypeError, match="timestamp"):
         windowed_event_stats(df)
+
+
+def test_dedup_stream_drops_in_watermark_duplicates(spark, sf_dir, tmp_path):
+    """A drained stream with planted duplicates inside the lateness
+    bound keeps exactly one row per key and matches the batch dedup."""
+    from tracker_trainer_spark.streaming.ingest_stream import dedup_stream
+
+    base = _events(spark, sf_dir).withColumn(
+        "message_id", F.concat(F.lit("m"), F.monotonically_increasing_id())
+    )
+    dup = base.limit(50)  # duplicates with identical ts: inside any bound
+    batch = base.unionAll(dup)
+    src = str(tmp_path / "dupsrc")
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        dedup_stream(stream, key_cols=("message_id",))
+        .writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.table("dedup_out")
+    n_keys = batch.select("message_id").distinct().count()
+    assert got.count() == n_keys
+    assert got.select("message_id").distinct().count() == n_keys
+    assert dedup_stream(batch).count() == n_keys  # batch path agrees

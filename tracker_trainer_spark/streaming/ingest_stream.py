@@ -212,3 +212,29 @@ def session_window_stats(events: DataFrame, ts_col: str = "ts",
             "session_value",
         )
     )
+
+
+def dedup_stream(events: DataFrame, key_cols=("message_id",),
+                 ts_col: str = "ts",
+                 watermark_delay: str = "2 hours") -> DataFrame:
+    """In-stream exactly-once dedup of duplicate message ids with
+    BOUNDED state — the streaming twin of the batch LAST_WIN rewards-map
+    union (ingest/merge.py; reference dict.update semantics,
+    src/ingest/partition.py:202-210).
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and expires
+    each key's state once the watermark passes its event time, so
+    executor memory tracks the lateness bound, not stream age — the same
+    retention trade the Firehose 15-minute buffer makes for the Lambda.
+    A duplicate arriving later than ``watermark_delay`` is NOT caught
+    here; it lands in the timeline as a partial row and the batch merge
+    dedups it by key exactly as the reference repairs late rewards via
+    groom. On a batch frame this degrades to plain ``dropDuplicates``
+    (full-history dedup: batch has no state to bound, and the merge's
+    map union is insensitive to which duplicate survives).
+    """
+    df = _normalize_event_time(events, ts_col)
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark_delay) \
+            .dropDuplicatesWithinWatermark(list(key_cols))
+    return df.dropDuplicates(list(key_cols))
