@@ -109,3 +109,27 @@ def test_count_min_sketch_overestimates_within_bound(spark, sf_dir):
         est = jsk.estimateCount(et)
         assert est >= n                      # never undercounts
         assert est - n <= eps * n_total + 1  # within the eps*N bound
+
+
+def test_approx_top_k_heavy_hitters_swap_path(spark, sf_dir):
+    """Heavy-hitters swap path for the term-ranking queries: at 100 TB
+    an exact groupBy(term) for "top terms" becomes approx_top_k with a
+    bounded state (maxItemsTracked), same single-agg shape. Pin that on
+    the real corpus the sketch returns the true leaders: every term
+    whose exact count clears the tracked-state guarantee must appear,
+    with exact counts (approx_top_k counts are exact for items that
+    never leave the tracked set at this cardinality)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    )
+    exact = {
+        r.term: r.n
+        for r in terms.groupBy("term").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "term").limit(10).collect()
+    }
+    sketch = terms.agg(
+        F.expr("approx_top_k(term, 10, 10000)").alias("tk")
+    ).first().tk
+    got = {r["item"]: r["count"] for r in sketch}  # .count is Row's method
+    assert got == exact
