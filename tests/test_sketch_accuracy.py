@@ -133,3 +133,31 @@ def test_approx_top_k_heavy_hitters_swap_path(spark, sf_dir):
     ).first().tk
     got = {r["item"]: r["count"] for r in sketch}  # .count is Row's method
     assert got == exact
+
+
+def test_theta_sketch_set_operations_swap_path(spark, sf_dir):
+    """Audience-overlap swap path: |viewers ∩ purchasers| and the union
+    at 100 TB become theta sketches — the sketch family whose
+    intersection/difference ESTIMATES compose from mergeable partials
+    (HLL only unions). Below the sketch's nominal-entries threshold the
+    estimate is exact, so at test cardinality the numbers must equal
+    the exact distinct counts; the swap keeps the one-agg shape."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    viewers = ev.where(F.col("event_type") == "view")
+    buyers = ev.where(F.col("event_type") == "purchase")
+    exact_i = viewers.select("user_id").intersect(buyers.select("user_id")).count()
+    exact_u = viewers.select("user_id").union(buyers.select("user_id")).distinct().count()
+
+    row = ev.agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'view' THEN user_id END)"
+        ).alias("v"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END)"
+        ).alias("p"),
+    ).select(
+        F.expr("theta_sketch_estimate(theta_intersection(v, p))").alias("i"),
+        F.expr("theta_sketch_estimate(theta_union(v, p))").alias("u"),
+    ).first()
+    assert row.i == exact_i
+    assert row.u == exact_u
