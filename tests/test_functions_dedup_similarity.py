@@ -288,3 +288,37 @@ def test_cc_fast_path_equals_distributed(spark):
     dist = {(r.node, r.component)
             for r in connected_components(df, small_graph_threshold=0).collect()}
     assert fast == dist and len(fast) > 0
+
+
+def test_knn_join_matches_per_probe_bruteforce(spark, sf_dir):
+    """The batched kernel must agree with the single-probe exact path
+    for each query row (same ranking convention: cos desc, id asc)."""
+    from tracker_trainer_spark.functions import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = sim.knn_join(
+        emb.where(F.col("vec_id") < 5), emb, k=4, exclude_self=True
+    ).toPandas()
+    for qid in range(5):
+        probe = emb.where(F.col("vec_id") == qid).first()["embedding"]
+        want = [
+            r.vec_id
+            for r in sim.brute_force_topk(emb, list(probe), k=5).collect()
+            if r.vec_id != qid
+        ][:4]
+        got = list(
+            res[res.query_id == qid].sort_values("rank").neighbor_id
+        )
+        assert got == want, (qid, got, want)
+
+
+def test_knn_join_is_shuffle_free(spark, sf_dir):
+    """Broadcast-corpus matmul: queries stream through mapInPandas with
+    zero exchanges — the whole point vs the quadratic pair join."""
+    from tracker_trainer_spark.functions import similarity as sim
+    from tracker_trainer_spark.plans import count_shuffles
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.knn_join(emb.where(F.col("vec_id") < 10), emb, k=3)
+    assert count_shuffles(out) == 0
+    assert out.count() == 30

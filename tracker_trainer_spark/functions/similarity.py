@@ -534,3 +534,73 @@ def random_projection(vec_col, out_dim: int, in_dim: int,
 
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return proj(c)
+
+
+def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             exclude_self: bool = False) -> DataFrame:
+    """Exact k-NN JOIN: every query row gets its top-k corpus neighbors
+    by cosine — the batched many-queries complement of the single-probe
+    APIs above (a retrieval pipeline ranks a stream of queries, not one).
+
+    Distribution strategy is the broadcast-hash-join analogue for
+    vectors: the corpus (the dimension side — embeddings for a corpus
+    that fits executor memory, same contract as any broadcast join)
+    ships once per executor as a normalized float64 matrix; queries
+    stream through ``mapInPandas`` and each Arrow batch does ONE BLAS
+    matmul (b×d @ d×n) plus an argpartition top-k — no pair explosion,
+    no shuffle, wall-clock linear in |queries| with n/executors
+    parallelism. Past broadcast size, compose the hyperplane-bucket path
+    instead (``hyperplane_bucket`` both sides + this kernel per bucket —
+    the `bucket_pair_cosines` shape).
+
+    Ranking is by unrounded cosine with an id tiebreak (the registry
+    convention); rank is emitted 1..k per query. Ties beyond the
+    argpartition pad (16) would need exactly-equal cosines from >16
+    duplicate vectors — out of scope by corpus contract.
+    """
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    matn = mat / norms[:, None]
+    bc = queries.sparkSession.sparkContext.broadcast((ids, matn))
+    pad = 16
+
+    def gen(batches):
+        c_ids, c_mat = bc.value
+        n = len(c_ids)
+        m = min(k + (1 if exclude_self else 0) + pad, n)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Q = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            qn = np.linalg.norm(Q, axis=1)
+            qn[qn == 0] = 1.0
+            sims = (Q / qn[:, None]) @ c_mat.T
+            qids = pdf[id_col].to_numpy()
+            part = np.argpartition(-sims, m - 1, axis=1)[:, :m]
+            out_q, out_r, out_n, out_c = [], [], [], []
+            for i, qid in enumerate(qids):
+                cand = part[i]
+                sl = sims[i, cand]
+                order = np.lexsort((c_ids[cand], -sl))  # cos desc, id asc
+                rank = 0
+                for j in order:
+                    nid = int(c_ids[cand[j]])
+                    if exclude_self and nid == qid:
+                        continue
+                    rank += 1
+                    if rank > k:
+                        break
+                    out_q.append(int(qid)); out_r.append(rank)
+                    out_n.append(nid); out_c.append(float(sl[j]))
+            yield pd.DataFrame({"query_id": pd.Series(out_q, dtype="int64"),
+                                "rank": pd.Series(out_r, dtype="int64"),
+                                "neighbor_id": pd.Series(out_n, dtype="int64"),
+                                "cosine": pd.Series(out_c, dtype="float64")})
+
+    return queries.select(id_col, vec_col).mapInPandas(
+        gen, "query_id long, rank long, neighbor_id long, cosine double"
+    )

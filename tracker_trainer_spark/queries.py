@@ -1626,6 +1626,50 @@ LIMIT 10
 """
 
 
+def knn_join_topk(spark, sf_dir, k: int = 3, n_queries: int = 50):
+    """Exact k-NN JOIN: every query vector (a pinned id slice standing
+    in for "the new batch") gets its top-k corpus neighbors by cosine —
+    the batched many-queries retrieval shape (the single-probe ann_*
+    queries rank one vector; a retrieval pipeline ranks a stream).
+
+    Spark side: broadcast-corpus blocked matmul (functions/similarity.py
+    ::knn_join) — corpus ships once per executor like any broadcast-join
+    dimension, each Arrow batch of queries does ONE BLAS product, no
+    pair explosion, no shuffle. The oracle is the quadratic unnest join
+    — exactly the plan the kernel avoids. Ranking: unrounded cosine,
+    neighbor-id tiebreak (registry convention).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < n_queries)
+    res = _sim.knn_join(queries, emb, k=k, exclude_self=True)
+    return res.select(
+        "query_id", "rank", "neighbor_id", r4(F.col("cosine")).alias("cosine")
+    )
+
+
+KNN_JOIN_SQL = """
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings
+), n AS (
+  SELECT vec_id, sqrt(sum(e * e)) AS nn FROM v GROUP BY 1
+), s AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.e * b.e) AS dot
+  FROM v a JOIN v b ON a.i = b.i AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < 50
+  GROUP BY 1, 2
+), r AS (
+  SELECT s.qid, s.nid, s.dot / (na.nn * nb.nn) AS cos,
+         row_number() OVER (PARTITION BY s.qid
+                            ORDER BY s.dot / (na.nn * nb.nn) DESC, s.nid) AS rank
+  FROM s JOIN n na ON na.vec_id = s.qid JOIN n nb ON nb.vec_id = s.nid
+)
+SELECT qid AS query_id, rank, nid AS neighbor_id, round(cos, 4) AS cosine
+FROM r WHERE rank <= 3
+"""
+
+
 def embedding_similar_pairs(spark, sf_dir, k: int = 20):
     """Top-k most-similar embedding pairs within shared LSH buckets —
     the embedding-cosine near-dup primitive. One applyInPandas pass per
@@ -2375,6 +2419,7 @@ QUERIES = {
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_lsh_multiprobe": ann_lsh_multiprobe,
     "ann_ivf_topk": ann_ivf_topk,
+    "knn_join_topk": knn_join_topk,
     "embedding_similar_pairs": embedding_similar_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "semantic_text_dedup": semantic_text_dedup,
@@ -2450,6 +2495,7 @@ ORACLES = {
     "ann_lsh_bucketed": ANN_LSH_SQL,
     "ann_lsh_multiprobe": ANN_LSH_MULTIPROBE_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
+    "knn_join_topk": KNN_JOIN_SQL,
     "embedding_similar_pairs": SIMILAR_PAIRS_SQL,
     "dedup_embedding_cosine": DEDUP_EMB_SQL,
     "semantic_text_dedup": SEMANTIC_TEXT_SQL,
