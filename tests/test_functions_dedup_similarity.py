@@ -322,3 +322,34 @@ def test_knn_join_is_shuffle_free(spark, sf_dir):
     out = sim.knn_join(emb.where(F.col("vec_id") < 10), emb, k=3)
     assert count_shuffles(out) == 0
     assert out.count() == 30
+
+
+def test_lsh_knn_join_recall_and_exactness(spark, sf_dir):
+    """The bucketed scale path: every returned neighbor's cosine is
+    EXACT (the kernel computes true cosines, only the candidate set is
+    approximate), and multiprobe recall@3 vs the exact join clears the
+    single-bucket floor."""
+    from tracker_trainer_spark.functions import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 30)
+    exact = sim.knn_join(q, emb, k=3, exclude_self=True).toPandas()
+
+    recalls = {}
+    for bits in (0, 1, 2):
+        approx = sim.lsh_knn_join(
+            q, emb, k=3, multiprobe_bits=bits, exclude_self=True
+        ).toPandas()
+        merged = approx.merge(
+            exact, on=["query_id", "neighbor_id"], suffixes=("_l", "_e"),
+            how="inner",
+        )
+        # candidate set is approximate; returned cosines are EXACT
+        assert (abs(merged.cosine_l - merged.cosine_e) < 1e-9).all()
+        assert approx.groupby("query_id")["rank"].min().eq(1).all()
+        recalls[bits] = len(merged) / len(exact)
+
+    # the probe radius is the recall lever: strictly monotone ladder
+    # (measured 0.1 → 0.4 → 0.73 on this corpus) with a bits=2 floor
+    assert recalls[0] < recalls[1] < recalls[2], recalls
+    assert recalls[2] >= 0.6, recalls

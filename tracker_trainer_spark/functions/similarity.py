@@ -604,3 +604,103 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
     return queries.select(id_col, vec_col).mapInPandas(
         gen, "query_id long, rank long, neighbor_id long, cosine double"
     )
+
+
+def lsh_knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                 planes: list[list[int]] | None = None,
+                 multiprobe_bits: int = 1,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 exclude_self: bool = False) -> DataFrame:
+    """k-NN join past broadcast size: the LSH-bucketed scale path for
+    ``knn_join``. Both sides hyperplane-bucket scan-side; query rows
+    multiprobe (expand to every bucket within ``multiprobe_bits``
+    Hamming distance — the ann_lsh_multiprobe recall lever); one equi-
+    join on bucket id; the per-bucket cogroup runs the same blocked
+    matmul kernel; a final per-query window merges bucket-local top-ks.
+
+    Approximate by construction (recall < 1 when a true neighbor shares
+    no probed bucket — more planes bound bucket size, more probe bits
+    recover recall). Shuffle budget: the bucket join + the top-k window
+    on query_id — only (id, bucket, vector) rows move, never pairs.
+    Mega-bucket skew behaves exactly like bucket_pair_cosines: plane
+    count is the lever; AQE skew-split handles the residue.
+    """
+    if planes is None:
+        planes = hyperplanes(num_planes=4, dim=64)
+    n_bits = len(planes)
+    base = hyperplane_bucket(vec_col, planes)
+
+    probe_masks = [0]
+    if multiprobe_bits >= 1:
+        probe_masks += [1 << b for b in range(n_bits)]
+    if multiprobe_bits >= 2:
+        probe_masks += [
+            (1 << a) | (1 << b)
+            for a in range(n_bits) for b in range(a + 1, n_bits)
+        ]
+    q = (
+        queries.select(
+            F.col(id_col).alias("_qid"),
+            F.col(vec_col).alias("_qvec"),
+            base.alias("_b0"),
+        )
+        .withColumn(
+            "_bucket",
+            F.explode(
+                F.array(*[
+                    F.col("_b0").bitwiseXOR(F.lit(m)) for m in probe_masks
+                ])
+            ),
+        )
+        .drop("_b0")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        base.alias("_bucket"),
+    )
+
+    def topk_per_bucket(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64",
+                      "cosine": "float64"})
+        Q = np.asarray(qpdf["_qvec"].tolist(), dtype=np.float64)
+        C = np.asarray(cpdf["_cvec"].tolist(), dtype=np.float64)
+        qn = np.linalg.norm(Q, axis=1); qn[qn == 0] = 1.0
+        cn = np.linalg.norm(C, axis=1); cn[cn == 0] = 1.0
+        sims = (Q / qn[:, None]) @ (C / cn[:, None]).T
+        c_ids = cpdf["_cid"].to_numpy()
+        m = min(k + (1 if exclude_self else 0), sims.shape[1])
+        part = np.argpartition(-sims, m - 1, axis=1)[:, :m] if m < sims.shape[1] \
+            else np.tile(np.arange(sims.shape[1]), (len(Q), 1))
+        out_q, out_n, out_c = [], [], []
+        for i, qid in enumerate(qpdf["_qid"].to_numpy()):
+            for j in part[i]:
+                nid = int(c_ids[j])
+                if exclude_self and nid == qid:
+                    continue
+                out_q.append(int(qid)); out_n.append(nid)
+                out_c.append(float(sims[i, j]))
+        return pd.DataFrame({"query_id": pd.Series(out_q, dtype="int64"),
+                             "neighbor_id": pd.Series(out_n, dtype="int64"),
+                             "cosine": pd.Series(out_c, dtype="float64")})
+
+    from pyspark.sql.window import Window
+
+    local = (
+        q.groupBy("_bucket")
+        .cogroup(c.groupBy("_bucket"))
+        .applyInPandas(topk_per_bucket,
+                       "query_id long, neighbor_id long, cosine double")
+        .dropDuplicates(["query_id", "neighbor_id"])  # multiprobe overlap
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .select("query_id", F.col("_r").alias("rank"), "neighbor_id", "cosine")
+    )
