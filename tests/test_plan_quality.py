@@ -414,6 +414,7 @@ def test_pagerank_candidates_run_once(spark, sf_dir):
 @pytest.mark.parametrize("name,max_shuffles", [
     ("customer_pareto_frontier", 2),   # spend agg + the skyline window sort
     ("lineitem_measures_unpivot", 1),  # one hash agg; melt Expand is post-agg
+    ("value_purchase_auc", 2),         # score hash agg + distinct-score window
 ])
 def test_reshape_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles

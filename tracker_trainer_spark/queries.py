@@ -581,6 +581,63 @@ FROM merged
 """
 
 
+def value_purchase_auc(spark, sf_dir):
+    """Distributed exact AUC (Mann-Whitney U with tie correction): how
+    well does `value` rank purchase events above the rest — the model-
+    evaluation aggregate the two-phase trainer reports on its validation
+    slice (ROC-AUC of the propensity/decision scorer), as a query.
+
+    Scale shape: the textbook formula needs a GLOBAL rank per row — a
+    single-partition sort of the fact table. Grouping by distinct score
+    first collapses the fact table to score cardinality: per score s,
+    its n rows share the average rank (rows_below + (n+1)/2), so
+    Σ ranks(positives) = Σ_s n_pos(s)·avg_rank(s). One hash agg on
+    score + a running-sum window over the DISTINCT-score relation (the
+    aggregate, never the facts — the ntile posture) + a single final
+    fold. AUC = (S - n_pos(n_pos+1)/2) / (n_pos·n_neg).
+    """
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    per_score = ev.groupBy("value").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_pos"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_score.withColumn(
+        "below", F.coalesce(F.sum("n").over(w), F.lit(0))
+    )
+    return ranked.agg(
+        F.sum("n_pos").alias("n_pos"),
+        (F.sum("n") - F.sum("n_pos")).alias("n_neg"),
+        r4(
+            (
+                F.sum(F.col("n_pos") * (F.col("below") + (F.col("n") + 1) / 2.0))
+                - F.sum("n_pos") * (F.sum("n_pos") + 1) / 2.0
+            )
+            / (F.sum("n_pos") * (F.sum("n") - F.sum("n_pos")))
+        ).alias("auc"),
+    )
+
+
+AUC_SQL = """
+WITH per_score AS (
+  SELECT value AS v, count(*) AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_pos
+  FROM events WHERE value IS NOT NULL GROUP BY value
+), ranked AS (
+  SELECT n, n_pos,
+         coalesce(sum(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS below
+  FROM per_score
+)
+SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+       CAST(sum(n) - sum(n_pos) AS BIGINT) AS n_neg,
+       round((sum(n_pos * (below + (n + 1) / 2.0))
+              - sum(n_pos) * (sum(n_pos) + 1) / 2.0)
+             / (sum(n_pos) * (sum(n) - sum(n_pos))), 4) AS auc
+FROM ranked
+"""
+
+
 def propensity_explode_events(spark, sf_dir):
     """E1 shape: each decision emits the chosen row (y=1,w=1) and, when
     candidates > 1, a sample row (y=0, w=candidates-1).
@@ -2398,6 +2455,7 @@ QUERIES = {
     "windowed_event_stats": windowed_event_stats_batch,
     "merge_rewarded_events": merge_rewarded_events,
     "reward_summary_stats": reward_summary_stats,
+    "value_purchase_auc": value_purchase_auc,
     "propensity_explode_events": propensity_explode_events,
     "user_sessions": user_sessions,
     "session_window_sessions": session_window_sessions,
@@ -2474,6 +2532,7 @@ ORACLES = {
     "windowed_event_stats": WINDOWED_EVENTS_SQL,
     "merge_rewarded_events": MERGE_EVENTS_SQL,
     "reward_summary_stats": REWARD_STATS_SQL,
+    "value_purchase_auc": AUC_SQL,
     "propensity_explode_events": PROPENSITY_SQL,
     "user_sessions": SESSIONS_SQL,
     "session_window_sessions": SESSION_WINDOW_SQL,
