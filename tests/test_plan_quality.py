@@ -415,6 +415,7 @@ def test_pagerank_candidates_run_once(spark, sf_dir):
     ("customer_pareto_frontier", 2),   # spend agg + the skyline window sort
     ("lineitem_measures_unpivot", 1),  # one hash agg; melt Expand is post-agg
     ("value_purchase_auc", 2),         # score hash agg + distinct-score window
+    ("weekly_auc_drift", 3),           # (week,score) agg + week window + output sort
 ])
 def test_reshape_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles

@@ -638,6 +638,79 @@ FROM ranked
 """
 
 
+def weekly_auc_drift(spark, sf_dir):
+    """Ranking-quality drift: the tie-corrected AUC of `value` as a
+    purchase ranker, PER WEEK — the monitoring companion to
+    value_purchase_auc (a scorer whose weekly AUC decays is drifting,
+    the PSI query's label-aware sibling).
+
+    Same scale shape as the global AUC, group-wise: the distinct-score
+    hash agg keys on (week, score); the running-sum window partitions by
+    week — every week's rank recursion is independent, so the window
+    shuffles once on week and no global sort ever exists. Degenerate
+    weeks (no positives or no negatives) have undefined AUC and are
+    filtered in both engines.
+    """
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    per_score = (
+        ev.select(F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+                  "value", "event_type")
+        .groupBy("week", "value")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_pos"),
+        )
+    )
+    w = Window.partitionBy("week").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = per_score.withColumn(
+        "below", F.coalesce(F.sum("n").over(w), F.lit(0))
+    )
+    return (
+        ranked.groupBy("week")
+        .agg(
+            F.sum("n_pos").alias("n_pos"),
+            (F.sum("n") - F.sum("n_pos")).alias("n_neg"),
+            r4(
+                (
+                    F.sum(F.col("n_pos") * (F.col("below") + (F.col("n") + 1) / 2.0))
+                    - F.sum("n_pos") * (F.sum("n_pos") + 1) / 2.0
+                )
+                / (F.sum("n_pos") * (F.sum("n") - F.sum("n_pos")))
+            ).alias("auc"),
+        )
+        .where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .orderBy("week")
+    )
+
+
+WEEKLY_AUC_SQL = """
+WITH per_score AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week, value AS v,
+         count(*) AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_pos
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), ranked AS (
+  SELECT week, n, n_pos,
+         coalesce(sum(n) OVER (PARTITION BY week ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS below
+  FROM per_score
+), agg AS (
+  SELECT week,
+         CAST(sum(n_pos) AS BIGINT) AS n_pos,
+         CAST(sum(n) - sum(n_pos) AS BIGINT) AS n_neg,
+         round((sum(n_pos * (below + (n + 1) / 2.0))
+                - sum(n_pos) * (sum(n_pos) + 1) / 2.0)
+               / (sum(n_pos) * (sum(n) - sum(n_pos))), 4) AS auc
+  FROM ranked GROUP BY week
+)
+SELECT week, n_pos, n_neg, auc FROM agg
+WHERE n_pos > 0 AND n_neg > 0 ORDER BY week
+"""
+
+
 def propensity_explode_events(spark, sf_dir):
     """E1 shape: each decision emits the chosen row (y=1,w=1) and, when
     candidates > 1, a sample row (y=0, w=candidates-1).
@@ -2456,6 +2529,7 @@ QUERIES = {
     "merge_rewarded_events": merge_rewarded_events,
     "reward_summary_stats": reward_summary_stats,
     "value_purchase_auc": value_purchase_auc,
+    "weekly_auc_drift": weekly_auc_drift,
     "propensity_explode_events": propensity_explode_events,
     "user_sessions": user_sessions,
     "session_window_sessions": session_window_sessions,
@@ -2533,6 +2607,7 @@ ORACLES = {
     "merge_rewarded_events": MERGE_EVENTS_SQL,
     "reward_summary_stats": REWARD_STATS_SQL,
     "value_purchase_auc": AUC_SQL,
+    "weekly_auc_drift": WEEKLY_AUC_SQL,
     "propensity_explode_events": PROPENSITY_SQL,
     "user_sessions": SESSIONS_SQL,
     "session_window_sessions": SESSION_WINDOW_SQL,
