@@ -353,3 +353,44 @@ def test_lsh_knn_join_recall_and_exactness(spark, sf_dir):
     # (measured 0.1 → 0.4 → 0.73 on this corpus) with a bits=2 floor
     assert recalls[0] < recalls[1] < recalls[2], recalls
     assert recalls[2] >= 0.6, recalls
+
+
+def test_knn_join_empty_corpus_returns_empty(spark, sf_dir):
+    from tracker_trainer_spark.functions import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.knn_join(emb.limit(5), emb.where(F.lit(False)), k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "rank", "neighbor_id", "cosine"
+    ]
+
+
+def test_lsh_knn_join_full_radius_equals_exact(spark, sf_dir):
+    """multiprobe radius = plane count probes every bucket, so the
+    bucketed path must reproduce the exact join verbatim — the property
+    that pins the probe-mask enumeration honors ANY radius (a silent
+    cap at 2 would fail this with recall < 1)."""
+    from tracker_trainer_spark.functions import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20)
+    exact = sim.knn_join(q, emb, k=3, exclude_self=True).toPandas()
+    full = sim.lsh_knn_join(
+        q, emb, k=3, multiprobe_bits=4, exclude_self=True
+    ).toPandas()
+    e = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    f = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(e.query_id) == list(f.query_id)
+    assert list(e.neighbor_id) == list(f.neighbor_id)
+
+
+def test_lsh_knn_join_shuffle_budget(spark, sf_dir):
+    """4 exchanges: cogroup shuffles both sides on bucket, the overlap
+    dedup re-keys on (query, neighbor), the merge window on query."""
+    from tracker_trainer_spark.functions import similarity as sim
+    from tracker_trainer_spark.plans import count_shuffles
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.lsh_knn_join(emb.where(F.col("vec_id") < 10), emb, k=3)
+    assert count_shuffles(out) <= 4

@@ -558,13 +558,27 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
     convention); rank is emitted 1..k per query. Ties beyond the
     argpartition pad (16) would need exactly-equal cosines from >16
     duplicate vectors — out of scope by corpus contract.
+
+    NOTE: building the broadcast index runs a Spark job HERE, at
+    DataFrame-construction time (the same eager seam as the probe
+    collect in the ann_* queries) — callers composing lazy plans should
+    construct this last. The corpus lands via Arrow (toPandas — no
+    Python Row objects) and is normalized in place, so the driver holds
+    one float64 copy, the broadcast-side contract.
     """
-    rows = corpus.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
+    cdf = corpus.select(id_col, vec_col).toPandas()
+    ids = cdf[id_col].to_numpy(dtype=np.int64)
+    matn = np.array(cdf[vec_col].tolist(), dtype=np.float64)
+    del cdf
+    if matn.ndim != 2 or matn.shape[0] == 0:
+        # empty corpus: no neighbors for anyone, keep the output schema
+        empty = queries.sparkSession.createDataFrame(
+            [], "query_id long, rank long, neighbor_id long, cosine double"
+        )
+        return empty
+    norms = np.linalg.norm(matn, axis=1)
     norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
+    matn /= norms[:, None]
     bc = queries.sparkSession.sparkContext.broadcast((ids, matn))
     pad = 16
 
@@ -620,23 +634,39 @@ def lsh_knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
 
     Approximate by construction (recall < 1 when a true neighbor shares
     no probed bucket — more planes bound bucket size, more probe bits
-    recover recall). Shuffle budget: the bucket join + the top-k window
-    on query_id — only (id, bucket, vector) rows move, never pairs.
-    Mega-bucket skew behaves exactly like bucket_pair_cosines: plane
-    count is the lever; AQE skew-split handles the residue.
+    recover recall; any radius up to the plane count is honored, radius
+    = n_planes probes every bucket = exact). Returned cosines are exact;
+    per-bucket candidate selection carries the same 16-tie pad and
+    (cos desc, id asc) ordering as ``knn_join`` so duplicate-vector ties
+    resolve deterministically before the merge window.
+
+    Shuffle budget (plan-pinned in tests): 4 exchanges — the cogroup
+    shuffles both sides on bucket, the multiprobe-overlap dedup
+    re-keys on (query, neighbor), and the top-k window re-keys on
+    query. Only (id, bucket, vector) rows and bucket-local top-ks ever
+    move — never candidate pairs. Mega-bucket skew behaves exactly like
+    bucket_pair_cosines: plane count is the lever.
+
+    When ``planes`` is omitted, the vector dimension is read from one
+    corpus row (a tiny eager job, same seam as knn_join's index build)
+    instead of assuming a magic default.
     """
+    from itertools import combinations
+
     if planes is None:
-        planes = hyperplanes(num_planes=4, dim=64)
+        first = corpus.select(vec_col).first()
+        if first is None:
+            return queries.sparkSession.createDataFrame(
+                [], "query_id long, rank long, neighbor_id long, cosine double"
+            )
+        planes = hyperplanes(num_planes=4, dim=len(first[0]))
     n_bits = len(planes)
     base = hyperplane_bucket(vec_col, planes)
 
     probe_masks = [0]
-    if multiprobe_bits >= 1:
-        probe_masks += [1 << b for b in range(n_bits)]
-    if multiprobe_bits >= 2:
+    for r in range(1, min(multiprobe_bits, n_bits) + 1):
         probe_masks += [
-            (1 << a) | (1 << b)
-            for a in range(n_bits) for b in range(a + 1, n_bits)
+            sum(1 << b for b in bits) for bits in combinations(range(n_bits), r)
         ]
     q = (
         queries.select(
@@ -672,17 +702,24 @@ def lsh_knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
         cn = np.linalg.norm(C, axis=1); cn[cn == 0] = 1.0
         sims = (Q / qn[:, None]) @ (C / cn[:, None]).T
         c_ids = cpdf["_cid"].to_numpy()
-        m = min(k + (1 if exclude_self else 0), sims.shape[1])
+        m = min(k + (1 if exclude_self else 0) + 16, sims.shape[1])  # tie pad
         part = np.argpartition(-sims, m - 1, axis=1)[:, :m] if m < sims.shape[1] \
             else np.tile(np.arange(sims.shape[1]), (len(Q), 1))
         out_q, out_n, out_c = [], [], []
         for i, qid in enumerate(qpdf["_qid"].to_numpy()):
-            for j in part[i]:
-                nid = int(c_ids[j])
+            cand = part[i]
+            sl = sims[i, cand]
+            order = np.lexsort((c_ids[cand], -sl))  # cos desc, id asc
+            kept = 0
+            for j in order:
+                nid = int(c_ids[cand[j]])
                 if exclude_self and nid == qid:
                     continue
+                kept += 1
+                if kept > k:
+                    break
                 out_q.append(int(qid)); out_n.append(nid)
-                out_c.append(float(sims[i, j]))
+                out_c.append(float(sl[j]))
         return pd.DataFrame({"query_id": pd.Series(out_q, dtype="int64"),
                              "neighbor_id": pd.Series(out_n, dtype="int64"),
                              "cosine": pd.Series(out_c, dtype="float64")})

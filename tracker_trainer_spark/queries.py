@@ -592,9 +592,17 @@ def value_purchase_auc(spark, sf_dir):
     first collapses the fact table to score cardinality: per score s,
     its n rows share the average rank (rows_below + (n+1)/2), so
     Σ ranks(positives) = Σ_s n_pos(s)·avg_rank(s). One hash agg on
-    score + a running-sum window over the DISTINCT-score relation (the
-    aggregate, never the facts — the ntile posture) + a single final
-    fold. AUC = (S - n_pos(n_pos+1)/2) / (n_pos·n_neg).
+    score + a running-sum window over the DISTINCT-score relation + a
+    single final fold. AUC = (S - n_pos(n_pos+1)/2) / (n_pos·n_neg).
+
+    The collapse is only as good as the score's discreteness: real
+    scorers emit bounded-precision floats, so distinct cardinality
+    saturates (100k rows → 17.8k scores at sf0.1 here) — but a fully
+    continuous score degenerates the window to near-fact cardinality on
+    ONE task. For that case pre-quantize the score (round to the
+    decimals the ranking decision actually uses — AUC over quantized
+    scores IS the AUC of the deployed ranker) or use the group-wise
+    shape (weekly_auc_drift), whose windows partition by group.
     """
     ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     per_score = ev.groupBy("value").agg(
