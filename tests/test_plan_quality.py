@@ -90,6 +90,7 @@ def test_loader_pushes_orphan_filter_and_prunes(spark, tmp_path):
     ("merge_rewarded_events", 3),       # two partial aggs + join co-partition
     ("user_sessions", 3),               # one window partition + two aggs reuse it
     ("propensity_explode_events", 0),   # pure narrow explode
+    ("doc_token_chunks", 0),            # scan-side Generate, no exchange
     ("dedup_simhash", 1),               # parallelizing repartition + narrow HOFs
     ("doc_fingerprint_lang", 1),        # parallelizing repartition + narrow HOFs
     ("dedup_exact_documents", 1),

@@ -1037,6 +1037,55 @@ def corpus_curation(spark, sf_dir, min_tokens: int = 30,
 
 
 
+def doc_token_chunks(spark, sf_dir, size: int = 40, stride: int = 30):
+    """Token-window chunking: split every document into overlapping
+    ``size``-token windows advancing by ``stride`` — the standard
+    context-window prep step between curation and training (each chunk
+    becomes one training example; the ``size - stride`` token overlap
+    preserves cross-boundary context).
+
+    Pure JVM expression chain: tokenize → ``sequence`` of window starts
+    → explode → ``slice`` + ``array_join`` → md5 content fingerprint.
+    No UDF, no shuffle (the explode is scan-side Generate); emitted rows
+    carry bounds + fingerprint, not the chunk text, so the result set
+    stays narrow — the downstream writer re-slices from the co-located
+    source text, never shuffling token payloads. Chunk count per doc is
+    ⌈(n_tokens - overlap) / stride⌉; the final window is allowed short
+    (both engines' slice truncates past the end identically).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return (
+        docs.select("doc_id", toks.alias("_t"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / stride).cast("long").alias("chunk_id"),
+            "start",
+            F.size(F.slice(F.col("_t"), F.col("start") + 1, size)).alias("n_tokens"),
+            F.md5(F.array_join(F.slice(F.col("_t"), F.col("start") + 1, size), " ")).alias("chunk_md5"),
+        )
+    )
+
+
+DOC_CHUNKS_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+  FROM documents
+), starts AS (
+  SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 1, 0) + 1, 30)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start / 30 AS BIGINT) AS chunk_id,
+       CAST(start AS INT) AS start,
+       CAST(len(list_slice(toks, start + 1, start + 40)) AS INT) AS n_tokens,
+       md5(array_to_string(list_slice(toks, start + 1, start + 40), ' ')) AS chunk_md5
+FROM starts
+"""
+
+
 def doc_text_stats(spark, sf_dir):
     """Per-document quality metrics: token count, avg token length,
     punctuation ratio, stopword ratio (whitespace tokenizer)."""
@@ -2546,6 +2595,7 @@ QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "corpus_curation": corpus_curation,
     "doc_text_stats": doc_text_stats,
+    "doc_token_chunks": doc_token_chunks,
     "doc_repetition_stats": doc_repetition_stats,
     "corpus_train_holdout": corpus_train_holdout,
     "ann_cosine_topk": ann_cosine_topk,
@@ -2624,6 +2674,7 @@ ORACLES = {
     "dedup_exact_documents": DEDUP_SQL,
     "corpus_curation": CORPUS_CURATION_SQL,
     "doc_text_stats": TEXT_STATS_SQL,
+    "doc_token_chunks": DOC_CHUNKS_SQL,
     "doc_repetition_stats": REPETITION_SQL,
     "corpus_train_holdout": TRAIN_HOLDOUT_SQL,
     "ann_cosine_topk": ANN_SQL,
