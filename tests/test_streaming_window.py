@@ -137,3 +137,18 @@ def test_dedup_stream_drops_in_watermark_duplicates(spark, sf_dir, tmp_path):
     assert got.count() == n_keys
     assert got.select("message_id").distinct().count() == n_keys
     assert dedup_stream(batch).count() == n_keys  # batch path agrees
+
+
+def test_dedup_stream_batch_path_needs_no_event_time(spark):
+    """Batch degradation is plain dropDuplicates: no ts column required,
+    bigint ts tolerated — only the streaming watermark validates time."""
+    from tracker_trainer_spark.streaming.ingest_stream import dedup_stream
+
+    no_ts = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], ["message_id"]
+    )
+    assert dedup_stream(no_ts, key_cols=("message_id",)).count() == 2
+    bigint_ts = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "message_id string, ts long"
+    )
+    assert dedup_stream(bigint_ts, key_cols=("message_id",)).count() == 2

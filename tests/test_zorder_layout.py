@@ -103,3 +103,36 @@ def test_zorder_key_skew_immune(spark):
     key = zorder_key(df, ["hot", "uniform"])
     n = df.select(key.alias("z")).distinct().count()
     assert n > 50, n
+
+
+def test_zorder_four_columns_no_sign_overflow(spark):
+    """4 columns x 8 bits reaches bit 31: the key must be a LONG with
+    the all-max row at 2^32-1, not wrapped into the int sign bit."""
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).cast("double").alias("a"),
+        (F.col("id") % 11).cast("double").alias("b"),
+        (F.col("id") % 13).cast("double").alias("c"),
+        F.col("id").cast("double").alias("d"),
+    )
+    key = zorder_key(df, ["a", "b", "c", "d"])
+    mn, mx = df.select(F.min(key), F.max(key)).first()
+    assert mn >= 0, mn  # no negative keys anywhere
+    assert mx > (1 << 30), mx  # high bits genuinely used
+
+
+def test_zorder_rejects_over_wide_keys(spark):
+    df = spark.range(10).select(
+        *[(F.col("id") % (i + 2)).cast("double").alias(f"c{i}") for i in range(8)]
+    )
+    with pytest.raises(ValueError, match="max 62"):
+        zorder_key(df, [f"c{i}" for i in range(8)])
+
+
+def test_zorder_preserves_user_zkey_column(spark):
+    df = spark.range(100).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 2).alias("_zkey"),  # user column with the temp name
+    )
+    out = zorder_frame(df, ["x"], n_files=2)
+    assert "_zkey" in out.columns
+    assert out.agg(F.sum("_zkey")).first()[0] == sum(i * 2 for i in range(100))

@@ -49,16 +49,24 @@ def _bucket(col: str, boundaries: list[float], bits: int) -> Column:
     """
     nb = len(boundaries)
     if nb == 0:  # constant column: no information, pin to 0
-        return F.lit(0)
+        return F.lit(0).cast("long")
     arr = F.array(*[F.lit(float(b)) for b in boundaries])
     n = F.size(F.filter(arr, lambda b: b <= F.col(col).cast("double")))
     top = (1 << bits) - 1
-    return F.floor(F.coalesce(n, F.lit(0)) * F.lit(top) / F.lit(nb)).cast("int")
+    # long, not int: the interleave shifts bucket bits up to position
+    # n_cols*bits-1, which passes the int sign bit at 4 columns x 8 bits
+    # (all-max buckets came back as z = -1) and wraps mod 32 beyond
+    return F.floor(F.coalesce(n, F.lit(0)) * F.lit(top) / F.lit(nb)).cast("long")
 
 
 def _interleave(buckets: list[Column], bits: int) -> Column:
     """Morton interleave: bit i of bucket j → bit i*n_cols+j of the key."""
     n = len(buckets)
+    if n * bits > 62:  # long sign bit + headroom: fail loudly, not wrapped
+        raise ValueError(
+            f"z-order key needs {n * bits} bits; max 62 "
+            f"(reduce bits per column or cluster fewer columns)"
+        )
     parts = [
         F.shiftleft(
             F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + j
@@ -98,9 +106,12 @@ def zorder_frame(df: DataFrame, cols: list[str], n_files: int,
     Drop-in before ``.write.parquet`` (or ``write_timeline`` for
     clustering within dt partitions)."""
     key = zorder_key(df, cols, bits=bits)
+    tmp = "_zkey"
+    while tmp in df.columns:  # never clobber a user column
+        tmp += "_"
     return (
-        df.withColumn("_zkey", key)
-        .repartitionByRange(n_files, "_zkey")
-        .sortWithinPartitions("_zkey")
-        .drop("_zkey")
+        df.withColumn(tmp, key)
+        .repartitionByRange(n_files, tmp)
+        .sortWithinPartitions(tmp)
+        .drop(tmp)
     )

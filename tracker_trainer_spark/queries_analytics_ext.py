@@ -922,8 +922,10 @@ def doc_bm25_search(spark, sf_dir, terms=BM25_QUERY_TERMS,
     once, on the final summed score, and the top-k orders by the ROUNDED
     score with a doc_id tiebreak so both engines rank identically.
     """
+    from tracker_trainer_spark.functions.text import tokens
+
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), r"\s+")
+    toks = tokens(F.lower(F.col("text")))  # the one canonical tokenizer
     # cache: the narrow (doc_id, dl) frame feeds both the avgdl aggregate
     # and the per-doc score join — uncached, each consumer re-scans the
     # full text column to recompute lengths (same pattern as the tf cache

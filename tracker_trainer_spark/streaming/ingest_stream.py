@@ -231,10 +231,12 @@ def dedup_stream(events: DataFrame, key_cols=("message_id",),
     dedups it by key exactly as the reference repairs late rewards via
     groom. On a batch frame this degrades to plain ``dropDuplicates``
     (full-history dedup: batch has no state to bound, and the merge's
-    map union is insensitive to which duplicate survives).
+    map union is insensitive to which duplicate survives) — the event-
+    time column is neither required nor validated there, since only the
+    streaming watermark uses it.
     """
-    df = _normalize_event_time(events, ts_col)
-    if df.isStreaming:
+    if events.isStreaming:
+        df = _normalize_event_time(events, ts_col)
         return df.withWatermark(ts_col, watermark_delay) \
             .dropDuplicatesWithinWatermark(list(key_cols))
-    return df.dropDuplicates(list(key_cols))
+    return events.dropDuplicates(list(key_cols))
