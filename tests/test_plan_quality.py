@@ -417,6 +417,7 @@ def test_pagerank_candidates_run_once(spark, sf_dir):
     ("lineitem_measures_unpivot", 1),  # one hash agg; melt Expand is post-agg
     ("value_purchase_auc", 2),         # score hash agg + distinct-score window
     ("weekly_auc_drift", 3),           # (week,score) agg + week window + output sort
+    ("contrastive_negative_pairs", 2), # one user shuffle; neg window + join ride it
 ])
 def test_reshape_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles

@@ -646,6 +646,62 @@ FROM ranked
 """
 
 
+def contrastive_negative_pairs(spark, sf_dir, k_neg: int = 3):
+    """Negative sampling for contrastive training pairs: every purchase
+    (positive) pairs with the user's ``k_neg`` deterministically-sampled
+    non-purchase events (negatives) — the (anchor, positive, negative)
+    example generator behind ranking/contrastive losses.
+
+    The sample is pseudo-random but ENGINE-PORTABLE and append-stable:
+    negatives are the user's top-k events by md5(event_id) — the same
+    hash-bucket trick as the corpus train/holdout split, so re-runs and
+    both engines pick identical negatives (a rand() sample would
+    hash-mismatch the oracle and reshuffle on every run).
+
+    One shuffle on user_id; the negative window rides it, and the
+    positives join the ≤k_neg-per-user negative set on the same key —
+    per-user output is n_pos × k_neg rows, bounded by the same per-user
+    contract as the sessionization windows.
+    """
+    ev = _t(spark, sf_dir, "events")
+    pos = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pos_event_id"),
+        F.col("value").alias("pos_value"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.asc("event_id")
+    )
+    neg = (
+        ev.where(F.col("event_type") != "purchase")
+        .withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= k_neg)
+        .select("user_id", F.col("event_id").alias("neg_event_id"),
+                F.col("neg_rank").cast("long").alias("neg_rank"))
+    )
+    return pos.join(neg, "user_id").select(
+        "user_id", "pos_event_id", "neg_event_id", "neg_rank",
+        r4(F.col("pos_value")).alias("pos_value"),
+    )
+
+
+CONTRASTIVE_SQL = """
+WITH pos AS (
+  SELECT user_id, event_id AS pos_event_id, value AS pos_value
+  FROM events WHERE event_type = 'purchase'
+), neg AS (
+  SELECT user_id, event_id AS neg_event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+           AS neg_rank
+  FROM events WHERE event_type <> 'purchase'
+)
+SELECT p.user_id, p.pos_event_id, n.neg_event_id, n.neg_rank,
+       round(p.pos_value, 4) AS pos_value
+FROM pos p JOIN neg n ON p.user_id = n.user_id
+WHERE n.neg_rank <= 3
+"""
+
+
 def weekly_auc_drift(spark, sf_dir):
     """Ranking-quality drift: the tie-corrected AUC of `value` as a
     purchase ranker, PER WEEK — the monitoring companion to
@@ -2587,6 +2643,7 @@ QUERIES = {
     "reward_summary_stats": reward_summary_stats,
     "value_purchase_auc": value_purchase_auc,
     "weekly_auc_drift": weekly_auc_drift,
+    "contrastive_negative_pairs": contrastive_negative_pairs,
     "propensity_explode_events": propensity_explode_events,
     "user_sessions": user_sessions,
     "session_window_sessions": session_window_sessions,
@@ -2666,6 +2723,7 @@ ORACLES = {
     "reward_summary_stats": REWARD_STATS_SQL,
     "value_purchase_auc": AUC_SQL,
     "weekly_auc_drift": WEEKLY_AUC_SQL,
+    "contrastive_negative_pairs": CONTRASTIVE_SQL,
     "propensity_explode_events": PROPENSITY_SQL,
     "user_sessions": SESSIONS_SQL,
     "session_window_sessions": SESSION_WINDOW_SQL,
