@@ -446,3 +446,40 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("orders.parquet") == 1
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    ("kmeans_embedding_clusters", 2),  # final assign agg + output sort
+    ("doc_unigram_logprob", 4),        # vocab agg + doc agg (+cached vocab)
+    ("retention_cohorts", 3),          # user collect_set + cohort agg + window
+    ("event_transition_matrix", 3),    # user window + pair agg + type window
+    ("daily_anomaly_zscore", 2),       # daily agg + per-type window
+    # prefix-join stages are all KEYED and monotonically shrinking
+    # (df agg, per-doc window, token join, pair distinct, 2 verify
+    # joins) — the scale risk is candidate volume, which the prefix
+    # bound caps, not exchange count
+    ("jaccard_prefix_join", 9),
+])
+def test_ml_ext_shuffle_budgets(spark, sf_dir, name, max_shuffles):
+    assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles
+
+
+def test_jaccard_prefix_join_no_all_pairs(spark, sf_dir):
+    """The exact-similarity join must never plan the quadratic pair
+    enumeration its oracle uses — candidates come only from the prefix
+    token equi-join."""
+    from tracker_trainer_spark.plans import physical_plan
+    plan = physical_plan(QUERIES["jaccard_prefix_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_assignment_is_codegen(spark, sf_dir):
+    """Centroid assignment compiles to column expressions over centroid
+    literals — no Python worker in the final plan (the per-iteration
+    collects are k×dim metadata and happen at build time)."""
+    from tracker_trainer_spark.plans import physical_plan
+    plan = physical_plan(QUERIES["kmeans_embedding_clusters"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "mapInPandas" not in plan

@@ -2693,6 +2693,16 @@ from tracker_trainer_spark.queries_analytics_ext import (  # noqa: E402
 
 QUERIES.update(_ANALYTICS_QUERIES)
 
+# ML / data-curation shapes (deterministic KMeans, prefix-filtered
+# Jaccard join, unigram LM scoring, cohorts, Markov transitions,
+# anomaly z-scores) — same one-registry contract.
+from tracker_trainer_spark.queries_ml_ext import (  # noqa: E402
+    ML_ORACLES as _ML_ORACLES,
+    ML_QUERIES as _ML_QUERIES,
+)
+
+QUERIES.update(_ML_QUERIES)
+
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_revenue_orders": Q3_SQL,
@@ -2754,3 +2764,4 @@ ORACLES = {
 
 ORACLES.update(_EXT_ORACLES)
 ORACLES.update(_ANALYTICS_ORACLES)
+ORACLES.update(_ML_ORACLES)

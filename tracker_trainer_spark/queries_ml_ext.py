@@ -1,0 +1,520 @@
+"""ML / data-curation extension queries: deterministic KMeans embedding
+clustering, prefix-filtered exact Jaccard similarity join, corpus
+unigram language-model scoring, weekly retention cohorts, Markov event
+transitions, and daily anomaly z-scores.
+
+Each is an oracle-checked registry query per the repo convention
+(identical column aliases both sides, floats rounded to 4 decimals at
+the OUTPUT only, deterministic tiebreaks under every top-k, embeddings
+cast to DOUBLE before arithmetic).
+
+Scale posture (100 TB):
+- KMeans: the canonical scalable shape — centroids are k×dim driver
+  metadata (bounded collect, like MLlib's KMeans); each iteration is a
+  scan-side narrow assignment (centroid literals compiled into the
+  plan, whole-stage codegen) plus ONE hash agg for the new means. No
+  per-point shuffle beyond the agg; iterations don't grow state.
+- prefix-filter Jaccard join: the exact-similarity-join scale path
+  (PPJoin-style). Candidates come only from PREFIX tokens (the
+  rarest ``n - ceil(t*n) + 1`` tokens of each doc), so hot stopwords
+  never generate pairs; the verify step re-joins the candidate ids to
+  the token sets and computes exact Jaccard. All-pairs never occurs.
+- unigram LM scoring: vocabulary table is a (token) hash agg, orders
+  of magnitude smaller than the token stream, then a broadcast-able
+  join back — the standard "score corpus against its own LM" pass for
+  training-data quality filtering.
+- retention / transitions / anomaly: one key-partitioned shuffle each
+  (user or day), window functions with bounded frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark, sf_dir, name):
+    from tracker_trainer_spark.queries import _t as _load
+
+    return _load(spark, sf_dir, name)
+
+
+def r4(c):
+    return F.round(c, 4)
+
+
+# --------------------------------------------------------------------------
+# Deterministic KMeans over embeddings (Lloyd, mod-k init, fixed rounds)
+# --------------------------------------------------------------------------
+
+KMEANS_K = 4
+KMEANS_ITERS = 3
+
+
+def _emb_double(df):
+    """embeddings.embedding arrives FLOAT[] from parquet; all distance
+    arithmetic must run in DOUBLE on both engines or the accumulated
+    float32 error diverges from the DuckDB oracle."""
+    return df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+
+
+def _assign_expr(centroids):
+    """Column expression: nearest-centroid id for the `emb` column.
+
+    Builds array<struct<dist,cid>> over the k centroid LITERALS and
+    takes array_min — lexicographic struct ordering gives argmin with
+    lowest-cluster-id tiebreak, all inside whole-stage codegen (no UDF,
+    no join against a centroid table)."""
+    cands = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("emb"),
+                    F.array(*[F.lit(float(v)) for v in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            F.lit(j).alias("cid"),
+        )
+        for j, c in enumerate(centroids)
+    ]
+    return F.array_min(F.array(*cands))
+
+
+def _mean_centroids(assigned, k):
+    """Elementwise mean per cluster → driver list-of-lists.
+
+    posexplode + (cluster, pos) hash agg; the collect is k×dim rows of
+    METADATA (k=4, dim=64 — bounded by construction, the same contract
+    as MLlib's per-iteration centroid update)."""
+    rows = (
+        assigned.select("cid", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("v").alias("m"))
+        .collect()
+    )
+    dim = max(r["pos"] for r in rows) + 1
+    cents = {c: [0.0] * dim for c in range(k)}
+    for r in rows:
+        cents[r["cid"]][r["pos"]] = r["m"]
+    return [cents[c] for c in sorted(cents)]
+
+
+def kmeans_embedding_clusters(spark, sf_dir, k: int = KMEANS_K,
+                              iters: int = KMEANS_ITERS):
+    """Deterministic Lloyd's KMeans over the embedding corpus: init
+    centroid j = elementwise mean of vectors with vec_id % k == j (no
+    RNG — the oracle-ability requirement), then `iters` fixed rounds of
+    assign + recompute. Output: per-cluster membership count and inertia
+    (sum of squared distances to the final centroid).
+
+    Scale: each round = one narrow scan-side assignment over centroid
+    literals + one hash agg; centroids are driver metadata. The corpus
+    is never shuffled by cluster id; only (cid, pos, partial-mean) agg
+    rows move."""
+    emb = _emb_double(_t(spark, sf_dir, "embeddings"))
+    emb.cache()
+    init = emb.withColumn("cid", (F.col("vec_id") % k).cast("int"))
+    centroids = _mean_centroids(init, k)
+    for _ in range(iters):
+        assigned = emb.withColumn("cid", _assign_expr(centroids)["cid"])
+        centroids = _mean_centroids(assigned, k)
+    final = emb.withColumn("a", _assign_expr(centroids))
+    out = (
+        final.groupBy(F.col("a")["cid"].alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            r4(F.sum(F.col("a")["dist"])).alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )
+    emb.unpersist()
+    return out
+
+
+def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Unrolled Lloyd in DuckDB: the same mod-k init, `iters`
+    assign/update rounds as chained CTEs. Lambdas index the embedding
+    and centroid lists directly (DOUBLE-cast, matching the Spark side)."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, len(e.emb)), "
+        "j -> (e.emb[j] - c.cent[j]) ** 2))"
+    )
+    assign = (
+        "SELECT e.vec_id, e.emb, c.cid, {d} AS dist,"
+        " row_number() OVER (PARTITION BY e.vec_id"
+        " ORDER BY {d}, c.cid) AS rn"
+        " FROM emb e CROSS JOIN {cents} c"
+    ).format(d=dist, cents="{cents}")
+    update = (
+        "SELECT cid, list(m ORDER BY i) AS cent FROM ("
+        " SELECT cid, i, avg(v) AS m FROM ("
+        "  SELECT cid, unnest(emb) AS v, generate_subscripts(emb, 1) AS i"
+        "  FROM {assign} WHERE rn = 1)"
+        " GROUP BY cid, i) GROUP BY cid"
+    )
+    ctes = [
+        "emb AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
+        " FROM embeddings)",
+        f"c0 AS (SELECT cid, list(m ORDER BY i) AS cent FROM ("
+        f" SELECT CAST(vec_id % {k} AS INT) AS cid, i, avg(v) AS m FROM ("
+        "  SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i"
+        "  FROM emb) u GROUP BY 1, 2) m GROUP BY cid)",
+    ]
+    prev = "c0"
+    for it in range(iters):
+        a, c = f"a{it}", f"c{it + 1}"
+        ctes.append(f"{a} AS ({assign.format(cents=prev)})")
+        ctes.append(f"{c} AS ({update.format(assign=a)})")
+        prev = c
+    final = (
+        f"fin AS ({assign.format(cents=prev)})"
+    )
+    ctes.append(final)
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT cid AS cluster_id, count(*) AS n_members,"
+        " round(sum(dist), 4) AS inertia\n"
+        "FROM fin WHERE rn = 1 GROUP BY 1 ORDER BY 1"
+    )
+
+
+KMEANS_SQL = _kmeans_sql()
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard similarity self-join (PPJoin-lite)
+# --------------------------------------------------------------------------
+
+JACCARD_T = 0.6
+JACCARD_TOPK = 100
+
+
+def jaccard_prefix_join(spark, sf_dir, t: float = JACCARD_T,
+                        topk: int = JACCARD_TOPK):
+    """Exact Jaccard similarity self-join over document token sets with
+    PREFIX FILTERING: order each doc's distinct tokens by global rarity
+    (document frequency asc, token asc) and emit candidates only from
+    the first ``n - ceil(t*n) + 1`` tokens — any pair with Jaccard ≥ t
+    MUST share a prefix token (pigeonhole), so recall is exact while hot
+    stopwords never generate pairs. Candidates are then verified with
+    the true Jaccard on the full sets. Top-k by (jaccard desc, ids) —
+    ranked on the UNROUNDED value, rounded at output.
+
+    The corpus is restricted to the deterministic ``doc_id % 10 = 0``
+    slice: this synthetic corpus is duplicate-heavy by design (it feeds
+    the dedup suite), so the full qualifying-pair set is O(millions) at
+    sf0.1 — the slice keeps the oracle's brute-force verify tractable
+    while exercising the identical plan shape.
+
+    Scale: token df is one hash agg; prefix selection is a per-doc
+    window (one doc_id shuffle); the candidate join keys on prefix
+    tokens only (bounded frequency by construction); verify re-joins
+    candidate ids to token sets. No all-pairs stage exists."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.split(F.lower(F.col("text")), r"\s+")
+            ).alias("toks"),
+        )
+    )
+    docs = docs.withColumn("n", F.size("toks")).cache()
+    tok = docs.select("doc_id", "n", F.explode("toks").alias("tok"))
+    df_tbl = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    prefix = (
+        tok.join(F.broadcast(df_tbl), "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        .select("doc_id", "tok")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    sa = docs.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("na"),
+    )
+    sb = docs.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    out = (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn("jac", jac)
+        .where(F.col("jac") >= t)
+        .orderBy(F.desc("jac"), "doc_id_a", "doc_id_b")
+        .limit(topk)
+        .select("doc_id_a", "doc_id_b", r4(F.col("jac")).alias("jaccard"))
+    )
+    return out
+
+
+JACCARD_PREFIX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS tok
+  FROM documents WHERE doc_id % 10 = 0
+), sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT i.da AS doc_id_a, i.db AS doc_id_b,
+         CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jac
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.da
+  JOIN sizes sb ON sb.doc_id = i.db
+  WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= {JACCARD_T}
+)
+SELECT doc_id_a, doc_id_b, round(jac, 4) AS jaccard
+FROM scored
+ORDER BY jac DESC, doc_id_a, doc_id_b
+LIMIT {JACCARD_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# Corpus unigram language-model scoring (training-data quality filter)
+# --------------------------------------------------------------------------
+
+def doc_unigram_logprob(spark, sf_dir):
+    """Score every document by the average log-probability of its
+    tokens under the corpus's own unigram MLE — the classic cheap
+    "perplexity-ish" quality signal for training-data curation (gibberish
+    and off-distribution docs score low).
+
+    Token counts use ALL occurrences (an LM, not a set); probability is
+    tf_corpus / total_tokens. The vocab table is one (token) hash agg —
+    tiny next to the token stream — and joins back broadcast-style.
+    Output: doc_id, n_tokens, avg_logprob (r4)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    )
+    # vocab is the small side — cache IT, not the token stream; the
+    # corpus total falls out of the same agg (no second full scan for a
+    # bare count)
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf")).cache()
+    total = vocab.agg(F.sum("tf")).collect()[0][0]
+    out = (
+        tok.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            r4(F.avg(F.log(F.col("tf") / F.lit(float(total)))))
+            .alias("avg_logprob"),
+        )
+    )
+    return out
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents
+), vocab AS (SELECT tok, count(*) AS tf FROM tok GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(avg(ln(CAST(v.tf AS DOUBLE) / tot.n)), 4) AS avg_logprob
+FROM tok t JOIN vocab v USING (tok), tot
+GROUP BY t.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Weekly retention cohorts
+# --------------------------------------------------------------------------
+
+def retention_cohorts(spark, sf_dir):
+    """Classic cohort retention: users are cohorted by the ISO week of
+    their first event; for each (cohort_week, week_offset) count the
+    distinct users still active, plus the retention rate against the
+    cohort size.
+
+    Three shuffles total: ONE user_id hash agg collapses each user to
+    their distinct active-week set (bounded by calendar weeks, not event
+    volume — map-side combine eats the raw stream), the exploded
+    (cohort, offset) rows are already user-unique so the cohort agg is a
+    plain count (no count-distinct Expand), and the cohort size rides a
+    cohort-partitioned window over the tiny aggregate — every user is
+    active at offset 0, so cohort_n IS that row's count."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    per_user = (
+        ev.select("user_id", wk.alias("w"))
+        .groupBy("user_id")
+        .agg(F.collect_set("w").alias("weeks"))
+        .select(
+            F.explode("weeks").alias("w"),
+            F.array_min("weeks").alias("cw"),
+        )
+    )
+    counts = (
+        per_user.withColumn(
+            "week_offset",
+            (F.datediff(F.col("w"), F.col("cw")) / 7).cast("int"),
+        )
+        .groupBy("cw", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    wc = Window.partitionBy("cw")
+    cohort_n = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(wc)
+    return counts.select(
+        F.col("cw").cast("date").cast("string").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        cohort_n.alias("cohort_n"),
+        r4(F.col("n_active") / cohort_n).alias("retention"),
+    )
+
+
+RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+), first AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY 1),
+sizes AS (SELECT cw, count(DISTINCT user_id) AS cohort_n FROM first GROUP BY 1)
+SELECT CAST(CAST(f.cw AS DATE) AS VARCHAR) AS cohort_week,
+       CAST(date_diff('day', f.cw, uw.w) / 7 AS INT) AS week_offset,
+       count(DISTINCT uw.user_id) AS n_active,
+       any_value(s.cohort_n) AS cohort_n,
+       round(count(DISTINCT uw.user_id) / CAST(any_value(s.cohort_n) AS DOUBLE), 4) AS retention
+FROM uw JOIN first f USING (user_id) JOIN sizes s ON s.cw = f.cw
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Markov event-type transition matrix
+# --------------------------------------------------------------------------
+
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix of event types per user:
+    order each user's events by (ts, event_id), pair each event with its
+    predecessor via lag, count (prev, next) transitions and normalize
+    per source state. The session/behavior model behind funnel and
+    next-event prediction features.
+
+    One user_id shuffle + in-partition sort; the transition agg is a
+    25-row result."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w2 = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        r4(F.col("n") / F.sum("n").over(w2)).alias("p"),
+    )
+
+
+TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 4) AS p
+FROM pairs
+"""
+
+
+# --------------------------------------------------------------------------
+# Daily anomaly detection: per-type z-scores of daily event volume
+# --------------------------------------------------------------------------
+
+def daily_anomaly_zscore(spark, sf_dir):
+    """Daily event volume per type, z-scored against that type's own
+    mean/stddev across all days — the standard volume-anomaly monitor
+    for an ingest pipeline (a tracker outage or bot flood shows as
+    |z| > 3 the day it happens).
+
+    One (day, type) hash agg over the scan, then a per-type window on
+    the tiny daily aggregate (days × types rows). stddev is the sample
+    estimator on both engines; a zero-variance type yields NULL z (no
+    div-by-zero row drop, so both engines keep identical row sets)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.to_date("ts").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    z = (F.col("n") - F.avg("n").over(w)) / F.nullif(
+        F.stddev_samp(F.col("n").cast("double")).over(w), F.lit(0.0)
+    )
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "event_type",
+        "n",
+        r4(z).alias("z"),
+    )
+
+
+ANOMALY_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(day AS VARCHAR) AS day, event_type, n,
+       round((n - avg(n) OVER (PARTITION BY event_type))
+             / nullif(stddev_samp(CAST(n AS DOUBLE))
+                        OVER (PARTITION BY event_type), 0.0), 4) AS z
+FROM daily
+"""
+
+
+ML_QUERIES = {
+    "kmeans_embedding_clusters": kmeans_embedding_clusters,
+    "jaccard_prefix_join": jaccard_prefix_join,
+    "doc_unigram_logprob": doc_unigram_logprob,
+    "retention_cohorts": retention_cohorts,
+    "event_transition_matrix": event_transition_matrix,
+    "daily_anomaly_zscore": daily_anomaly_zscore,
+}
+
+ML_ORACLES = {
+    "kmeans_embedding_clusters": KMEANS_SQL,
+    "jaccard_prefix_join": JACCARD_PREFIX_SQL,
+    "doc_unigram_logprob": UNIGRAM_LOGPROB_SQL,
+    "retention_cohorts": RETENTION_SQL,
+    "event_transition_matrix": TRANSITION_SQL,
+    "daily_anomaly_zscore": ANOMALY_SQL,
+}
