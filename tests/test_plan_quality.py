@@ -459,6 +459,10 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     # joins) — the scale risk is candidate volume, which the prefix
     # bound caps, not exchange count
     ("jaccard_prefix_join", 9),
+    ("user_activity_streaks", 1),      # ONE user agg; HOF walks the array
+    # static plan re-expands the CACHED basket subtree per consumer
+    # (pair agg + marginals); at execution the basket agg runs once
+    ("basket_pair_lift", 5),
 ])
 def test_ml_ext_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles
@@ -472,6 +476,16 @@ def test_jaccard_prefix_join_no_all_pairs(spark, sf_dir):
     plan = physical_plan(QUERIES["jaccard_prefix_join"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_basket_lift_no_self_join(spark, sf_dir):
+    """Pair generation is a scan-side HOF over basket arrays — never the
+    (order,item)×(order,item) self-join the oracle uses."""
+    from tracker_trainer_spark.plans import physical_plan
+    plan = physical_plan(QUERIES["basket_pair_lift"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()
 
 
 def test_kmeans_assignment_is_codegen(spark, sf_dir):

@@ -501,6 +501,175 @@ FROM daily
 """
 
 
+# --------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-day activity streaks per user
+# --------------------------------------------------------------------------
+
+def user_activity_streaks(spark, sf_dir):
+    """Per-user consecutive-day activity streaks (the gaps-and-islands
+    pattern): number of distinct active days, number of maximal
+    consecutive-day runs, and the longest run.
+
+    ONE user_id shuffle: collapse each user to their distinct active-day
+    set (map-side combined, bounded by the calendar), then walk the
+    SORTED day array with an `aggregate` HOF state machine — (prev,
+    current-run, best, n_runs) — entirely scan-side codegen, instead of
+    the classic row_number-difference island trick that would cost a
+    second window shuffle. The oracle spells the classic trick."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("day")).alias("days"))
+    )
+    init = F.struct(
+        F.lit(None).cast("date").alias("prev"),
+        F.lit(0).alias("cur"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("runs"),
+    )
+
+    def step(acc, d):
+        is_cont = acc["prev"].isNotNull() & (
+            F.datediff(d, acc["prev"]) == 1
+        )
+        cur = F.when(is_cont, acc["cur"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            d.alias("prev"),
+            cur.alias("cur"),
+            F.greatest(acc["best"], cur).alias("best"),
+            (acc["runs"] + F.when(is_cont, 0).otherwise(1)).alias("runs"),
+        )
+
+    st = F.aggregate(F.col("days"), init, step)
+    return per_user.select(
+        "user_id",
+        F.size("days").alias("n_active_days"),
+        st["runs"].alias("n_streaks"),
+        st["best"].alias("longest_streak"),
+    )
+
+
+STREAKS_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+isl AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INT) AS grp
+  FROM ud
+), runs AS (
+  SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2
+)
+SELECT user_id, CAST(sum(len) AS INT) AS n_active_days,
+       CAST(count(*) AS INT) AS n_streaks,
+       CAST(max(len) AS INT) AS longest_streak
+FROM runs GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Market-basket association: part-brand pair support / confidence / lift
+# --------------------------------------------------------------------------
+
+BASKET_MIN_SUPPORT = 5
+BASKET_TOPK = 20
+
+
+def basket_pair_lift(spark, sf_dir, min_support: int = BASKET_MIN_SUPPORT,
+                     topk: int = BASKET_TOPK):
+    """Association mining over order baskets: for every pair of part
+    brands co-occurring in an order, support count, confidence
+    P(b|a), and lift P(ab)/(P(a)P(b)); top-k by (lift desc, pair) with
+    a minimum support floor. Ranked on the UNROUNDED lift.
+
+    Shape: brand dim rides a broadcast join onto the lineitem scan;
+    baskets collapse in ONE l_orderkey hash agg to distinct-brand
+    arrays; pair generation is a scan-side HOF nested-transform over
+    each basket (bounded by basket size — pairs never exceed
+    |basket|²/2, TPC-H baskets ≤7) — no (order,brand) self-join; pair
+    counts and brand marginals are two small aggs off the same basket
+    relation."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    baskets = (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
+    )
+    baskets.cache()
+    n_orders = baskets.count()
+    pairs_arr = F.flatten(
+        F.transform(
+            "brands",
+            lambda a, i: F.filter(
+                F.transform(
+                    "brands",
+                    lambda b, j: F.when(j > i, F.struct(
+                        a.alias("brand_a"), b.alias("brand_b"))),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    pair_counts = (
+        baskets.select(F.explode(pairs_arr).alias("p"))
+        .groupBy(F.col("p.brand_a").alias("brand_a"),
+                 F.col("p.brand_b").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_support)
+    )
+    marg = (
+        baskets.select(F.explode("brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ma = marg.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a"))
+    mb = marg.select(F.col("brand").alias("brand_b"), F.col("n").alias("n_b"))
+    lift = (
+        F.col("n_ab").cast("double") * n_orders
+        / (F.col("n_a") * F.col("n_b"))
+    )
+    return (
+        pair_counts.join(F.broadcast(ma), "brand_a")
+        .join(F.broadcast(mb), "brand_b")
+        .withColumn("_lift", lift)
+        .orderBy(F.desc("_lift"), "brand_a", "brand_b")
+        .limit(topk)
+        .select(
+            "brand_a", "brand_b", "n_ab",
+            r4(F.col("n_ab") / F.col("n_a")).alias("confidence"),
+            r4(F.col("_lift")).alias("lift"),
+        )
+    )
+
+
+BASKET_LIFT_SQL = f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob),
+marg AS (SELECT brand, count(*) AS cnt FROM ob GROUP BY 1),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT brand_a, brand_b, n_ab,
+       round(CAST(n_ab AS DOUBLE) / ma.cnt, 4) AS confidence,
+       round(CAST(n_ab AS DOUBLE) * n.n_orders / (ma.cnt * mb.cnt), 4) AS lift
+FROM pairs
+JOIN marg ma ON ma.brand = brand_a
+JOIN marg mb ON mb.brand = brand_b, n
+ORDER BY CAST(n_ab AS DOUBLE) * n.n_orders / (ma.cnt * mb.cnt) DESC,
+         brand_a, brand_b
+LIMIT {BASKET_TOPK}
+"""
+
+
 ML_QUERIES = {
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "jaccard_prefix_join": jaccard_prefix_join,
@@ -508,6 +677,8 @@ ML_QUERIES = {
     "retention_cohorts": retention_cohorts,
     "event_transition_matrix": event_transition_matrix,
     "daily_anomaly_zscore": daily_anomaly_zscore,
+    "user_activity_streaks": user_activity_streaks,
+    "basket_pair_lift": basket_pair_lift,
 }
 
 ML_ORACLES = {
@@ -517,4 +688,6 @@ ML_ORACLES = {
     "retention_cohorts": RETENTION_SQL,
     "event_transition_matrix": TRANSITION_SQL,
     "daily_anomaly_zscore": ANOMALY_SQL,
+    "user_activity_streaks": STREAKS_SQL,
+    "basket_pair_lift": BASKET_LIFT_SQL,
 }
