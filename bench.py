@@ -79,6 +79,11 @@ def main() -> None:
             fn(spark, sf_dir).toPandas()
             runs.append(time.perf_counter() - start)
         timings[name] = round(min(runs), 3)
+        # queries that cache an intermediate (shingles, vocab, baskets)
+        # must not leak it into the next query's measurement — and 90
+        # queries' worth of pinned InMemoryRelations would otherwise
+        # accumulate for the whole run
+        spark.catalog.clearCache()
 
     duck = duckdb_timings(sf_dir, cpus)
     ratios = {n: round(timings[n] / duck[n], 2)

@@ -81,28 +81,36 @@ def _assign_expr(centroids):
             ).alias("dist"),
             F.lit(j).alias("cid"),
         )
-        for j, c in enumerate(centroids)
+        for j, c in sorted(centroids.items())
     ]
     return F.array_min(F.array(*cands))
 
 
-def _mean_centroids(assigned, k):
-    """Elementwise mean per cluster → driver list-of-lists.
+def _mean_centroids(assigned, prev=None):
+    """Elementwise mean per observed cluster → driver {cid: vector}.
 
     posexplode + (cluster, pos) hash agg; the collect is k×dim rows of
     METADATA (k=4, dim=64 — bounded by construction, the same contract
-    as MLlib's per-iteration centroid update)."""
+    as MLlib's per-iteration centroid update).
+
+    A cluster that received NO members keeps its previous centroid
+    (`prev`) — never a phantom zero vector — mirroring the oracle's
+    LEFT-JOIN-COALESCE update; at init (prev=None) only observed
+    residues produce centroids, mirroring the oracle's GROUP BY."""
     rows = (
         assigned.select("cid", F.posexplode("emb").alias("pos", "v"))
         .groupBy("cid", "pos")
         .agg(F.avg("v").alias("m"))
         .collect()
     )
-    dim = max(r["pos"] for r in rows) + 1
-    cents = {c: [0.0] * dim for c in range(k)}
-    for r in rows:
-        cents[r["cid"]][r["pos"]] = r["m"]
-    return [cents[c] for c in sorted(cents)]
+    cents = {} if prev is None else {c: list(v) for c, v in prev.items()}
+    if rows:
+        dim = max(r["pos"] for r in rows) + 1
+        fresh = {}
+        for r in rows:
+            fresh.setdefault(r["cid"], [0.0] * dim)[r["pos"]] = r["m"]
+        cents.update(fresh)
+    return cents
 
 
 def kmeans_embedding_clusters(spark, sf_dir, k: int = KMEANS_K,
@@ -120,10 +128,15 @@ def kmeans_embedding_clusters(spark, sf_dir, k: int = KMEANS_K,
     emb = _emb_double(_t(spark, sf_dir, "embeddings"))
     emb.cache()
     init = emb.withColumn("cid", (F.col("vec_id") % k).cast("int"))
-    centroids = _mean_centroids(init, k)
+    centroids = _mean_centroids(init)
+    if not centroids:  # empty corpus: empty result, same schema
+        emb.unpersist()
+        return spark.createDataFrame(
+            [], "cluster_id int, n_members bigint, inertia double"
+        )
     for _ in range(iters):
         assigned = emb.withColumn("cid", _assign_expr(centroids)["cid"])
-        centroids = _mean_centroids(assigned, k)
+        centroids = _mean_centroids(assigned, prev=centroids)
     final = emb.withColumn("a", _assign_expr(centroids))
     out = (
         final.groupBy(F.col("a")["cid"].alias("cluster_id"))
@@ -151,12 +164,17 @@ def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
         " ORDER BY {d}, c.cid) AS rn"
         " FROM emb e CROSS JOIN {cents} c"
     ).format(d=dist, cents="{cents}")
+    # an emptied cluster keeps its previous centroid (LEFT JOIN +
+    # COALESCE), matching _mean_centroids' prev= semantics on the
+    # Spark side
     update = (
-        "SELECT cid, list(m ORDER BY i) AS cent FROM ("
-        " SELECT cid, i, avg(v) AS m FROM ("
-        "  SELECT cid, unnest(emb) AS v, generate_subscripts(emb, 1) AS i"
-        "  FROM {assign} WHERE rn = 1)"
-        " GROUP BY cid, i) GROUP BY cid"
+        "SELECT p.cid, COALESCE(n.cent, p.cent) AS cent FROM {prev} p"
+        " LEFT JOIN ("
+        " SELECT cid, list(m ORDER BY i) AS cent FROM ("
+        "  SELECT cid, i, avg(v) AS m FROM ("
+        "   SELECT cid, unnest(emb) AS v, generate_subscripts(emb, 1) AS i"
+        "   FROM {assign} WHERE rn = 1)"
+        "  GROUP BY cid, i) GROUP BY cid) n ON n.cid = p.cid"
     )
     ctes = [
         "emb AS (SELECT vec_id,"
@@ -171,7 +189,7 @@ def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     for it in range(iters):
         a, c = f"a{it}", f"c{it + 1}"
         ctes.append(f"{a} AS ({assign.format(cents=prev)})")
-        ctes.append(f"{c} AS ({update.format(assign=a)})")
+        ctes.append(f"{c} AS ({update.format(assign=a, prev=prev)})")
         prev = c
     final = (
         f"fin AS ({assign.format(cents=prev)})"
