@@ -688,6 +688,69 @@ LIMIT {BASKET_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# Sequence packing: greedy token packing into fixed context windows
+# --------------------------------------------------------------------------
+
+PACK_CONTEXT = 512
+
+
+def doc_pack_assignments(spark, sf_dir, context: int = PACK_CONTEXT):
+    """Greedy sequence packing for LLM training: assign documents to
+    fixed-size context-window packs by cumulative token offset (a doc
+    lands in the pack where its first token falls; the straddling doc
+    overflows its pack — the standard concat-and-chunk contract), then
+    report per-pack document count and token totals.
+
+    Packing is a PREFIX SUM — inherently sequential — so a single global
+    ordering would serialize the corpus through one partition. Real
+    pipelines pack per shard; here the shard is the `source` column, so
+    the window partitions by source and every shard packs in parallel
+    (one source shuffle, frame state O(1)). Ordering inside a shard is
+    doc_id (deterministic, append-stable).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower("text"), r"\s+"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = docs.select(
+        "source",
+        "doc_id",
+        n_tok.alias("n_tokens"),
+    ).withColumn(
+        "pack_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / context),
+    )
+    return (
+        assigned.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+PACK_SQL = f"""
+WITH d AS (
+  SELECT source, doc_id,
+         len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens
+  FROM documents
+), a AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(floor(COALESCE(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) / {PACK_CONTEXT}) AS BIGINT) AS pack_id
+  FROM d
+)
+SELECT source, pack_id, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+FROM a GROUP BY 1, 2
+"""
+
+
 ML_QUERIES = {
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "jaccard_prefix_join": jaccard_prefix_join,
@@ -697,6 +760,7 @@ ML_QUERIES = {
     "daily_anomaly_zscore": daily_anomaly_zscore,
     "user_activity_streaks": user_activity_streaks,
     "basket_pair_lift": basket_pair_lift,
+    "doc_pack_assignments": doc_pack_assignments,
 }
 
 ML_ORACLES = {
@@ -708,4 +772,5 @@ ML_ORACLES = {
     "daily_anomaly_zscore": ANOMALY_SQL,
     "user_activity_streaks": STREAKS_SQL,
     "basket_pair_lift": BASKET_LIFT_SQL,
+    "doc_pack_assignments": PACK_SQL,
 }
