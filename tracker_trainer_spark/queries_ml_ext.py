@@ -216,34 +216,47 @@ JACCARD_TOPK = 100
 
 def jaccard_prefix_join(spark, sf_dir, t: float = JACCARD_T,
                         topk: int = JACCARD_TOPK):
-    """Exact Jaccard similarity self-join over document token sets with
-    PREFIX FILTERING: order each doc's distinct tokens by global rarity
-    (document frequency asc, token asc) and emit candidates only from
-    the first ``n - ceil(t*n) + 1`` tokens — any pair with Jaccard ≥ t
-    MUST share a prefix token (pigeonhole), so recall is exact while hot
-    stopwords never generate pairs. Candidates are then verified with
-    the true Jaccard on the full sets. Top-k by (jaccard desc, ids) —
-    ranked on the UNROUNDED value, rounded at output.
+    """Exact Jaccard similarity self-join over document 3-gram SHINGLE
+    sets with PREFIX FILTERING (PPJoin-style): order each doc's distinct
+    shingle hashes by global rarity (document frequency asc, hash asc)
+    and emit candidates only from the first ``n - ceil(t*n) + 1`` —
+    any pair with Jaccard ≥ t MUST share a prefix element (pigeonhole),
+    so recall is exact. Candidates are verified with the true Jaccard on
+    the full sets. Top-k by (jaccard desc, ids) — ranked on the
+    UNROUNDED value, rounded at output.
+
+    Shingles, not unigrams, are what makes prefix filtering
+    discriminating: this corpus's unigram vocabulary is tiny (~200
+    terms, every df in the thousands), so unigram prefixes degenerate
+    toward all-pairs — n-gram shingle space is combinatorially larger
+    and per-shingle df stays small (the same reason MinHash shingles).
+    Shingle hashing reuses the engine's portable 28-bit md5 kernel
+    (functions/dedup.py::shingle_hashes), so the oracle reproduces
+    hashes exactly.
 
     The corpus is restricted to the deterministic ``doc_id % 10 = 0``
-    slice: this synthetic corpus is duplicate-heavy by design (it feeds
-    the dedup suite), so the full qualifying-pair set is O(millions) at
-    sf0.1 — the slice keeps the oracle's brute-force verify tractable
-    while exercising the identical plan shape.
+    slice: the corpus is duplicate-heavy by design (it feeds the dedup
+    suite), so the full qualifying-pair OUTPUT is O(millions) at sf0.1 —
+    the slice bounds the result, not the algorithm.
 
-    Scale: token df is one hash agg; prefix selection is a per-doc
+    Scale: shingle df is one hash agg; prefix selection is a per-doc
     window (one doc_id shuffle); the candidate join keys on prefix
-    tokens only (bounded frequency by construction); verify re-joins
-    candidate ids to token sets. No all-pairs stage exists."""
+    shingles only (small df by construction); verify re-joins candidate
+    ids to shingle sets. No all-pairs stage exists."""
+    from tracker_trainer_spark.functions.dedup import shingle_hashes
+    from tracker_trainer_spark.session import spread as _spread
+
+    # _spread: a byte-small local scan otherwise collapses the whole
+    # verify pipeline onto one task via AQE coalescing (at real scale
+    # input splits parallelize the scan and this is a no-op)
     docs = (
-        _t(spark, sf_dir, "documents")
+        _spread(_t(spark, sf_dir, "documents"))
         .where(F.col("doc_id") % 10 == 0)
         .select(
             "doc_id",
-            F.array_distinct(
-                F.split(F.lower(F.col("text")), r"\s+")
-            ).alias("toks"),
+            shingle_hashes("text", 3).alias("toks"),
         )
+        .where(F.size("toks") > 0)
     )
     docs = docs.withColumn("n", F.size("toks")).cache()
     tok = docs.select("doc_id", "n", F.explode("toks").alias("tok"))
@@ -290,10 +303,15 @@ def jaccard_prefix_join(spark, sf_dir, t: float = JACCARD_T,
 
 
 JACCARD_PREFIX_SQL = f"""
-WITH toks AS (
-  SELECT doc_id,
-         unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS tok
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
   FROM documents WHERE doc_id % 10 = 0
+), toks AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 7))
+              AS BIGINT) AS tok
+  FROM tk, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
 ), sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
