@@ -461,6 +461,9 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     ("jaccard_prefix_join", 9),
     ("user_activity_streaks", 1),      # ONE user agg; HOF walks the array
     ("doc_pack_assignments", 2),       # source window + pack hash agg
+    # spread + pair agg + argmax window + base join (cached doc subtree
+    # re-expands per consumer in the static plan)
+    ("corpus_decontamination", 8),
     # static plan re-expands the CACHED basket subtree per consumer
     # (pair agg + marginals); at execution the basket agg runs once
     ("basket_pair_lift", 5),

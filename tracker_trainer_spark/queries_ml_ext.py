@@ -769,6 +769,112 @@ FROM a GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Decontamination: holdout-vs-train shingle containment
+# --------------------------------------------------------------------------
+
+def corpus_decontamination(spark, sf_dir):
+    """Test-set decontamination (the GPT-3-style n-gram overlap check):
+    for every HOLDOUT document, the maximum shingle CONTAINMENT
+    |H ∩ T| / |H| against any TRAIN document, with the best-matching
+    train doc and shared-shingle count. Containment is asymmetric — a
+    short holdout doc fully quoted inside a long train doc scores 1.0
+    where symmetric Jaccard would dilute it — which is exactly the
+    leakage question.
+
+    Split is the engine's deterministic md5-bucket split (identical to
+    `corpus_train_holdout`); shingles reuse the portable 28-bit kernel.
+    The (holdout, train) pair space is generated ONLY by the shared-
+    shingle equi-join — pair volume is bounded by duplicate-cluster
+    size, never |H|×|T|; at open-web scale the standard stop-shingle cap
+    (drop shingles above a df ceiling) bolts onto the `tdf` relation as
+    one filter without changing the plan shape. Holdout docs sharing
+    nothing surface with containment 0 (left join), not silently
+    dropped."""
+    from tracker_trainer_spark.functions.dedup import shingle_hashes
+    from tracker_trainer_spark.functions import sampling as _sampling
+    from tracker_trainer_spark.session import spread as _spread
+
+    docs = (
+        _spread(_t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            _sampling.hash_split("doc_id", holdout_pct=10).alias("split"),
+            shingle_hashes("text", 3).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+    )
+    docs.cache()
+    hold = docs.where(F.col("split") == "holdout").select(
+        F.col("doc_id").alias("h_id"), F.explode("sh").alias("tok"),
+        F.size("sh").alias("n_h"),
+    )
+    train = docs.where(F.col("split") == "train").select(
+        F.col("doc_id").alias("t_id"), F.explode("sh").alias("tok")
+    )
+    pairs = (
+        hold.join(train, "tok")
+        .groupBy("h_id", "t_id", "n_h")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .withColumn("cont", F.col("n_shared") / F.col("n_h"))
+    )
+    w = Window.partitionBy("h_id").orderBy(F.desc("cont"), F.asc("t_id"))
+    best = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("h_id", "t_id", "n_shared", "cont")
+    )
+    base = docs.where(F.col("split") == "holdout").select(
+        F.col("doc_id").alias("h_id"), F.size("sh").alias("n_shingles")
+    )
+    return base.join(best, "h_id", "left").select(
+        F.col("h_id").alias("doc_id"),
+        "n_shingles",
+        F.col("t_id").alias("best_train_doc"),
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        r4(F.coalesce("cont", F.lit(0.0))).alias("containment"),
+    )
+
+
+DECONTAMINATION_SQL = """
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 100 < 10
+              THEN 'holdout' ELSE 'train' END AS split,
+         regexp_split_to_array(text, '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, split,
+         CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 7))
+              AS BIGINT) AS tok
+  FROM tk, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT h.doc_id AS h_id, t.doc_id AS t_id, count(*) AS n_shared
+  FROM sh h JOIN sh t ON h.tok = t.tok
+  WHERE h.split = 'holdout' AND t.split = 'train'
+  GROUP BY 1, 2
+), best AS (
+  SELECT h_id, t_id, n_shared,
+         CAST(n_shared AS DOUBLE) / s.n AS cont,
+         row_number() OVER (
+           PARTITION BY h_id
+           ORDER BY CAST(n_shared AS DOUBLE) / s.n DESC, t_id ASC) AS rn
+  FROM pairs JOIN sizes s ON s.doc_id = h_id
+)
+SELECT s.doc_id, CAST(s.n AS INT) AS n_shingles,
+       b.t_id AS best_train_doc,
+       COALESCE(b.n_shared, 0) AS n_shared,
+       round(COALESCE(b.cont, 0.0), 4) AS containment
+FROM sizes s
+JOIN (SELECT DISTINCT doc_id FROM sh WHERE split = 'holdout') h
+  ON h.doc_id = s.doc_id
+LEFT JOIN best b ON b.h_id = s.doc_id AND b.rn = 1
+"""
+
+
 ML_QUERIES = {
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "jaccard_prefix_join": jaccard_prefix_join,
@@ -779,6 +885,7 @@ ML_QUERIES = {
     "user_activity_streaks": user_activity_streaks,
     "basket_pair_lift": basket_pair_lift,
     "doc_pack_assignments": doc_pack_assignments,
+    "corpus_decontamination": corpus_decontamination,
 }
 
 ML_ORACLES = {
@@ -791,4 +898,5 @@ ML_ORACLES = {
     "user_activity_streaks": STREAKS_SQL,
     "basket_pair_lift": BASKET_LIFT_SQL,
     "doc_pack_assignments": PACK_SQL,
+    "corpus_decontamination": DECONTAMINATION_SQL,
 }
