@@ -464,6 +464,9 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     # spread + pair agg + argmax window + base join (cached doc subtree
     # re-expands per consumer in the static plan)
     ("corpus_decontamination", 8),
+    # both windows share the o_custkey partitioning: ONE exchange, the
+    # value-ordered window adds only an in-partition re-sort
+    ("customer_order_sequences", 1),
     # static plan re-expands the CACHED basket subtree per consumer
     # (pair agg + marginals); at execution the basket agg runs once
     ("basket_pair_lift", 5),

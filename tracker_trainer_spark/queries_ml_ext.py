@@ -875,6 +875,56 @@ LEFT JOIN best b ON b.h_id = s.doc_id AND b.rn = 1
 """
 
 
+# --------------------------------------------------------------------------
+# Window-function breadth: order-sequence features per customer
+# --------------------------------------------------------------------------
+
+def customer_order_sequences(spark, sf_dir):
+    """Per-order sequence features over each customer's order history —
+    the feature-engineering window pass every behavioral model starts
+    from: order index, days since previous order (lag), days since first
+    order (first_value), percentile position by value within the
+    customer (percent_rank), and whether it's the latest order (lead).
+
+    ALL features ride ONE customer-partitioned sort — Spark plans a
+    single window exchange for the whole set; nothing here needs a
+    second pass. Restricted to a deterministic customer slice to keep
+    the oracle frame small."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wv = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_idx"),
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).alias("days_since_prev"),
+        F.datediff(
+            "o_orderdate", F.first_value("o_orderdate").over(w)
+        ).alias("days_since_first"),
+        r4(F.percent_rank().over(wv)).alias("value_pct_rank"),
+        F.lead("o_orderkey").over(w).isNull().alias("is_latest"),
+    )
+
+
+ORDER_SEQ_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS INT) AS order_idx,
+       CAST(date_diff('day',
+                 lag(o_orderdate) OVER w, o_orderdate) AS INT) AS days_since_prev,
+       CAST(date_diff('day',
+                 first_value(o_orderdate) OVER w, o_orderdate) AS INT) AS days_since_first,
+       round(percent_rank() OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 4)
+         AS value_pct_rank,
+       lead(o_orderkey) OVER w IS NULL AS is_latest
+FROM orders
+WHERE o_custkey % 100 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 ML_QUERIES = {
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "jaccard_prefix_join": jaccard_prefix_join,
@@ -886,6 +936,7 @@ ML_QUERIES = {
     "basket_pair_lift": basket_pair_lift,
     "doc_pack_assignments": doc_pack_assignments,
     "corpus_decontamination": corpus_decontamination,
+    "customer_order_sequences": customer_order_sequences,
 }
 
 ML_ORACLES = {
@@ -899,4 +950,5 @@ ML_ORACLES = {
     "basket_pair_lift": BASKET_LIFT_SQL,
     "doc_pack_assignments": PACK_SQL,
     "corpus_decontamination": DECONTAMINATION_SQL,
+    "customer_order_sequences": ORDER_SEQ_SQL,
 }
