@@ -467,6 +467,7 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     # both windows share the o_custkey partitioning: ONE exchange, the
     # value-ordered window adds only an in-partition re-sort
     ("customer_order_sequences", 1),
+    ("ipw_weight_diagnostics", 2),     # weight agg + global moment agg
     # static plan re-expands the CACHED basket subtree per consumer
     # (pair agg + marginals); at execution the basket agg runs once
     ("basket_pair_lift", 5),

@@ -925,6 +925,58 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+# --------------------------------------------------------------------------
+# IPW weight diagnostics: effective sample size + clipping monitor
+# --------------------------------------------------------------------------
+
+def ipw_weight_diagnostics(spark, sf_dir, clip: float = 10.0):
+    """Health check for inverse-propensity weighting before a training
+    run (the weights the trainer applies in trainer/weights.py — M2 in
+    SURVEY §2): effective sample size ESS = (Σw)²/Σw², its fraction of
+    n (1.0 = uniform weights, →0 = a few decisions dominate), the max
+    weight, and the fraction above the clip threshold. A collapsing ESS
+    or a fat clip fraction is the standard "your propensity model is
+    about to destabilize the fit" alarm.
+
+    Weights here are the decision multiplicities (`count`) from the
+    merge shape — the engine's propensity surrogate. Two hash aggs
+    total (per-decision weights, then one global moment pass); every
+    measure is a mergeable partial, so the plan is identical at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    w_tbl = (
+        ev.where(F.col("event_type") != "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    sum_w = F.sum("w")
+    sum_w2 = F.sum(F.col("w") * F.col("w"))
+    ess = sum_w * sum_w / sum_w2
+    n = F.count(F.lit(1))
+    return w_tbl.agg(
+        n.alias("n_decisions"),
+        r4(ess).alias("ess"),
+        r4(ess / n).alias("ess_frac"),
+        r4(F.max("w")).alias("max_w"),
+        r4(F.avg("w")).alias("mean_w"),
+        r4(F.avg((F.col("w") > clip).cast("double"))).alias("clip_frac"),
+    )
+
+
+IPW_DIAG_SQL = """
+WITH w_tbl AS (
+  SELECT user_id, CAST(count(*) AS DOUBLE) AS w
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1
+)
+SELECT count(*) AS n_decisions,
+       round(sum(w) * sum(w) / sum(w * w), 4) AS ess,
+       round(sum(w) * sum(w) / sum(w * w) / count(*), 4) AS ess_frac,
+       round(max(w), 4) AS max_w,
+       round(avg(w), 4) AS mean_w,
+       round(avg(CASE WHEN w > 10.0 THEN 1.0 ELSE 0.0 END), 4) AS clip_frac
+FROM w_tbl
+"""
+
+
 ML_QUERIES = {
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "jaccard_prefix_join": jaccard_prefix_join,
@@ -937,6 +989,7 @@ ML_QUERIES = {
     "doc_pack_assignments": doc_pack_assignments,
     "corpus_decontamination": corpus_decontamination,
     "customer_order_sequences": customer_order_sequences,
+    "ipw_weight_diagnostics": ipw_weight_diagnostics,
 }
 
 ML_ORACLES = {
@@ -951,4 +1004,5 @@ ML_ORACLES = {
     "doc_pack_assignments": PACK_SQL,
     "corpus_decontamination": DECONTAMINATION_SQL,
     "customer_order_sequences": ORDER_SEQ_SQL,
+    "ipw_weight_diagnostics": IPW_DIAG_SQL,
 }
