@@ -1,15 +1,25 @@
-"""Scale-soak for the clustering / similarity-join family: run
-deterministic Lloyd's KMeans over a synthetically grown embedding
-corpus (N up to 500k × dim 64) and the prefix-filtered Jaccard join
-over a K×-replicated document corpus, measuring rows/s per round.
+"""Scale-soak for the clustering / similarity-join family.
 
-The 100 TB question each answers:
-- KMeans: per-round cost must stay scan + ONE hash agg (centroid
-  update), with the k×dim driver collect constant-size as N grows —
-  no per-point shuffle, no growing driver state.
-- prefix Jaccard join: candidate pairs must grow with true-duplicate
-  density, not quadratically with corpus size (prefix filtering keeps
-  hot tokens out of the pair generator).
+Stage 1 — KMeans: deterministic Lloyd over a synthetically grown
+embedding corpus (default 200k × dim 64, 8 planted centers). The
+100 TB question: per-round cost must stay scan + ONE hash agg
+(centroid update) with the k×dim driver collect constant-size as N
+grows. The soak ASSERTS exact planted-cluster recovery (sizes n/k
+each) — a tie-break or literal-compilation regression fails loudly.
+
+Stage 2 — prefix-filtered Jaccard join: K×-replicated documents where
+every token is prefixed with its copy tag, so cross-copy similarity is
+exactly 0 and duplicate DENSITY is constant as the corpus grows (naive
+replication, or an appended tag token, leaves cross-copy Jaccard at
+n/(n+2) ≥ t and the qualifying-pair set grows K² — an output artifact,
+not engine cost). The soak measures the UNCAPPED qualifying-pair count
+via queries_ml_ext.prefix_filter_pairs (the registry query tops-k, so
+its row count cannot see a blowup) and expects pairs ≈ K × base and
+~flat docs/s.
+
+Stage 3 — unigram-vs-shingle A/B on the same slice: quantifies WHY the
+join shingles (this corpus's ~200-term unigram vocabulary makes unigram
+prefixes non-discriminating); reported as candidate-side wall ratio.
 
 Usage: python scripts/cluster_soak.py [N_vectors] [K_docs]
 Defaults: 200000 vectors, 4x documents. Prints one JSON line per stage.
@@ -26,12 +36,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from tracker_trainer_spark.functions.dedup import (  # noqa: E402
+    shingle_hashes_arrow,
+)
 from tracker_trainer_spark.queries import _t  # noqa: E402
 from tracker_trainer_spark.queries_ml_ext import (  # noqa: E402
     _assign_expr,
     _mean_centroids,
+    prefix_filter_pairs,
 )
-from tracker_trainer_spark.session import get_spark  # noqa: E402
+from tracker_trainer_spark.session import get_spark, spread  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DIM = 64
@@ -65,60 +79,95 @@ def kmeans_soak(spark, n: int) -> dict:
         r0 = time.perf_counter()
         assigned = emb.withColumn("cid", _assign_expr(centroids)["cid"])
         centroids = _mean_centroids(assigned, prev=centroids)
-        rounds.append(round(time.perf_counter() - r0, 2))
+        rounds.append(time.perf_counter() - r0)
     total = time.perf_counter() - t0
-    # planted-center sanity: every final centroid's dominant coordinate
-    # group must match its cluster (assignment recovered the structure)
-    sizes = (
-        emb.withColumn("cid", _assign_expr(centroids)["cid"])
+    sizes = sorted(
+        r["count"]
+        for r in emb.withColumn("cid", _assign_expr(centroids)["cid"])
         .groupBy("cid").count().collect()
     )
     emb.unpersist()
+    # planted-center recovery is an ASSERTION, not an eyeball check:
+    # the jitter (≤0.2) is far inside the unit inter-center distance,
+    # so exact n/k sizes are the only correct outcome
+    expected = [n // KMEANS_K] * KMEANS_K
+    assert sizes == expected, f"cluster recovery failed: {sizes}"
     return {
         "stage": "kmeans",
         "n_vectors": n,
         "dim": DIM,
         "k": KMEANS_K,
-        "rounds_s": rounds,
+        "rounds_s": [round(r, 2) for r in rounds],
         "total_s": round(total, 2),
-        "rows_per_s_per_round": int(3 * n / sum(rounds)),
-        "cluster_sizes": sorted(r["count"] for r in sizes),
+        "rows_per_s_per_round": int(3 * n / max(sum(rounds), 1e-9)),
+        "recovered_planted_clusters": True,
     }
 
 
-def jaccard_soak(spark, k: int) -> dict:
-    """K×-replicate documents (distinct doc_ids per copy) and run the
-    prefix-join pipeline; candidate count must scale ~K× (dup density
-    fixed), not K²."""
-    from tracker_trainer_spark.queries_ml_ext import jaccard_prefix_join
-
-    docs = _t(spark, SF_DIR, "documents")
-    n_base = docs.count()
+def _replicated_docs(spark, k: int):
+    """K copies of the sliced corpus; EVERY token carries its copy tag,
+    so cross-copy Jaccard is exactly 0 and duplicate density (the
+    within-copy structure) is invariant in K."""
+    docs = _t(spark, SF_DIR, "documents").where(F.col("doc_id") % 10 == 0)
     copies = spark.range(k).select(F.col("id").alias("copy"))
-    # tag each copy's text so duplicate density stays CONSTANT as the
-    # corpus grows (real growth): without this, every base duplicate
-    # cluster of size m becomes size K·m and the qualifying-pair OUTPUT
-    # itself grows K² — an output-semantics blowup, not engine cost
-    big = (
+    tag_tokens = F.array_join(
+        F.transform(
+            F.split(F.col("text"), r"\s+"),
+            lambda t: F.concat(F.lit("c"), F.col("copy"), F.lit("_"), t),
+        ),
+        " ",
+    )
+    return (
         docs.crossJoin(copies)
         .withColumn("doc_id", F.col("doc_id") + F.col("copy") * 10_000_000)
-        .withColumn("text", F.concat_ws(" ", "text", F.concat(F.lit("cp"), "copy")))
+        .withColumn("text", tag_tokens)
         .drop("copy")
     )
-    path = "/tmp/cluster_soak_docs"
-    big.write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def jaccard_soak(spark, k: int) -> dict:
+    big = spread(_replicated_docs(spark, k))
+    n_docs = big.count()
+    docs = big.select(
+        "doc_id", shingle_hashes_arrow("text", 3).alias("toks")
+    ).where(F.size("toks") > 0)
     t0 = time.perf_counter()
-    out = jaccard_prefix_join(spark, path)
-    rows = out.count()
+    n_pairs = prefix_filter_pairs(docs).count()
     dt = time.perf_counter() - t0
     spark.catalog.clearCache()
     return {
         "stage": "jaccard_prefix_join",
-        "n_docs": n_base * k,
-        "result_rows": rows,
+        "n_docs": n_docs,
+        "qualifying_pairs": n_pairs,
+        "pairs_per_copy": round(n_pairs / k, 1),
         "total_s": round(dt, 2),
-        "docs_per_s": int(n_base * k / dt),
+        "docs_per_s": int(n_docs / max(dt, 1e-9)),
     }
+
+
+def unigram_ab(spark) -> dict:
+    """Same slice, same pipeline, unigram vs shingle element sets — the
+    measured provenance of 'shingles, not unigrams'."""
+    docs = spread(
+        _t(spark, SF_DIR, "documents").where(F.col("doc_id") % 10 == 0)
+    )
+    uni = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(F.lower("text"), r"\s+")).alias("toks"),
+    ).where(F.size("toks") > 0)
+    sh = docs.select(
+        "doc_id", shingle_hashes_arrow("text", 3).alias("toks")
+    ).where(F.size("toks") > 0)
+    out = {"stage": "unigram_vs_shingle_ab"}
+    for label, d in [("unigram", uni), ("shingle", sh)]:
+        t0 = time.perf_counter()
+        out[f"{label}_pairs"] = prefix_filter_pairs(d).count()
+        out[f"{label}_s"] = round(time.perf_counter() - t0, 2)
+        spark.catalog.clearCache()
+    out["unigram_over_shingle"] = round(
+        out["unigram_s"] / max(out["shingle_s"], 1e-9), 1
+    )
+    return out
 
 
 def main():
@@ -128,6 +177,8 @@ def main():
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     print(json.dumps(kmeans_soak(spark, n)), flush=True)
     print(json.dumps(jaccard_soak(spark, k)), flush=True)
+    print(json.dumps(jaccard_soak(spark, 2 * k)), flush=True)
+    print(json.dumps(unigram_ab(spark)), flush=True)
     spark.stop()
 
 

@@ -258,6 +258,20 @@ def jaccard_prefix_join(spark, sf_dir, t: float = JACCARD_T,
         )
         .where(F.size("toks") > 0)
     )
+    pairs = prefix_filter_pairs(docs, t)
+    return (
+        pairs.orderBy(F.desc("jac"), "doc_id_a", "doc_id_b")
+        .limit(topk)
+        .select("doc_id_a", "doc_id_b", r4(F.col("jac")).alias("jaccard"))
+    )
+
+
+def prefix_filter_pairs(docs, t: float = JACCARD_T):
+    """The prefix-filter pipeline on a prepared (doc_id, toks) frame —
+    split out of `jaccard_prefix_join` so soaks/benchmarks can measure
+    the UNCAPPED qualifying-pair volume (the query itself tops-k).
+    Returns (doc_id_a, doc_id_b, jac) with jac UNROUNDED; toks must be
+    non-empty distinct element arrays."""
     docs = docs.withColumn("n", F.size("toks")).cache()
     tok = docs.select("doc_id", "n", F.explode("toks").alias("tok"))
     df_tbl = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -290,16 +304,13 @@ def jaccard_prefix_join(spark, sf_dir, t: float = JACCARD_T,
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
-    out = (
+    return (
         cand.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
         .withColumn("jac", jac)
         .where(F.col("jac") >= t)
-        .orderBy(F.desc("jac"), "doc_id_a", "doc_id_b")
-        .limit(topk)
-        .select("doc_id_a", "doc_id_b", r4(F.col("jac")).alias("jaccard"))
+        .select("doc_id_a", "doc_id_b", "jac")
     )
-    return out
 
 
 JACCARD_PREFIX_SQL = f"""
@@ -728,7 +739,7 @@ def doc_pack_assignments(spark, sf_dir, context: int = PACK_CONTEXT):
     doc_id (deterministic, append-stable).
     """
     docs = _t(spark, sf_dir, "documents")
-    n_tok = F.size(F.split(F.lower("text"), r"\s+"))
+    n_tok = F.size(F.split(F.col("text"), r"\s+"))  # count is case-blind
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
@@ -754,7 +765,7 @@ def doc_pack_assignments(spark, sf_dir, context: int = PACK_CONTEXT):
 PACK_SQL = f"""
 WITH d AS (
   SELECT source, doc_id,
-         len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens
+         len(regexp_split_to_array(text, '\\s+')) AS n_tokens
   FROM documents
 ), a AS (
   SELECT source, doc_id, n_tokens,
