@@ -69,3 +69,47 @@ def test_kmeans_empty_corpus_returns_empty(spark, tmp_path):
     assert [f.name for f in out.schema.fields] == [
         "cluster_id", "n_members", "inertia"
     ]
+
+
+# --------------------------------------------------------------------------
+# Prefix-filter exactness: differential fuzz vs brute force
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from tracker_trainer_spark.queries_ml_ext import prefix_filter_pairs  # noqa: E402
+
+_doc_sets = st.lists(
+    st.lists(st.integers(min_value=0, max_value=11), min_size=1, max_size=10)
+    .map(lambda xs: sorted(set(xs))),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_doc_sets)
+def test_prefix_filter_pairs_exact_vs_brute_force(spark, docs):
+    """Prefix filtering must be RECALL-EXACT: for random small token
+    sets, the pipeline's qualifying pairs equal the brute-force
+    all-pairs answer — the pigeonhole bound (prefix length
+    n − ⌈t·n⌉ + 1) admits no false negatives, and verify removes all
+    false positives."""
+    t = 0.6
+    expected = set()
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = set(docs[i]), set(docs[j])
+            jac = len(a & b) / len(a | b)
+            if jac >= t:
+                expected.add((i, j, round(jac, 6)))
+    df = spark.createDataFrame(
+        [(i, [int(x) for x in d]) for i, d in enumerate(docs)],
+        "doc_id long, toks array<long>",
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"], round(r["jac"], 6))
+        for r in prefix_filter_pairs(df, t).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == expected
