@@ -468,6 +468,8 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     # value-ordered window adds only an in-partition re-sort
     ("customer_order_sequences", 1),
     ("ipw_weight_diagnostics", 2),     # weight agg + global moment agg
+    # intersect/except legs: distinct aggs + semi/anti hash joins
+    ("customer_retention_setops", 7),
     # static plan re-expands the CACHED basket subtree per consumer
     # (pair agg + marginals); at execution the basket agg runs once
     ("basket_pair_lift", 5),

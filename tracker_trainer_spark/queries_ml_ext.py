@@ -988,6 +988,50 @@ FROM w_tbl
 """
 
 
+# --------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT as first-class plan shapes
+# --------------------------------------------------------------------------
+
+def customer_retention_setops(spark, sf_dir):
+    """Customers active in BOTH 1995 and 1996 (INTERSECT) minus those
+    with a returned item in 1996 (EXCEPT) — the set-algebra spelling of
+    retention-minus-churn-signal.
+
+    Spark plans INTERSECT/EXCEPT as left-semi/anti hash joins over
+    distinct keys (no row-pair materialization); each leg pushes its
+    year/returnflag filter into the scan. The oracle uses the identical
+    SQL set operators."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    y = F.year("o_orderdate")
+    c95 = orders.where(y == 1995).select("o_custkey")
+    c96 = orders.where(y == 1996).select("o_custkey")
+    returned_96 = (
+        orders.where(y == 1996)
+        .join(li.where(F.col("l_returnflag") == "R"),
+              orders["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey")
+    )
+    return (
+        c95.intersect(c96)
+        .exceptAll(returned_96.distinct())
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+SETOPS_SQL = """
+SELECT o_custkey AS custkey FROM (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+  EXCEPT
+  SELECT o.o_custkey
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE year(o.o_orderdate) = 1996 AND l.l_returnflag = 'R'
+)
+"""
+
+
 ML_QUERIES = {
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "jaccard_prefix_join": jaccard_prefix_join,
@@ -1001,6 +1045,7 @@ ML_QUERIES = {
     "corpus_decontamination": corpus_decontamination,
     "customer_order_sequences": customer_order_sequences,
     "ipw_weight_diagnostics": ipw_weight_diagnostics,
+    "customer_retention_setops": customer_retention_setops,
 }
 
 ML_ORACLES = {
@@ -1016,4 +1061,5 @@ ML_ORACLES = {
     "corpus_decontamination": DECONTAMINATION_SQL,
     "customer_order_sequences": ORDER_SEQ_SQL,
     "ipw_weight_diagnostics": IPW_DIAG_SQL,
+    "customer_retention_setops": SETOPS_SQL,
 }
