@@ -280,12 +280,20 @@ def prefix_filter_pairs(docs, t: float = JACCARD_T):
         tok.join(F.broadcast(df_tbl), "tok")
         .withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
-        .select("doc_id", "tok")
+        .select("doc_id", "n", "tok")
     )
+    # PPJoin length filter rides the token equi-join: Jaccard ≥ t forces
+    # t·|A| ≤ |B| ≤ |A|/t, so wildly mismatched sizes never reach
+    # distinct/verify — a residual predicate on the same join, no extra
+    # shuffle
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") >= F.ceil(F.lit(t) * F.col("a.n")))
+            & (F.col("a.n") >= F.ceil(F.lit(t) * F.col("b.n")))
+        )
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
