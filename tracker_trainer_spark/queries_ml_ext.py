@@ -280,12 +280,19 @@ def prefix_filter_pairs(docs, t: float = JACCARD_T):
         tok.join(F.broadcast(df_tbl), "tok")
         .withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
-        .select("doc_id", "n", "tok")
+        .select("doc_id", "n", "pos", "tok")
     )
-    # PPJoin length filter rides the token equi-join: Jaccard ≥ t forces
-    # t·|A| ≤ |B| ≤ |A|/t, so wildly mismatched sizes never reach
-    # distinct/verify — a residual predicate on the same join, no extra
-    # shuffle
+    # PPJoin residual filters ride the token equi-join (no extra
+    # shuffle, recall stays exact):
+    # - length: Jaccard ≥ t forces t·|A| ≤ |B| ≤ |A|/t;
+    # - positional: overlap ≥ α = ⌈t/(1+t)·(|A|+|B|)⌉ must still be
+    #   reachable from this shared token onward — the elements before a
+    #   common prefix position can't intersect more than the suffix
+    #   allows. Any qualifying pair passes via its FIRST common token,
+    #   so distinct-after-filter keeps exactness (fuzz-pinned).
+    alpha = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("a.n") + F.col("b.n"))
+    )
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")
@@ -293,6 +300,12 @@ def prefix_filter_pairs(docs, t: float = JACCARD_T):
             (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("b.n") >= F.ceil(F.lit(t) * F.col("a.n")))
             & (F.col("a.n") >= F.ceil(F.lit(t) * F.col("b.n")))
+            & (
+                F.least(
+                    F.col("a.n") - F.col("a.pos"),
+                    F.col("b.n") - F.col("b.pos"),
+                ) + 1 >= alpha
+            )
         )
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
