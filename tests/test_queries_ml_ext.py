@@ -113,3 +113,35 @@ def test_prefix_filter_pairs_exact_vs_brute_force(spark, docs):
     }
     spark.catalog.clearCache()
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# Streak state machine: differential fuzz vs a plain-Python islands walk
+# --------------------------------------------------------------------------
+
+import datetime as _dt  # noqa: E402
+
+from tracker_trainer_spark.queries_ml_ext import streak_state_expr  # noqa: E402
+
+_day_sets = st.lists(
+    st.integers(min_value=0, max_value=40), min_size=1, max_size=25
+).map(lambda xs: sorted(set(xs)))
+
+
+@settings(max_examples=15, deadline=None)
+@given(_day_sets)
+def test_streak_expr_matches_python_islands(spark, offsets):
+    """The HOF fold must agree with the obvious sequential walk for any
+    sorted day set (including singletons and all-gaps)."""
+    base = _dt.date(2024, 1, 1)
+    days = [base + _dt.timedelta(days=o) for o in offsets]
+    best = runs = cur = 0
+    prev = None
+    for d in days:
+        cur = cur + 1 if prev is not None and (d - prev).days == 1 else 1
+        runs += 0 if prev is not None and (d - prev).days == 1 else 1
+        best = max(best, cur)
+        prev = d
+    df = spark.createDataFrame([(days,)], "days array<date>")
+    row = df.select(streak_state_expr("days").alias("s")).first()["s"]
+    assert (row["runs"], row["best"]) == (runs, best)

@@ -590,6 +590,19 @@ def user_activity_streaks(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.array_sort(F.collect_set("day")).alias("days"))
     )
+    st = streak_state_expr("days")
+    return per_user.select(
+        "user_id",
+        F.size("days").alias("n_active_days"),
+        st["runs"].alias("n_streaks"),
+        st["best"].alias("longest_streak"),
+    )
+
+
+def streak_state_expr(days_col):
+    """The streak state machine over a SORTED date array: `aggregate`
+    HOF folding (prev, current-run, best, n_runs). Factored out so the
+    differential fuzz suite can run it on arbitrary day sets."""
     init = F.struct(
         F.lit(None).cast("date").alias("prev"),
         F.lit(0).alias("cur"),
@@ -609,13 +622,7 @@ def user_activity_streaks(spark, sf_dir):
             (acc["runs"] + F.when(is_cont, 0).otherwise(1)).alias("runs"),
         )
 
-    st = F.aggregate(F.col("days"), init, step)
-    return per_user.select(
-        "user_id",
-        F.size("days").alias("n_active_days"),
-        st["runs"].alias("n_streaks"),
-        st["best"].alias("longest_streak"),
-    )
+    return F.aggregate(F.col(days_col), init, step)
 
 
 STREAKS_SQL = """
