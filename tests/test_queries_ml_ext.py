@@ -145,3 +145,30 @@ def test_streak_expr_matches_python_islands(spark, offsets):
     df = spark.createDataFrame([(days,)], "days array<date>")
     row = df.select(streak_state_expr("days").alias("s")).first()["s"]
     assert (row["runs"], row["best"]) == (runs, best)
+
+
+# --------------------------------------------------------------------------
+# Basket pair generator: differential fuzz vs itertools.combinations
+# --------------------------------------------------------------------------
+
+from itertools import combinations  # noqa: E402
+
+from tracker_trainer_spark.queries_ml_ext import basket_pairs_expr  # noqa: E402
+
+_baskets = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=3),
+    min_size=0,
+    max_size=8,
+).map(lambda xs: sorted(set(xs)))
+
+
+@settings(max_examples=15, deadline=None)
+@given(_baskets)
+def test_basket_pairs_expr_matches_combinations(spark, basket):
+    """The nested-transform pair HOF must produce exactly the i<j pair
+    set (order-insensitive), including empty and singleton baskets."""
+    df = spark.createDataFrame([(basket,)], "brands array<string>")
+    rows = df.select(basket_pairs_expr("brands").alias("p")).first()["p"]
+    got = {(r["brand_a"], r["brand_b"]) for r in rows}
+    assert got == set(combinations(basket, 2))
+    assert len(rows) == len(got)  # no duplicate pair structs

@@ -675,21 +675,8 @@ def basket_pair_lift(spark, sf_dir, min_support: int = BASKET_MIN_SUPPORT,
     )
     baskets.cache()
     n_orders = baskets.count()
-    pairs_arr = F.flatten(
-        F.transform(
-            "brands",
-            lambda a, i: F.filter(
-                F.transform(
-                    "brands",
-                    lambda b, j: F.when(j > i, F.struct(
-                        a.alias("brand_a"), b.alias("brand_b"))),
-                ),
-                lambda s: s.isNotNull(),
-            ),
-        )
-    )
     pair_counts = (
-        baskets.select(F.explode(pairs_arr).alias("p"))
+        baskets.select(F.explode(basket_pairs_expr("brands")).alias("p"))
         .groupBy(F.col("p.brand_a").alias("brand_a"),
                  F.col("p.brand_b").alias("brand_b"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
@@ -716,6 +703,25 @@ def basket_pair_lift(spark, sf_dir, min_support: int = BASKET_MIN_SUPPORT,
             "brand_a", "brand_b", "n_ab",
             r4(F.col("n_ab") / F.col("n_a")).alias("confidence"),
             r4(F.col("_lift")).alias("lift"),
+        )
+    )
+
+
+def basket_pairs_expr(col):
+    """All ordered pairs (i < j) of a basket array as structs — the
+    scan-side HOF pair generator (bounded by |basket|², never a
+    self-join). Factored out for the differential fuzz suite."""
+    return F.flatten(
+        F.transform(
+            col,
+            lambda a, i: F.filter(
+                F.transform(
+                    col,
+                    lambda b, j: F.when(j > i, F.struct(
+                        a.alias("brand_a"), b.alias("brand_b"))),
+                ),
+                lambda s: s.isNotNull(),
+            ),
         )
     )
 
