@@ -468,8 +468,9 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     # value-ordered window adds only an in-partition re-sort
     ("customer_order_sequences", 1),
     ("ipw_weight_diagnostics", 2),     # weight agg + global moment agg
-    # intersect/except legs: distinct aggs + semi/anti hash joins
-    ("customer_retention_setops", 7),
+    # distinct agg + semi (INTERSECT) + anti (EXCEPT) hash joins —
+    # pinned tight; losing a broadcast adds an exchange and fails here
+    ("customer_retention_setops", 3),
     # static plan re-expands the CACHED basket subtree per consumer
     # (pair agg + marginals); at execution the basket agg runs once
     ("basket_pair_lift", 5),
@@ -496,6 +497,18 @@ def test_basket_lift_no_self_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     spark.catalog.clearCache()
+
+
+def test_setops_plan_as_semi_and_anti_joins(spark, sf_dir):
+    """INTERSECT must plan as a left-semi join, EXCEPT (subtract) as a
+    left-anti join — never the RewriteExceptAll Union+replicaterows
+    expansion."""
+    from tracker_trainer_spark.plans import physical_plan
+    plan = physical_plan(QUERIES["customer_retention_setops"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "replicaterows" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_kmeans_assignment_is_codegen(spark, sf_dir):

@@ -1048,7 +1048,7 @@ def customer_retention_setops(spark, sf_dir):
     )
     return (
         c95.intersect(c96)
-        .exceptAll(returned_96.distinct())
+        .subtract(returned_96)
         .select(F.col("o_custkey").alias("custkey"))
     )
 
