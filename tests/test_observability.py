@@ -1,9 +1,19 @@
 """observe() metrics must match a direct aggregation — and cost no
 second scan (they ride the action)."""
 
+import json
+import os
+
+import pandas as pd
 from pyspark.sql import functions as F
 
-from tracker_trainer_spark.observability import merge_metrics, observe_frame
+from tracker_trainer_spark.observability import (
+    merge_metric_exprs,
+    merge_metrics,
+    observe_frame,
+    observe_stream,
+    training_metrics,
+)
 from tracker_trainer_spark.queries import QUERIES
 
 
@@ -12,14 +22,35 @@ def test_merge_metrics_match_direct_agg(spark, sf_dir):
     obs, observed = merge_metrics(df)
     observed.write.format("noop").mode("overwrite").save()
     got = obs.get
+    # independent spellings — n_rewards is the reward-bearing signal on
+    # this frame (reward itself is coalesced to 0.0 by the merge)
     want = df.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.count("reward").alias("n_rewarded"),
-        F.coalesce(F.sum("reward"), F.lit(0.0)).alias("reward_sum"),
+        F.count(F.when(F.col("n_rewards") > 0, 1)).alias("n_rewarded"),
+        F.sum("reward").alias("reward_sum"),
     ).first()
     assert got["n_rows"] == want["n_rows"] > 0
-    assert got["n_rewarded"] == want["n_rewarded"]
+    # every merged row happens to be rewarded at this SF; the
+    # distinguishing cases (0 < rewarded < rows) are pinned by the
+    # synthetic training/streaming tests below
+    assert 0 < got["n_rewarded"] == want["n_rewarded"] <= got["n_rows"]
     assert abs(got["reward_sum"] - want["reward_sum"]) < 1e-6
+
+
+def test_training_metrics_count_orphans_and_null_rewards(spark):
+    """Contract test on a frame with KNOWN orphans/null rewards — the
+    loader's own output is post-null-fill, so the metrics must be
+    observed upstream of it."""
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, None), ("c", None)],
+        "item STRING, reward DOUBLE",
+    )
+    obs, observed = training_metrics(df)
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_rows"] == 3
+    assert got["n_orphans"] == 1
+    assert got["n_null_reward"] == 2
 
 
 def test_observe_frame_rides_single_action(spark, sf_dir):
@@ -37,14 +68,8 @@ def test_observe_frame_rides_single_action(spark, sf_dir):
 
 
 def test_observed_metrics_surface_in_streaming_progress(spark, tmp_path):
-    """On a stream the same observe() metrics arrive per micro-batch in
-    the query's progress events (Observation objects are batch-only, so
-    the streaming form uses the string-named observe)."""
-    import json
-    import os
-
-    import pandas as pd
-
+    """On a stream the SAME metric expressions (shared via
+    merge_metric_exprs) arrive per micro-batch in progress events."""
     src = str(tmp_path / "in")
     ckpt = str(tmp_path / "ck")
     os.makedirs(src)
@@ -52,13 +77,9 @@ def test_observed_metrics_surface_in_streaming_progress(spark, tmp_path):
         [{"reward": 1.5, "item": "a"}, {"reward": None, "item": "b"}]
     ).to_json(f"{src}/b1.json", orient="records", lines=True)
 
-    from pyspark.sql import functions as F
-
     stream = spark.readStream.schema("reward DOUBLE, item STRING").json(src)
-    observed = stream.observe(
-        "merge_metrics",
-        F.count(F.lit(1)).alias("n_rows"),
-        F.count("reward").alias("n_rewarded"),
+    observed = observe_stream(
+        stream, "merge_metrics", *merge_metric_exprs(stream)
     )
     q = (
         observed.writeStream.format("noop")
@@ -66,8 +87,11 @@ def test_observed_metrics_surface_in_streaming_progress(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
-    progress = [json.loads(p.json) for p in q.recentProgress]
+    try:
+        assert q.awaitTermination(120), "stream did not finish in time"
+        progress = [json.loads(p.json) for p in q.recentProgress]
+    finally:
+        q.stop()
     metrics = [
         p["observedMetrics"]["merge_metrics"]
         for p in progress
@@ -75,4 +99,5 @@ def test_observed_metrics_surface_in_streaming_progress(spark, tmp_path):
     ]
     assert metrics, "no observed metrics in progress events"
     assert metrics[0]["n_rows"] == 2
-    assert metrics[0]["n_rewarded"] == 1
+    assert metrics[0]["n_rewarded"] == 1  # nonzero-reward row only
+    assert abs(metrics[0]["reward_sum"] - 1.5) < 1e-9

@@ -468,9 +468,11 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     # value-ordered window adds only an in-partition re-sort
     ("customer_order_sequences", 1),
     ("ipw_weight_diagnostics", 2),     # weight agg + global moment agg
-    # distinct agg + semi (INTERSECT) + anti (EXCEPT) hash joins —
-    # pinned tight; losing a broadcast adds an exchange and fails here
-    ("customer_retention_setops", 3),
+    # distinct aggs + semi (INTERSECT) + anti (EXCEPT) sort-merge
+    # joins; the 4th exchange is the returned-leg dedup, which ships
+    # distinct keys instead of one row per returned line item (skew
+    # armor) — regressing to RewriteExceptAll fails the shape test
+    ("customer_retention_setops", 4),
     # static plan re-expands the CACHED basket subtree per consumer
     # (pair agg + marginals); at execution the basket agg runs once
     ("basket_pair_lift", 5),

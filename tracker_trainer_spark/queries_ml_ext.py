@@ -1031,10 +1031,13 @@ def customer_retention_setops(spark, sf_dir):
     with a returned item in 1996 (EXCEPT) — the set-algebra spelling of
     retention-minus-churn-signal.
 
-    Spark plans INTERSECT/EXCEPT as left-semi/anti hash joins over
-    distinct keys (no row-pair materialization); each leg pushes its
-    year/returnflag filter into the scan. The oracle uses the identical
-    SQL set operators."""
+    Spark plans INTERSECT as a left-semi join and subtract (EXCEPT
+    DISTINCT) as a left-anti join over distinct keys — SortMergeJoin at
+    this cardinality, with AQE free to broadcast a small leg; never the
+    RewriteExceptAll Union+replicaterows expansion (plan-pinned). The
+    returned-items leg is deduplicated BEFORE its exchange so a heavy-
+    return customer ships one key, not one row per returned line item.
+    The oracle uses the identical SQL set operators."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     y = F.year("o_orderdate")
@@ -1048,7 +1051,7 @@ def customer_retention_setops(spark, sf_dir):
     )
     return (
         c95.intersect(c96)
-        .subtract(returned_96)
+        .subtract(returned_96.distinct())
         .select(F.col("o_custkey").alias("custkey"))
     )
 
