@@ -1,7 +1,11 @@
 """ML / data-curation extension queries: deterministic KMeans embedding
-clustering, prefix-filtered exact Jaccard similarity join, corpus
+clustering, PPJoin-filtered exact Jaccard similarity join, corpus
 unigram language-model scoring, weekly retention cohorts, Markov event
-transitions, and daily anomaly z-scores.
+transitions, daily anomaly z-scores, gaps-and-islands activity streaks,
+market-basket pair lift, greedy sequence packing, holdout-vs-train
+decontamination containment, one-exchange order-sequence window
+features, IPW effective-sample-size diagnostics, and INTERSECT/EXCEPT
+set-operation shapes.
 
 Each is an oracle-checked registry query per the repo convention
 (identical column aliases both sides, floats rounded to 4 decimals at
