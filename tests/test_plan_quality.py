@@ -473,6 +473,7 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     # distinct keys instead of one row per returned line item (skew
     # armor) — regressing to RewriteExceptAll fails the shape test
     ("customer_retention_setops", 4),
+    ("weighted_median_price", 1),      # one returnflag window shuffle
     # static plan re-expands the CACHED basket subtree per consumer
     # (pair agg + marginals); at execution the basket agg runs once
     ("basket_pair_lift", 5),

@@ -1073,6 +1073,66 @@ SELECT o_custkey AS custkey FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# Weighted median: cumulative-weight window algebra (no builtin exists)
+# --------------------------------------------------------------------------
+
+def weighted_median_price(spark, sf_dir):
+    """Quantity-weighted median extended price per returnflag — the
+    weighted-percentile shape Spark has no builtin for: sort each group
+    by value with a deterministic tiebreak, running-sum the weights,
+    and take the FIRST value whose cumulative weight crosses half the
+    group total (= min qualifying value, since the sort is by value).
+
+    One returnflag shuffle + in-partition sort; the crossing pick is a
+    filter + min agg on the same partitioning. Both engines walk the
+    identical sorted sequence, so the running sums are bit-identical
+    doubles and the crossing row matches exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("double").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    scored = keyed.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wall).alias("total"),
+    )
+    return (
+        scored.where(F.col("cum") >= F.col("total") / 2)
+        .groupBy("l_returnflag")
+        .agg(r4(F.min("l_extendedprice")).alias("weighted_median_price"))
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH scored AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(CAST(l_quantity AS DOUBLE)) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(CAST(l_quantity AS DOUBLE)) OVER (
+           PARTITION BY l_returnflag) AS total
+  FROM lineitem
+)
+SELECT l_returnflag,
+       round(min(l_extendedprice), 4) AS weighted_median_price
+FROM scored WHERE cum >= total / 2
+GROUP BY 1
+"""
+
+
 ML_QUERIES = {
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "jaccard_prefix_join": jaccard_prefix_join,
@@ -1087,6 +1147,7 @@ ML_QUERIES = {
     "customer_order_sequences": customer_order_sequences,
     "ipw_weight_diagnostics": ipw_weight_diagnostics,
     "customer_retention_setops": customer_retention_setops,
+    "weighted_median_price": weighted_median_price,
 }
 
 ML_ORACLES = {
@@ -1103,4 +1164,5 @@ ML_ORACLES = {
     "customer_order_sequences": ORDER_SEQ_SQL,
     "ipw_weight_diagnostics": IPW_DIAG_SQL,
     "customer_retention_setops": SETOPS_SQL,
+    "weighted_median_price": WEIGHTED_MEDIAN_SQL,
 }
