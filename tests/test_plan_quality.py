@@ -474,6 +474,7 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     # armor) — regressing to RewriteExceptAll fails the shape test
     ("customer_retention_setops", 4),
     ("weighted_median_price", 1),      # one returnflag window shuffle
+    ("price_quantity_regression", 1),  # single-pass moment hash agg
     # static plan re-expands the CACHED basket subtree per consumer
     # (pair agg + marginals); at execution the basket agg runs once
     ("basket_pair_lift", 5),

@@ -1133,6 +1133,43 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Grouped OLS: single-pass regression aggregates
+# --------------------------------------------------------------------------
+
+def price_quantity_regression(spark, sf_dir):
+    """Per-returnflag ordinary-least-squares fit of extended price on
+    quantity — `regr_slope`/`regr_intercept`/`regr_r2`, the SQL-standard
+    regression aggregates both engines implement as single-pass
+    mergeable moment sketches (the same partial-agg shape as sum/corr:
+    ONE hash agg, no second pass, no driver math).
+
+    The r² here is ~0 by construction (TPC-H prices don't depend on
+    quantity) — the value of the query is the plan shape and the
+    engine-parity of the moment algebra, not the fit."""
+    li = _t(spark, sf_dir, "lineitem")
+    y = F.col("l_extendedprice")
+    x = F.col("l_quantity").cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r4(F.regr_slope(y, x)).alias("slope"),
+            r4(F.regr_intercept(y, x)).alias("intercept"),
+            r4(F.regr_r2(y, x)).alias("r2"),
+        )
+    )
+
+
+REGRESSION_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       round(regr_slope(l_extendedprice, CAST(l_quantity AS DOUBLE)), 4) AS slope,
+       round(regr_intercept(l_extendedprice, CAST(l_quantity AS DOUBLE)), 4) AS intercept,
+       round(regr_r2(l_extendedprice, CAST(l_quantity AS DOUBLE)), 4) AS r2
+FROM lineitem GROUP BY 1
+"""
+
+
 ML_QUERIES = {
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "jaccard_prefix_join": jaccard_prefix_join,
@@ -1148,6 +1185,7 @@ ML_QUERIES = {
     "ipw_weight_diagnostics": ipw_weight_diagnostics,
     "customer_retention_setops": customer_retention_setops,
     "weighted_median_price": weighted_median_price,
+    "price_quantity_regression": price_quantity_regression,
 }
 
 ML_ORACLES = {
@@ -1165,4 +1203,5 @@ ML_ORACLES = {
     "ipw_weight_diagnostics": IPW_DIAG_SQL,
     "customer_retention_setops": SETOPS_SQL,
     "weighted_median_price": WEIGHTED_MEDIAN_SQL,
+    "price_quantity_regression": REGRESSION_SQL,
 }
