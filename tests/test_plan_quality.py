@@ -475,6 +475,9 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     ("customer_retention_setops", 4),
     ("weighted_median_price", 1),      # one returnflag window shuffle
     ("price_quantity_regression", 1),  # single-pass moment hash agg
+    # basket agg + edge-weight agg + degree agg + orientation joins +
+    # wedge/closing joins — all keyed, none quadratic in hub degree
+    ("supplier_triangle_count", 12),
     # static plan re-expands the CACHED basket subtree per consumer
     # (pair agg + marginals); at execution the basket agg runs once
     ("basket_pair_lift", 5),

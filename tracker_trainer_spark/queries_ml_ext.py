@@ -1170,6 +1170,107 @@ FROM lineitem GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Triangle counting: degree-oriented wedge join over the co-supplier graph
+# --------------------------------------------------------------------------
+
+def supplier_triangle_count(spark, sf_dir):
+    """Exact triangle count of the co-supplier graph (suppliers linked
+    when they ship in the same order) — the clustering-coefficient
+    numerator behind collusion/community detection.
+
+    The scale trick is DEGREE ORIENTATION: orient every edge from the
+    lower-(degree, id) endpoint to the higher one, build wedges only at
+    each edge's source, and close them against oriented edges. A hub of
+    degree d contributes O(d) oriented out-edges only if it LOSES the
+    degree comparison — out-degrees are bounded by graph degeneracy, so
+    the wedge join never explodes on hubs the way the naive a<b<c
+    triple join does. The oracle counts the same triangles with the
+    naive id-ordered triple join (exact parity, different plan).
+
+    Edges come from the basket HOF (orders hold ≤7 suppliers — pair
+    generation is scan-side), then ONE distinct."""
+    from tracker_trainer_spark.session import spread as _spread
+
+    li = _spread(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    )
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("brands"))
+    )
+    # edge = co-occurrence in >= min_w orders: TPC-H's co-shipper graph
+    # is ~90% dense at raw co-occurrence (every pair eventually shares
+    # an order), which makes every triangle algorithm O(n^3) noise —
+    # the weight floor keeps the FREQUENT-collaboration graph, which is
+    # the graph anyone analyzes
+    min_w = 5
+    edges = (
+        baskets.select(F.explode(basket_pairs_expr("brands")).alias("p"))
+        .groupBy(F.col("p.brand_a").alias("a"), F.col("p.brand_b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= min_w)
+        .select("a", "b")
+    )
+    edges.cache()
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    oriented.cache()
+    w1 = oriented.select(F.col("src"), F.col("dst").alias("v"))
+    w2 = oriented.select(F.col("src"), F.col("dst").alias("w"))
+    wedges = w1.join(w2, "src").where(F.col("v") < F.col("w"))
+    # the closing edge between v and w exists in exactly one
+    # orientation; (v, w) may appear as src→dst in either id order
+    closing = oriented.select(
+        F.least("src", "dst").alias("v"), F.greatest("src", "dst").alias("w")
+    )
+    # ONE composed plan (cross joins of three 1-row aggregates) so the
+    # driver pays a single action; the cached edge/oriented subtrees
+    # dedupe inside it
+    tri = wedges.join(closing, ["v", "w"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    nv = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    return tri.crossJoin(ne).crossJoin(nv)
+
+
+TRIANGLE_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), edges AS (
+  SELECT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT (SELECT count(*)
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles,
+       (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT count(DISTINCT v) FROM (
+          SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)) AS n_vertices
+"""
+
+
 ML_QUERIES = {
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "jaccard_prefix_join": jaccard_prefix_join,
@@ -1186,6 +1287,7 @@ ML_QUERIES = {
     "customer_retention_setops": customer_retention_setops,
     "weighted_median_price": weighted_median_price,
     "price_quantity_regression": price_quantity_regression,
+    "supplier_triangle_count": supplier_triangle_count,
 }
 
 ML_ORACLES = {
@@ -1204,4 +1306,5 @@ ML_ORACLES = {
     "customer_retention_setops": SETOPS_SQL,
     "weighted_median_price": WEIGHTED_MEDIAN_SQL,
     "price_quantity_regression": REGRESSION_SQL,
+    "supplier_triangle_count": TRIANGLE_SQL,
 }
