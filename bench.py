@@ -91,7 +91,13 @@ def main() -> None:
     duck = {n: round(v, 4) for n, v in duck.items()}  # rounded for display
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    duck_total = round(sum(duck.values()), 3)
+
+    # Full per-query maps (98 queries × 3 maps ≈ 9 KB) overflow the
+    # driver's ~2 KB tail capture (BENCH_r02 came back parsed:null), so
+    # they go to a sidecar file and the printed line stays compact: the
+    # totals, ratio distribution, and the 10 slowest queries.
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -99,6 +105,26 @@ def main() -> None:
         "duckdb_s": duck,
         "spark_over_duckdb": ratios,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    sorted_ratios = sorted(ratios.values())
+    median_ratio = sorted_ratios[len(sorted_ratios) // 2] if ratios else None
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,  # 10 slowest; full map in BENCH_DETAIL.json
+        "n_queries": len(timings),
+        "duckdb_total_s": duck_total,
+        "spark_over_duckdb_median": median_ratio,
+        "spark_over_duckdb_max": max(sorted_ratios) if ratios else None,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "detail": "BENCH_DETAIL.json",
     }))
     spark.stop()
 

@@ -69,6 +69,9 @@ def synthetic_embeddings(spark, n: int):
 
 
 def kmeans_soak(spark, n: int) -> dict:
+    # sizes are asserted exactly n/k each, so a CLI-supplied N that is
+    # not a multiple of k would fail spuriously — round down first
+    n -= n % KMEANS_K
     emb = synthetic_embeddings(spark, n).cache()
     emb.count()  # materialize outside the timed region
     init = emb.withColumn("cid", (F.col("vec_id") % KMEANS_K).cast("int"))

@@ -263,7 +263,8 @@ def test_funnel_single_agg_shuffle(spark, sf_dir):
     ("events_daily_pivot", 2),      # (day,type) partial pivot agg + day final
     ("purchase_moving_avg", 1),     # one user_id exchange for the RANGE frame
     ("lineitem_stats_profile", 1),  # all moment aggs in ONE hash agg pass
-    ("doc_tfidf_top_terms", 5),     # tf agg + df agg + join + doc window
+    ("doc_tfidf_top_terms", 4),     # tf agg + term window + doc window
+    #                                 + the 1-row corpus-count exchange
 ])
 def test_analytics_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles
@@ -289,17 +290,15 @@ def test_moving_avg_prunes_and_pushes(spark, sf_dir):
 
 
 def test_tfidf_single_documents_scan(spark, sf_dir):
-    """The cached TF relation must feed BOTH the score rows and the DF
-    aggregation — two documents scans means the cache regressed and the
-    token explode runs twice."""
+    """TF-IDF must be ONE linear pipeline: a single text scan feeds the
+    token explode, DF comes from a term-partitioned COUNT window over
+    the TF relation (no cached branch, no self-join), and the only other
+    documents read is the column-pruned 1-row corpus count."""
     from tracker_trainer_spark.plans import physical_plan
     df = QUERIES["doc_tfidf_top_terms"](spark, sf_dir)
-    try:
-        plan = physical_plan(df)
-        assert plan.count("documents.parquet") <= 2  # text scan + pruned count scan
-        assert "InMemoryTableScan" in plan
-    finally:
-        spark.catalog.clearCache()
+    plan = physical_plan(df)
+    assert plan.count("documents.parquet") <= 2  # text scan + pruned count scan
+    assert "InMemoryTableScan" not in plan  # the r2 cache is gone for good
 
 
 @pytest.mark.parametrize("name,max_shuffles", [

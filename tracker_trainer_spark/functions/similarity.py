@@ -536,6 +536,33 @@ def random_projection(vec_col, out_dim: int, in_dim: int,
     return proj(c)
 
 
+# Live corpus broadcasts created by knn_join, oldest first.  Spark only
+# reclaims a broadcast when its Python handle is GC'd AND the driver
+# runs the cleaner, so a long session issuing many knn joins would pin
+# one normalized float64 corpus per call on every executor.  Callers
+# (and the registry queries) release them via release_knn_broadcasts()
+# once the consuming action has run.
+_KNN_BROADCASTS: list = []
+
+
+def release_knn_broadcasts() -> int:
+    """Unpersist every corpus broadcast created by ``knn_join`` so far.
+
+    Safe to call between actions; any knn_join DataFrame not yet
+    executed must be re-created afterwards. Returns the number of
+    broadcasts released.
+    """
+    n = 0
+    while _KNN_BROADCASTS:
+        bc = _KNN_BROADCASTS.pop()
+        try:
+            bc.unpersist(blocking=False)
+            n += 1
+        except Exception:
+            pass  # session already stopped; nothing to reclaim
+    return n
+
+
 def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              exclude_self: bool = False) -> DataFrame:
@@ -580,6 +607,7 @@ def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
     norms[norms == 0] = 1.0
     matn /= norms[:, None]
     bc = queries.sparkSession.sparkContext.broadcast((ids, matn))
+    _KNN_BROADCASTS.append(bc)
     pad = 16
 
     def gen(batches):

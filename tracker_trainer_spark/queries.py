@@ -2765,3 +2765,82 @@ ORACLES = {
 ORACLES.update(_EXT_ORACLES)
 ORACLES.update(_ANALYTICS_ORACLES)
 ORACLES.update(_ML_ORACLES)
+
+# --------------------------------------------------------------------------
+# Driver correctness-window ordering
+# --------------------------------------------------------------------------
+# The per-round driver verifies only the FIRST 50 ``queries()`` entries
+# against their DuckDB oracles.  Keys already certified green in
+# CORRECTNESS_r01/r02 are moved to the BACK of the registry so queries the
+# driver has never checked land inside the window; the union of rounds then
+# certifies the whole registry.  Newly added queries are (by construction)
+# not in the certified set, so they always surface at the front.
+_DRIVER_CERTIFIED_R1_R2 = frozenset({
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_bucketed",
+    "contrastive_negative_pairs",
+    "corpus_curation",
+    "corpus_train_holdout",
+    "dedup_cluster_survivors",
+    "dedup_embedding_cosine",
+    "dedup_exact_documents",
+    "dedup_minhash_candidates",
+    "dedup_minhash_clusters",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_centrality_pagerank",
+    "doc_fingerprint_lang",
+    "doc_repetition_stats",
+    "doc_text_stats",
+    "doc_token_chunks",
+    "embedding_similar_pairs",
+    "events_before_purchase",
+    "events_type_stats",
+    "funnel_view_click_purchase",
+    "merge_rewarded_events",
+    "monthly_order_stats",
+    "nations_with_customers_and_suppliers",
+    "order_value_histogram",
+    "order_value_percentiles",
+    "propensity_explode_events",
+    "purchase_attribution_asof",
+    "q10_returned_items",
+    "q12_priority_by_returnflag",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q21_sole_returned_supplier",
+    "q22_idle_customers",
+    "q3_top_revenue_orders",
+    "q4_order_priority",
+    "q5_nation_revenue",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "revenue_rollup_nation_year",
+    "reward_summary_stats",
+    "semantic_text_dedup",
+    "session_window_sessions",
+    "top3_orders_per_customer",
+    "train_encode_events",
+    "user_sessions",
+    "value_purchase_auc",
+    "weekly_auc_drift",
+    "windowed_event_stats",
+})
+
+
+def _front_load_unverified(registry: dict) -> dict:
+    fresh = {k: v for k, v in registry.items()
+             if k not in _DRIVER_CERTIFIED_R1_R2}
+    done = {k: v for k, v in registry.items()
+            if k in _DRIVER_CERTIFIED_R1_R2}
+    return {**fresh, **done}
+
+
+QUERIES = _front_load_unverified(QUERIES)
+ORACLES = _front_load_unverified(ORACLES)

@@ -202,17 +202,19 @@ def doc_tfidf_top_terms(spark, sf_dir, k: int = 3, min_len: int = 4):
 
     Pipeline: whitespace tokenize (same rule as the dedup shingles) →
     lowercase, keep terms ≥ ``min_len`` chars → term frequency per
-    (doc, term) → document frequency per term — computed FROM the TF
-    output, which is already one row per (doc, term), so the raw token
-    explosion is aggregated away before the second shuffle → idf =
-    ln(N / df) with the corpus size N broadcast as a 1-row literal →
-    per-doc top-k window with (score, term) tiebreak.
+    (doc, term) → document frequency per term as a COUNT() window over
+    the TF relation partitioned by term (one row per (doc, term), so
+    counting rows per term IS the document frequency — no self-join, no
+    cached branch) → idf = ln(N / df) with the corpus size N broadcast
+    as a 1-row literal → per-doc top-k window with (score, term)
+    tiebreak.
 
     Scale: the explode never shuffles (scan-side generate → partial
-    agg); (doc,term) and (term) aggs are the only exchanges; the DF
-    table is vocabulary-sized and joins back via AQE broadcast when it
-    fits, hash join otherwise. The top-k window rides the doc_id
-    shuffle already required by the final grouping.
+    agg); the plan is ONE linear pipeline with three exchanges —
+    (doc,term) hash agg, term-window, doc-window — and no cache
+    materialization or join build side. (The r2 version cached the wide
+    TF relation to feed a separate DF branch + join; at sf0.1 the cache
+    materialization alone cost ~3 s of the 4.6 s total.)
     """
     docs = _t(spark, sf_dir, "documents")
     n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n")))
@@ -223,14 +225,10 @@ def doc_tfidf_top_terms(spark, sf_dir, k: int = 3, min_len: int = 4):
         )
         .where(F.length("term") >= min_len)
     )
-    # cache: TF feeds both the score rows and the DF aggregation — without
-    # it the plan re-scans documents and re-explodes tokens for the DF
-    # branch (the same one-pass-feeds-two-consumers pattern as the
-    # dedup_ngram_jaccard shingle cache)
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).cache()
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    w_term = Window.partitionBy("term")
     scored = (
-        tf.join(df, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(w_term))
         .join(n_docs)
         .withColumn("tfidf", r4(F.col("tf") * F.log(F.col("_n") / F.col("df"))))
     )

@@ -100,11 +100,18 @@ def _mean_centroids(assigned, prev=None):
     A cluster that received NO members keeps its previous centroid
     (`prev`) — never a phantom zero vector — mirroring the oracle's
     LEFT-JOIN-COALESCE update; at init (prev=None) only observed
-    residues produce centroids, mirroring the oracle's GROUP BY."""
+    residues produce centroids, mirroring the oracle's GROUP BY.
+
+    Means are quantized to 6 decimals BEFORE becoming assignment
+    literals: Spark's distributed partial-sum avg and DuckDB's
+    sequential avg can differ in the last ulp, and an ulp on a
+    boundary point flips an argmin assignment nondeterministically.
+    Both engines round identically, so the argmin inputs are equal by
+    construction, not by FP luck."""
     rows = (
         assigned.select("cid", F.posexplode("emb").alias("pos", "v"))
         .groupBy("cid", "pos")
-        .agg(F.avg("v").alias("m"))
+        .agg(F.round(F.avg("v"), 6).alias("m"))
         .collect()
     )
     cents = {} if prev is None else {c: list(v) for c, v in prev.items()}
@@ -171,11 +178,13 @@ def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     # an emptied cluster keeps its previous centroid (LEFT JOIN +
     # COALESCE), matching _mean_centroids' prev= semantics on the
     # Spark side
+    # round(avg, 6) mirrors _mean_centroids' quantization — see its
+    # docstring for why both engines must round before the argmin
     update = (
         "SELECT p.cid, COALESCE(n.cent, p.cent) AS cent FROM {prev} p"
         " LEFT JOIN ("
         " SELECT cid, list(m ORDER BY i) AS cent FROM ("
-        "  SELECT cid, i, avg(v) AS m FROM ("
+        "  SELECT cid, i, round(avg(v), 6) AS m FROM ("
         "   SELECT cid, unnest(emb) AS v, generate_subscripts(emb, 1) AS i"
         "   FROM {assign} WHERE rn = 1)"
         "  GROUP BY cid, i) GROUP BY cid) n ON n.cid = p.cid"
@@ -185,7 +194,7 @@ def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
         " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb"
         " FROM embeddings)",
         f"c0 AS (SELECT cid, list(m ORDER BY i) AS cent FROM ("
-        f" SELECT CAST(vec_id % {k} AS INT) AS cid, i, avg(v) AS m FROM ("
+        f" SELECT CAST(vec_id % {k} AS INT) AS cid, i, round(avg(v), 6) AS m FROM ("
         "  SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i"
         "  FROM emb) u GROUP BY 1, 2) m GROUP BY cid)",
     ]
