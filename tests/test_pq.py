@@ -110,6 +110,40 @@ def test_ivf_pq_composition_recall_and_prune(spark, sf_dir):
     codes.unpersist()
 
 
+def test_lloyd_pq_codebooks_deterministic_and_quantized(spark, sf_dir):
+    """The oracle-checkable PQ trainer: identical books across runs (no
+    RNG anywhere), every mean quantized to 6 decimals, dense m×k shape,
+    and a loud error on a non-divisible subspace split."""
+    import pytest
+
+    from tracker_trainer_spark.functions.similarity import lloyd_pq_codebooks
+
+    emb = _embeddings(spark, sf_dir)
+    b1 = lloyd_pq_codebooks(emb, m=4, k=4, iters=2)
+    b2 = lloyd_pq_codebooks(emb, m=4, k=4, iters=2)
+    assert b1 == b2
+    assert len(b1) == 4 and all(len(book) == 4 for book in b1)
+    assert all(len(c) == 16 for book in b1 for c in book)
+    for book in b1:
+        for c in book:
+            for v in c:
+                assert v == round(v, 6)
+    with pytest.raises(ValueError, match="not divisible"):
+        lloyd_pq_codebooks(emb, m=5, k=4)
+
+
+def test_registry_pq_plan_scores_codes_only(spark, sf_dir):
+    """The ann_pq_topk registry plan after training: encode (one Arrow
+    kernel) -> ADC project -> TakeOrdered. No exchange anywhere — the
+    raw vectors never shuffle and never reach the ranking."""
+    from tracker_trainer_spark.plans import count_shuffles, physical_plan
+    from tracker_trainer_spark.queries import QUERIES
+
+    df = QUERIES["ann_pq_topk"](spark, sf_dir)
+    assert count_shuffles(df) == 0
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
 def test_random_projection_preserves_distances(spark, sf_dir):
     """JL: 64 -> 32 dims must keep pairwise L2 distances within a
     modest relative error on average (seeded, deterministic)."""

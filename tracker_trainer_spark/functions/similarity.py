@@ -431,6 +431,93 @@ def train_pq_codebooks(df: DataFrame, m: int = 8, k: int = 16, seed: int = 11,
     return books
 
 
+def lloyd_pq_codebooks(df: DataFrame, m: int = 4, k: int = 4,
+                       iters: int = 2, vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       quantize: int = 6) -> list[list[list[float]]]:
+    """Deterministic distributed PQ codebook training — the
+    oracle-checkable sibling of ``train_pq_codebooks`` (which uses
+    Spark-ML KMeans and its library-internal init randomness, so no SQL
+    oracle can reproduce it). Same construction as ``lloyd_centroids``:
+    init code = vec_id % k in EVERY subspace, then ``iters`` rounds of
+    (per-(subspace, code, dim) mean → reassign to nearest entry, ties
+    to the lowest code).
+
+    All m subspaces train in ONE pass per round: rows explode to
+    (id, sub, subvector) scan-side, each round is a single
+    (sub, cid, pos) hash aggregation (map-side combined) and only the
+    m×k×(dim/m) codebook floats reach the driver. Per-round means are
+    quantized to ``quantize`` decimals before becoming assignment
+    literals — the same ulp-proofing as the kmeans registry query: both
+    engines round identically, so argmin inputs match by construction.
+
+    Returns ``books[sub][cid][pos]`` — directly consumable by
+    ``pq_encode`` / ``pq_adc_topk``. Raises if any code empties (cannot
+    happen under mod-k init on non-degenerate data; the dense m×k shape
+    the kernels need would silently break otherwise).
+    """
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    sv = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.transform(
+                    F.slice(F.col(vec_col), s * d + 1, d),
+                    lambda x: x.cast("double"),
+                ).alias("sv"),
+            )
+            for s in range(m)
+        ])).alias("x"),
+    ).select("_id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
+
+    def assign_expr(books):
+        expr = None
+        for s in range(m):
+            cands = [
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("sv"),
+                            F.array(*[F.lit(float(v)) for v in c]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    F.lit(j).alias("cid"),
+                )
+                for j, c in enumerate(books[s])
+            ]
+            am = F.array_min(F.array(*cands))["cid"]
+            cond = F.col("sub") == s
+            expr = F.when(cond, am) if expr is None else expr.when(cond, am)
+        return expr
+
+    assigned = sv.withColumn("cid", (F.col("_id") % k).cast("int"))
+    books: list[list[list[float]]] = []
+    for _ in range(iters):
+        rows = (
+            assigned.select("sub", "cid", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("sub", "cid", "pos")
+            .agg(F.round(F.avg("v"), quantize).alias("m"))
+            .collect()
+        )
+        books = [[[0.0] * d for _ in range(k)] for _ in range(m)]
+        seen = set()
+        for r in rows:
+            books[r["sub"]][r["cid"]][r["pos"]] = r["m"]
+            seen.add((r["sub"], r["cid"]))
+        if len(seen) != m * k:
+            raise ValueError(
+                f"PQ training emptied a code: {m * k - len(seen)} missing")
+        assigned = sv.withColumn("cid", assign_expr(books))
+    return books
+
+
 def pq_encode(vec_col, codebooks: list[list[list[float]]]) -> Column:
     """Vector → array<int> of `m` codebook indices (nearest centroid per
     subspace, squared-L2). One Arrow kernel pass: the (m, k, d) codebook

@@ -1280,7 +1280,183 @@ SELECT (SELECT count(*)
 """
 
 
+# --------------------------------------------------------------------------
+# Product quantization ANN: PQ-ADC and IVF-PQ registry queries
+# --------------------------------------------------------------------------
+
+PQ_M, PQ_K, PQ_ITERS = 4, 4, 2   # 64-dim → 4 subspaces × 16 dims, 4 codes
+
+
+def ann_pq_topk(spark, sf_dir, probe_vec_id: int = 0, k: int = 10):
+    """PQ-ADC approximate top-k: train per-subspace codebooks with the
+    deterministic distributed Lloyd (``lloyd_pq_codebooks`` — mod-k
+    init, 2 rounds, 6-decimal quantized means, so the DuckDB oracle
+    reproduces training in pure SQL), encode every vector to m small
+    ints (``pq_encode``, one Arrow matmul per batch), then rank by
+    asymmetric distance (``pq_adc_topk``): the probe stays exact, each
+    database vector is its PQ reconstruction, and scoring touches ONLY
+    the m-int codes via a broadcast (m×k) lookup table — never the raw
+    vectors.
+
+    Scale: this is the memory story for billion-vector search — a
+    64-dim float64 vector is 512 bytes, its code is 4 ints; training
+    collects m×k×(dim/m) floats; scoring is zero-shuffle until the
+    final TakeOrdered(k). Ref parity: the reference has no ANN surface
+    at all — §2.12 extension per SURVEY.
+    """
+    from tracker_trainer_spark.functions import similarity as _sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _sim.lloyd_pq_codebooks(emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    codes = emb.select(
+        "vec_id", _sim.pq_encode("embedding", books).alias("pq_code"))
+    probe = [float(x) for x in emb.where(
+        F.col("vec_id") == probe_vec_id).select("embedding").first()[0]]
+    top = _sim.pq_adc_topk(codes, probe, books, k=k)
+    return top.select("vec_id", r4(F.col("adc_dist")).alias("adc_dist"))
+
+
+def _pq_train_sql(m: int = PQ_M, k: int = PQ_K) -> str:
+    """Shared PQ-training CTE block: subvector rows → init books (b0,
+    means under cid = vec_id % k) → reassign (a1) → final books (b1) →
+    final codes — the SQL mirror of lloyd_pq_codebooks(iters=2), with
+    the same round(avg, 6) quantization before every argmin."""
+    d = 64 // m
+    return f"""emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), sv AS (
+  SELECT vec_id, s.sub, e[s.sub * {d} + 1 : s.sub * {d} + {d}] AS v
+  FROM emb, (SELECT unnest(generate_series(0, {m - 1})) AS sub) s
+), u AS (
+  SELECT vec_id, sub, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM sv
+), b0 AS (
+  SELECT sub, CAST(vec_id % {k} AS INT) AS cid, i, round(avg(x), 6) AS c
+  FROM u GROUP BY 1, 2, 3
+), pd1 AS (
+  SELECT u.vec_id, u.sub, b.cid, sum((u.x - b.c) * (u.x - b.c)) AS dist
+  FROM u JOIN b0 b ON b.sub = u.sub AND b.i = u.i
+  GROUP BY 1, 2, 3
+), pa1 AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT vec_id, sub, cid,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+    FROM pd1) WHERE rn = 1
+), b1 AS (
+  SELECT u.sub, a.cid, u.i, round(avg(u.x), 6) AS c
+  FROM u JOIN pa1 a ON a.vec_id = u.vec_id AND a.sub = u.sub
+  GROUP BY 1, 2, 3
+), pd2 AS (
+  SELECT u.vec_id, u.sub, b.cid, sum((u.x - b.c) * (u.x - b.c)) AS dist
+  FROM u JOIN b1 b ON b.sub = u.sub AND b.i = u.i
+  GROUP BY 1, 2, 3
+), codes AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT vec_id, sub, cid,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+    FROM pd2) WHERE rn = 1
+), q AS (
+  SELECT sub, i, x FROM u WHERE vec_id = 0
+), lut AS (
+  SELECT b.sub, b.cid, sum((b.c - q.x) * (b.c - q.x)) AS dd
+  FROM b1 b JOIN q ON q.sub = b.sub AND q.i = b.i
+  GROUP BY 1, 2
+)"""
+
+
+ANN_PQ_SQL = f"""
+WITH {_pq_train_sql()},
+score AS (
+  SELECT c.vec_id, sum(l.dd) AS adc
+  FROM codes c JOIN lut l ON l.sub = c.sub AND l.cid = c.cid
+  GROUP BY 1
+)
+SELECT vec_id, round(adc, 4) AS adc_dist
+FROM score ORDER BY adc, vec_id LIMIT 10
+"""
+
+
+def ann_ivfpq_topk(spark, sf_dir, probe_vec_id: int = 0, k: int = 10,
+                   n_cells: int = 8):
+    """IVF-PQ: the billion-scale composition — the deterministic-Lloyd
+    coarse quantizer of ann_ivf_topk prunes the candidate set to the
+    probe's inverted list, then PQ-ADC (``ivf_pq_topk``) ranks the
+    survivors touching only their m-int codes. The index row is
+    (id, cell, m ints) — a few GB for a billion vectors, with raw
+    vectors left on disk; at rest the cell column is partitionBy so the
+    prune is partition pruning.
+
+    Both trained structures are SQL-reproducible: unquantized Lloyd
+    cells (the proven ann_ivf_topk construction) + quantized PQ books
+    (lloyd_pq_codebooks).
+    """
+    from tracker_trainer_spark.functions import similarity as _sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _sim.lloyd_centroids(emb, k=n_cells, iters=2)
+    books = _sim.lloyd_pq_codebooks(emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    codes = emb.select(
+        "vec_id",
+        _sim.ivf_assign("embedding", cents).alias("cell"),
+        _sim.pq_encode("embedding", books).alias("pq_code"),
+    )
+    probe = [float(x) for x in emb.where(
+        F.col("vec_id") == probe_vec_id).select("embedding").first()[0]]
+    top = _sim.ivf_pq_topk(codes, probe, cents, books, k=k, nprobe=1)
+    return top.select("vec_id", r4(F.col("adc_dist")).alias("adc_dist"))
+
+
+# Coarse-quantizer CTE chain: byte-for-byte the ann_ivf_topk training
+# (unquantized Lloyd, mod-8 init, 2 rounds — see queries.ANN_IVF_SQL),
+# prefixed iv* to coexist with the PQ CTEs.
+_IVF_CELLS_SQL = """iva0 AS (
+  SELECT vec_id, CAST(vec_id % 8 AS INT) AS cell FROM embeddings
+), ivv AS (
+  SELECT vec_id, sub * 16 + i AS gi, x FROM u
+), ivc1 AS (
+  SELECT iva0.cell AS cid, v.gi, avg(v.x) AS e
+  FROM ivv v JOIN iva0 USING (vec_id) GROUP BY 1, 2
+), ivd1 AS (
+  SELECT v.vec_id, c.cid, sum(c.e * c.e) - 2 * sum(v.x * c.e) AS dist
+  FROM ivv v JOIN ivc1 c USING (gi) GROUP BY 1, 2
+), iva1 AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM ivd1) WHERE rn = 1
+), ivc2 AS (
+  SELECT iva1.cell AS cid, v.gi, avg(v.x) AS e
+  FROM ivv v JOIN iva1 USING (vec_id) GROUP BY 1, 2
+), ivd2 AS (
+  SELECT v.vec_id, c.cid, sum(c.e * c.e) - 2 * sum(v.x * c.e) AS dist
+  FROM ivv v JOIN ivc2 c USING (gi) GROUP BY 1, 2
+), iva2 AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM ivd2) WHERE rn = 1
+)"""
+
+
+ANN_IVFPQ_SQL = f"""
+WITH {_pq_train_sql()},
+{_IVF_CELLS_SQL},
+score AS (
+  SELECT c.vec_id, sum(l.dd) AS adc
+  FROM codes c JOIN lut l ON l.sub = c.sub AND l.cid = c.cid
+  WHERE c.vec_id IN (
+    SELECT a.vec_id FROM iva2 a
+    WHERE a.cell = (SELECT cell FROM iva2 WHERE vec_id = 0))
+  GROUP BY 1
+)
+SELECT vec_id, round(adc, 4) AS adc_dist
+FROM score ORDER BY adc, vec_id LIMIT 10
+"""
+
+
 ML_QUERIES = {
+    "ann_pq_topk": ann_pq_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "jaccard_prefix_join": jaccard_prefix_join,
     "doc_unigram_logprob": doc_unigram_logprob,
@@ -1300,6 +1476,8 @@ ML_QUERIES = {
 }
 
 ML_ORACLES = {
+    "ann_pq_topk": ANN_PQ_SQL,
+    "ann_ivfpq_topk": ANN_IVFPQ_SQL,
     "kmeans_embedding_clusters": KMEANS_SQL,
     "jaccard_prefix_join": JACCARD_PREFIX_SQL,
     "doc_unigram_logprob": UNIGRAM_LOGPROB_SQL,
