@@ -173,6 +173,112 @@ def unigram_ab(spark) -> dict:
     return out
 
 
+def _hubbed_community_graph(spark, n_comm: int, g: int = 10):
+    """Deterministic adversarial graph: ``n_comm`` disjoint K_g cliques
+    plus ONE global hub adjacent to every clique vertex. Planted truth:
+    C(g,3) triangles per clique + C(g,2) hub triangles per clique. The
+    hub's degree is n_comm*g — the naive wedge build would enumerate
+    C(n_comm*g, 2) wedges AT THE HUB ALONE (quadratic in replication);
+    degree orientation must keep total wedges linear in n_comm."""
+    v = spark.range(n_comm * g).select(
+        F.col("id").alias("v"), (F.col("id") / g).cast("long").alias("comm")
+    )
+    members = v.groupBy("comm").agg(F.array_sort(F.collect_list("v")).alias("m"))
+    intra = members.select(
+        F.explode(
+            F.filter(
+                F.flatten(F.transform(
+                    F.col("m"),
+                    lambda x: F.transform(F.col("m"),
+                                          lambda y: F.struct(x.alias("a"),
+                                                             y.alias("b"))),
+                )),
+                lambda p: p["a"] < p["b"],
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    hub_id = n_comm * g
+    hub = v.select(F.col("v").alias("a"), F.lit(hub_id).alias("b"))
+    return intra.unionAll(hub), hub_id
+
+
+def graph_soak(spark, n_comm: int, g: int = 10) -> dict:
+    """Triangle count + PageRank on the hubbed community graph.
+
+    ASSERTS: exact planted triangle recovery ((C(g,3)+C(g,2)) per
+    clique), and the degeneracy bound — oriented wedges ≤ C(g,2) per
+    vertex (hub contributes ZERO: it has max degree, so every edge
+    orients INTO it), versus the C(hub_deg, 2) wedge bomb the
+    unoriented build would detonate. PageRank (5 fixed rounds, same
+    plan shape as doc_centrality_pagerank): hub ranks first, teleport
+    mass conserved."""
+    from tracker_trainer_spark.queries_ml_ext import degree_oriented_triangles
+
+    edges, hub_id = _hubbed_community_graph(spark, n_comm, g)
+    edges = spread(edges).cache()
+    n_edges = edges.count()  # materialize outside the timed region
+    t0 = time.perf_counter()
+    summary, wedges = degree_oriented_triangles(edges)
+    row = summary.collect()[0]
+    n_wedges = wedges.count()
+    tri_s = time.perf_counter() - t0
+
+    expected_tri = n_comm * (g * (g - 1) * (g - 2) // 6 + g * (g - 1) // 2)
+    assert row["n_triangles"] == expected_tri, (row, expected_tri)
+    n_vertices = n_comm * g + 1
+    degeneracy_bound = n_vertices * (g * (g - 1) // 2)
+    hub_deg = n_comm * g
+    naive_hub_wedges = hub_deg * (hub_deg - 1) // 2
+    assert n_wedges <= degeneracy_bound, (n_wedges, degeneracy_bound)
+
+    # PageRank: 5 fixed rounds, inline (same join+agg-per-round shape
+    # as queries.doc_centrality_pagerank, over the synthetic graph)
+    nodes = spark.range(n_vertices).select(F.col("id").alias("v"))
+    sym = edges.select("a", "b").unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    n = float(n_vertices)
+    pr = nodes.select("v", F.lit(1.0 / n).alias("pr"))
+    t1 = time.perf_counter()
+    for _ in range(5):
+        contrib = (
+            sym.join(pr, sym.a == pr.v)
+            .join(deg, "a")
+            .groupBy("b")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
+        )
+        pr = nodes.join(contrib, nodes.v == contrib.b, "left").select(
+            "v",
+            (F.lit(0.15 / n)
+             + F.lit(0.85) * F.coalesce("c", F.lit(0.0))).alias("pr"),
+        )
+    top = pr.orderBy(F.desc("pr")).limit(1).collect()[0]
+    mass = pr.agg(F.sum("pr").alias("s")).collect()[0]["s"]
+    pr_s = time.perf_counter() - t1
+    assert top["v"] == hub_id, top
+    assert abs(mass - 1.0) < 1e-9, mass
+
+    edges.unpersist()
+    spark.catalog.clearCache()
+    return {
+        "stage": "graph_triangles_pagerank",
+        "n_comm": n_comm,
+        "n_edges": n_edges,
+        "hub_degree": hub_deg,
+        "n_triangles": row["n_triangles"],
+        "oriented_wedges": n_wedges,
+        "naive_hub_wedges": naive_hub_wedges,
+        "wedge_blowup_avoided_x": round(naive_hub_wedges / max(n_wedges, 1), 1),
+        "triangles_s": round(tri_s, 2),
+        "edges_per_s_triangles": int(n_edges / max(tri_s, 1e-9)),
+        "pagerank5_s": round(pr_s, 2),
+        "edges_per_s_per_pr_round": int(5 * 2 * n_edges / max(pr_s, 1e-9)),
+        "recovered_planted_triangles": True,
+        "hub_is_top_pagerank": True,
+    }
+
+
 def main():
     spark = get_spark(app_name="cluster-soak")
     spark.sparkContext.setLogLevel("ERROR")
@@ -182,6 +288,8 @@ def main():
     print(json.dumps(jaccard_soak(spark, k)), flush=True)
     print(json.dumps(jaccard_soak(spark, 2 * k)), flush=True)
     print(json.dumps(unigram_ab(spark)), flush=True)
+    print(json.dumps(graph_soak(spark, 2_000)), flush=True)
+    print(json.dumps(graph_soak(spark, 8_000)), flush=True)
     spark.stop()
 
 

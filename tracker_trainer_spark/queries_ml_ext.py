@@ -1221,6 +1221,22 @@ def supplier_triangle_count(spark, sf_dir):
         .where(F.col("w") >= min_w)
         .select("a", "b")
     )
+    summary, _ = degree_oriented_triangles(edges)
+    return summary
+
+
+def degree_oriented_triangles(edges):
+    """Degree-oriented triangle counting core over an undirected,
+    deduplicated edge list ``(a, b)`` with ``a < b``.
+
+    Returns ``(summary, wedges)``: summary is the 1-row
+    (n_triangles, n_edges, n_vertices) DataFrame as one composed plan
+    (cross joins of three 1-row aggregates — a single action for the
+    caller); wedges is the oriented wedge relation, exposed so scale
+    soaks can ASSERT the degeneracy bound (a hub of degree d would
+    contribute O(d²) wedges un-oriented; oriented, its out-degree — and
+    so its wedge count — is bounded by graph degeneracy).
+    """
     edges.cache()
     deg = (
         edges.select(F.col("a").alias("v"))
@@ -1250,15 +1266,12 @@ def supplier_triangle_count(spark, sf_dir):
     closing = oriented.select(
         F.least("src", "dst").alias("v"), F.greatest("src", "dst").alias("w")
     )
-    # ONE composed plan (cross joins of three 1-row aggregates) so the
-    # driver pays a single action; the cached edge/oriented subtrees
-    # dedupe inside it
     tri = wedges.join(closing, ["v", "w"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
     ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     nv = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
-    return tri.crossJoin(ne).crossJoin(nv)
+    return tri.crossJoin(ne).crossJoin(nv), wedges
 
 
 TRIANGLE_SQL = """
