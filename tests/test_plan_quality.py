@@ -306,6 +306,10 @@ def test_tfidf_single_documents_scan(spark, sf_dir):
     ("events_json_value_stats", 1),   # scan-side JSON extract + one agg
     ("orders_profile", 2),            # multi-distinct Expand rewrite: 2 phases
     ("customer_spend_quartiles", 2),  # spend agg + the ntile global sort
+    ("doc_bigram_pmi", 3),            # bigram agg + unigram agg + 1-row N
+    ("dedup_minhash_estimate", 3),    # band agg + pair distinct + id join
+    ("customer_mahalanobis_outliers", 3),  # per-cust agg + 1-row moments
+    #                                        + broadcast; TakeOrdered free
 ])
 def test_analytics2_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles

@@ -1368,6 +1368,81 @@ def dedup_minhash_candidates(spark, sf_dir):
 MINHASH_CAND_SQL = f"WITH {_SH_SQL}\nSELECT doc_id_a, doc_id_b FROM cand"
 
 
+def dedup_minhash_estimate(spark, sf_dir):
+    """Estimator-quality audit: for every LSH candidate pair, the
+    MinHash Jaccard ESTIMATE (matching signature components / H)
+    side-by-side with the EXACT shingle Jaccard and the absolute error
+    — the measurement that justifies (or invalidates) a chosen (H,
+    bands, rows) parameterization before a 100 TB dedup run trusts it.
+
+    Plan: the shingle pass runs ONCE (doc_shingles feeds both the
+    LSH candidate pipeline and, via two joins on the candidate ids,
+    the exact-Jaccard verification); signatures for the ~|candidates|
+    surviving pairs recompute from the joined hash arrays with the
+    deterministic affine-min HOF — candidate count is band-collision
+    bounded, so the recompute is noise. Only (id, band, key) rows and
+    the candidate ids ever shuffle; document text moves nowhere.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sh = _dedup.doc_shingles(
+        docs, "doc_id", "text",
+        parallelism=spark.sparkContext.defaultParallelism,
+    ).cache()
+    cand = _dedup.candidates_from_shingles(
+        sh, num_hashes=MINHASH_H, bands=MINHASH_BANDS, rows=MINHASH_ROWS,
+        seed=MINHASH_SEED,
+    )
+    sig = _dedup.minhash_signature("hashes", _MINHASH_PARAMS)
+    sa = sh.select(F.col("doc_id").alias("doc_id_a"),
+                   F.col("hashes").alias("ha"), sig.alias("siga"))
+    sb = sh.select(F.col("doc_id").alias("doc_id_b"),
+                   F.col("hashes").alias("hb"), sig.alias("sigb"))
+    est = F.size(F.filter(
+        F.zip_with("siga", "sigb", lambda x, y: x == y),
+        lambda m: m,
+    )) / F.lit(float(MINHASH_H))
+    exact = _dedup.jaccard("ha", "hb")
+    return (
+        cand.join(sa, "doc_id_a").join(sb, "doc_id_b")
+        .select(
+            "doc_id_a", "doc_id_b",
+            r4(est).alias("est_jaccard"),
+            r4(exact).alias("exact_jaccard"),
+            r4(F.abs(est - exact)).alias("abs_err"),
+        )
+    )
+
+
+MINHASH_ESTIMATE_SQL = f"""WITH {_SH_SQL},
+sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), est AS (
+  SELECT c.doc_id_a, c.doc_id_b,
+         sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / {float(MINHASH_H)} AS est
+  FROM cand c
+  JOIN mh ma ON ma.doc_id = c.doc_id_a
+  JOIN mh mb ON mb.doc_id = c.doc_id_b AND mb.j = ma.j
+  GROUP BY 1, 2
+), inter AS (
+  SELECT c.doc_id_a, c.doc_id_b, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_id_a
+  JOIN sh b ON b.doc_id = c.doc_id_b AND b.h = a.h
+  GROUP BY 1, 2
+)
+SELECT e.doc_id_a, e.doc_id_b,
+       round(e.est, 4) AS est_jaccard,
+       round(coalesce(i.i, 0) * 1.0 / (sa.n + sb.n - coalesce(i.i, 0)), 4)
+         AS exact_jaccard,
+       round(abs(e.est - coalesce(i.i, 0) * 1.0
+                 / (sa.n + sb.n - coalesce(i.i, 0))), 4) AS abs_err
+FROM est e
+LEFT JOIN inter i ON i.doc_id_a = e.doc_id_a AND i.doc_id_b = e.doc_id_b
+JOIN sizes sa ON sa.doc_id = e.doc_id_a
+JOIN sizes sb ON sb.doc_id = e.doc_id_b
+"""
+
+
 def dedup_minhash_clusters(spark, sf_dir):
     """Transitive near-duplicate clusters: LSH candidate pairs →
     connected components → one cluster label per document.
@@ -2657,6 +2732,7 @@ QUERIES = {
     "corpus_train_holdout": corpus_train_holdout,
     "ann_cosine_topk": ann_cosine_topk,
     "dedup_minhash_candidates": dedup_minhash_candidates,
+    "dedup_minhash_estimate": dedup_minhash_estimate,
     "dedup_minhash_clusters": dedup_minhash_clusters,
     "dedup_cluster_survivors": dedup_cluster_survivors,
     "doc_centrality_pagerank": doc_centrality_pagerank,
@@ -2747,6 +2823,7 @@ ORACLES = {
     "corpus_train_holdout": TRAIN_HOLDOUT_SQL,
     "ann_cosine_topk": ANN_SQL,
     "dedup_minhash_candidates": MINHASH_CAND_SQL,
+    "dedup_minhash_estimate": MINHASH_ESTIMATE_SQL,
     "dedup_minhash_clusters": MINHASH_CLUSTERS_SQL,
     "dedup_cluster_survivors": DEDUP_SURVIVORS_SQL,
     "doc_centrality_pagerank": PAGERANK_SQL,

@@ -1084,7 +1084,97 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Bigram PMI: collocation mining over the corpus
+# --------------------------------------------------------------------------
+
+def doc_bigram_pmi(spark, sf_dir, k: int = 20, min_pairs: int = 5):
+    """Top-k collocations by pointwise mutual information: PMI(a,b) =
+    ln(c_ab·N / (c_a·c_b)) over consecutive lowercase token bigrams —
+    the classic phrase-mining signal (tokens that co-occur far above
+    chance) a corpus-curation pipeline uses for tokenizer vocabulary
+    and boilerplate detection.
+
+    Plan: two scans of the byte-small text column, no cache — bigrams
+    generate scan-side (sequence+transform HOF over the token array, no
+    self-join of the token stream on position) into a (w1,w2) hash agg;
+    unigram counts are a (w) hash agg on the second scan, and the 1-row
+    corpus token count N derives from the unigram table itself (sum of
+    counts — no third scan). The vocabulary-sized unigram table joins
+    back twice (AQE broadcasts it when it fits). The ``min_pairs``
+    floor prunes the long noise tail BEFORE the joins. Top-k orders by
+    ROUNDED pmi with a (w1, w2) tiebreak so cross-engine ln() last-ulp
+    drift can't flip ranks.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(F.lower(F.col("text")), r"\s+").alias("t")
+    ).where(F.size("t") >= 2)
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    )
+    uni = uni.cache()  # vocabulary-sized (~200 terms here); feeds the
+    # two count joins and the 1-row N aggregate
+    n_tok = F.broadcast(uni.agg(F.sum("cw").alias("_n")))
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.element_at("t", i + 1).alias("w1"),
+                    F.element_at("t", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pair_counts = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_pairs)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    scored = (
+        pair_counts.join(u1, "w1").join(u2, "w2")
+        .join(n_tok)
+        .withColumn(
+            "pmi",
+            r4(F.log(F.col("n_pair") * F.col("_n")
+                     / (F.col("c1") * F.col("c2")))),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+        .select("w1", "w2", "n_pair", "pmi")
+    )
+
+
+BIGRAM_PMI_SQL = """
+WITH toks AS (
+  SELECT regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents WHERE len(regexp_split_to_array(lower(text), '\\s+')) >= 2
+), uni AS (
+  SELECT w, count(*) AS cw FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+), n AS (
+  SELECT CAST(sum(cw) AS DOUBLE) AS n_tok FROM uni
+), pairs AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS n_pair
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT p.w1, p.w2, p.n_pair,
+       round(ln(p.n_pair * n.n_tok / (u1.cw * u2.cw)), 4) AS pmi
+FROM pairs p
+JOIN uni u1 ON u1.w = p.w1
+JOIN uni u2 ON u2.w = p.w2, n
+ORDER BY pmi DESC, p.w1, p.w2 LIMIT 20
+"""
+
+
 ANALYTICS_QUERIES = {
+    "doc_bigram_pmi": doc_bigram_pmi,
     "events_daily_pivot": events_daily_pivot,
     "purchase_moving_avg": purchase_moving_avg,
     "lineitem_stats_profile": lineitem_stats_profile,
@@ -1108,6 +1198,7 @@ ANALYTICS_QUERIES = {
 }
 
 ANALYTICS_ORACLES = {
+    "doc_bigram_pmi": BIGRAM_PMI_SQL,
     "events_daily_pivot": EVENTS_DAILY_PIVOT_SQL,
     "purchase_moving_avg": PURCHASE_MOVING_AVG_SQL,
     "lineitem_stats_profile": LINEITEM_STATS_SQL,

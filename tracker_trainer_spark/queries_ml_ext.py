@@ -1467,8 +1467,79 @@ FROM score ORDER BY adc, vec_id LIMIT 10
 """
 
 
+# --------------------------------------------------------------------------
+# Mahalanobis outliers: closed-form multivariate anomaly scoring
+# --------------------------------------------------------------------------
+
+def customer_mahalanobis_outliers(spark, sf_dir, k: int = 15):
+    """Top-k anomalous customers by 2-D Mahalanobis distance over
+    (total spend, order count) — multivariate outlier scoring with the
+    covariance structure solved in CLOSED FORM from moment aggregates
+    (for 2 dims, D² = (zx² − 2ρ·zx·zy + zy²) / (1 − ρ²)), so the whole
+    computation is two hash aggs + a broadcast of five scalars — no
+    driver-side matrix inversion, no per-row Python, and the identical
+    arithmetic runs as the DuckDB oracle.
+
+    Plan: per-customer agg (one shuffle) → 1-row moment agg
+    (avg/stddev_samp/corr — native moment aggregates, partial-agg
+    combinable) broadcast back via cross join → scan-side scoring →
+    TakeOrdered(k). Ordering is by ROUNDED distance with a custkey
+    tiebreak so cross-engine FP drift in the moment sums can't flip
+    boundary ranks."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("spend"),
+    )
+    stats = F.broadcast(per.agg(
+        F.avg("spend").alias("mx"),
+        F.stddev_samp("spend").alias("sx"),
+        F.avg("n_orders").alias("my"),
+        F.stddev_samp("n_orders").alias("sy"),
+        F.corr("spend", "n_orders").alias("rho"),
+    ))
+    zx = (F.col("spend") - F.col("mx")) / F.col("sx")
+    zy = (F.col("n_orders") - F.col("my")) / F.col("sy")
+    d2 = (zx * zx - 2 * F.col("rho") * zx * zy + zy * zy) / (
+        1 - F.col("rho") * F.col("rho"))
+    return (
+        per.join(stats)
+        .select(
+            "o_custkey", "n_orders",
+            r4(F.col("spend")).alias("spend"),
+            r4(d2).alias("maha2"),
+        )
+        .orderBy(F.desc("maha2"), F.asc("o_custkey"))
+        .limit(k)
+    )
+
+
+MAHALANOBIS_SQL = """
+WITH per AS (
+  SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spend
+  FROM orders GROUP BY 1
+), m AS (
+  SELECT avg(spend) AS mx, stddev_samp(spend) AS sx,
+         avg(n_orders) AS my, stddev_samp(n_orders) AS sy,
+         corr(spend, n_orders) AS rho
+  FROM per
+), scored AS (
+  SELECT p.o_custkey, p.n_orders, round(p.spend, 4) AS spend,
+         round((((p.spend - m.mx) / m.sx) * ((p.spend - m.mx) / m.sx)
+                - 2 * m.rho * ((p.spend - m.mx) / m.sx)
+                      * ((p.n_orders - m.my) / m.sy)
+                + ((p.n_orders - m.my) / m.sy) * ((p.n_orders - m.my) / m.sy))
+               / (1 - m.rho * m.rho), 4) AS maha2
+  FROM per p, m
+)
+SELECT o_custkey, n_orders, spend, maha2
+FROM scored ORDER BY maha2 DESC, o_custkey LIMIT 15
+"""
+
+
 ML_QUERIES = {
     "ann_pq_topk": ann_pq_topk,
+    "customer_mahalanobis_outliers": customer_mahalanobis_outliers,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "jaccard_prefix_join": jaccard_prefix_join,
@@ -1490,6 +1561,7 @@ ML_QUERIES = {
 
 ML_ORACLES = {
     "ann_pq_topk": ANN_PQ_SQL,
+    "customer_mahalanobis_outliers": MAHALANOBIS_SQL,
     "ann_ivfpq_topk": ANN_IVFPQ_SQL,
     "kmeans_embedding_clusters": KMEANS_SQL,
     "jaccard_prefix_join": JACCARD_PREFIX_SQL,
