@@ -310,6 +310,8 @@ def test_tfidf_single_documents_scan(spark, sf_dir):
     ("dedup_minhash_estimate", 3),    # band agg + pair distinct + id join
     ("customer_mahalanobis_outliers", 3),  # per-cust agg + 1-row moments
     #                                        + broadcast; TakeOrdered free
+    ("part_name_editdist_pairs", 2),  # name-dedup agg + block hash join;
+    #                                   never a cartesian
 ])
 def test_analytics2_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles

@@ -1173,8 +1173,66 @@ ORDER BY pmi DESC, p.w1, p.w2 LIMIT 20
 """
 
 
+# --------------------------------------------------------------------------
+# Edit-distance similarity self-join with blocking (typo-dedup shape)
+# --------------------------------------------------------------------------
+
+def part_name_editdist_pairs(spark, sf_dir, max_dist: int = 4):
+    """Near-identical name pairs by Levenshtein distance — the
+    typo/variant record-linkage primitive — with the two moves that
+    make a string-similarity self-join survive scale:
+
+    1. DEDUPE BEFORE JOINING: the join runs over DISTINCT names with
+       their occurrence counts (64 distinct over 2,000 rows here;
+       catalog data is always heavily duplicated), so pair volume is
+       quadratic in the vocabulary, not the table.
+    2. BLOCKING: candidates must share their last token (the head noun)
+       — an equi-join key, so Catalyst plans a hash join and the
+       all-pairs cartesian never exists; the Levenshtein predicate is a
+       post-join filter computed JVM-side (codegen built-in, identical
+       DP definition in DuckDB).
+
+    Output: name pair (a < b), edit distance, and how many rows each
+    variant covers — exactly what a merge-the-variants curation pass
+    consumes."""
+    part = _t(spark, sf_dir, "part")
+    names = (
+        part.groupBy(F.trim(F.col("p_name")).alias("name"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("block", F.element_at(F.split(F.col("name"), " "), -1))
+    )
+    a = names.select(F.col("name").alias("name_a"),
+                     F.col("n_parts").alias("n_parts_a"), "block")
+    b = names.select(F.col("name").alias("name_b"),
+                     F.col("n_parts").alias("n_parts_b"), "block")
+    return (
+        a.join(b, "block")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("edit_dist") <= max_dist)
+        .select("name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b")
+    )
+
+
+EDITDIST_SQL = """
+WITH names AS (
+  SELECT trim(p_name) AS name, count(*) AS n_parts
+  FROM part GROUP BY 1
+), blocked AS (
+  SELECT name, n_parts, list_extract(string_split(name, ' '), -1) AS block
+  FROM names
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS edit_dist,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM blocked a JOIN blocked b ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 4
+"""
+
+
 ANALYTICS_QUERIES = {
     "doc_bigram_pmi": doc_bigram_pmi,
+    "part_name_editdist_pairs": part_name_editdist_pairs,
     "events_daily_pivot": events_daily_pivot,
     "purchase_moving_avg": purchase_moving_avg,
     "lineitem_stats_profile": lineitem_stats_profile,
@@ -1199,6 +1257,7 @@ ANALYTICS_QUERIES = {
 
 ANALYTICS_ORACLES = {
     "doc_bigram_pmi": BIGRAM_PMI_SQL,
+    "part_name_editdist_pairs": EDITDIST_SQL,
     "events_daily_pivot": EVENTS_DAILY_PIVOT_SQL,
     "purchase_moving_avg": PURCHASE_MOVING_AVG_SQL,
     "lineitem_stats_profile": LINEITEM_STATS_SQL,
