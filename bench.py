@@ -113,7 +113,13 @@ def main() -> None:
 
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     sorted_ratios = sorted(ratios.values())
-    median_ratio = sorted_ratios[len(sorted_ratios) // 2] if ratios else None
+    if sorted_ratios:
+        mid = len(sorted_ratios) // 2
+        median_ratio = round(
+            sorted_ratios[mid] if len(sorted_ratios) % 2
+            else (sorted_ratios[mid - 1] + sorted_ratios[mid]) / 2, 2)
+    else:
+        median_ratio = None
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,

@@ -215,7 +215,10 @@ def graph_soak(spark, n_comm: int, g: int = 10) -> dict:
     from tracker_trainer_spark.queries_ml_ext import degree_oriented_triangles
 
     edges, hub_id = _hubbed_community_graph(spark, n_comm, g)
-    edges = spread(edges).cache()
+    # plain repartition, not spread(): spread's partition-count probe
+    # finalizes the AQE plan and would build the shuffled graph twice
+    # (its contract is scan+narrow plans only; this plan has a groupBy)
+    edges = edges.repartition(spark.sparkContext.defaultParallelism).cache()
     n_edges = edges.count()  # materialize outside the timed region
     t0 = time.perf_counter()
     summary, wedges = degree_oriented_triangles(edges)

@@ -324,6 +324,25 @@ def test_knn_join_is_shuffle_free(spark, sf_dir):
     assert out.count() == 30
 
 
+def test_knn_join_broadcasts_are_tracked_and_releasable(spark, sf_dir):
+    """Every knn_join registers its corpus broadcast; the release hook
+    unpersists and drains the registry (session-lifetime memory bound),
+    and a released-then-rebuilt join still answers correctly."""
+    from tracker_trainer_spark.functions import similarity as sim
+
+    sim.release_knn_broadcasts()  # drain anything left by other tests
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    sim.knn_join(q, emb, k=2).count()
+    sim.knn_join(q, emb, k=2).count()
+    assert len(sim._KNN_BROADCASTS) == 2
+    assert sim.release_knn_broadcasts() == 2
+    assert sim._KNN_BROADCASTS == []
+    # a fresh join after release works (new broadcast, correct rows)
+    assert sim.knn_join(q, emb, k=2).count() == 6
+    assert sim.release_knn_broadcasts() == 1
+
+
 def test_lsh_knn_join_recall_and_exactness(spark, sf_dir):
     """The bucketed scale path: every returned neighbor's cosine is
     EXACT (the kernel computes true cosines, only the candidate set is

@@ -196,10 +196,18 @@ def lloyd_centroids(df: DataFrame, k: int = 8, iters: int = 2,
     reach the driver; reassignment is the vectorized ``ivf_assign``
     kernel. Rounds are O(iters) passes over the data — iters stays
     small (2) by design.
+
+    Per-round means are quantized to 6 decimals before becoming
+    assignment inputs: Spark's partial-sum avg depends on partition
+    split order, so an UNROUNDED mean can differ between runs by an
+    ulp and nondeterministically flip a knife-edge cell assignment
+    against the fixed DuckDB oracle (observed once in ann_ivfpq_topk
+    at sf0.001 before this guard). Both engines round identically.
     """
     dim = len(df.select(vec_col).first()[0])
     mean_cols = [
-        F.avg(F.col("v")[i].cast("double")).alias(f"c{i}") for i in range(dim)
+        F.round(F.avg(F.col("v")[i].cast("double")), 6).alias(f"c{i}")
+        for i in range(dim)
     ]
     assigned = df.select(
         F.col(vec_col).alias("v"), (F.col(id_col) % k).cast("int").alias("cell")
@@ -521,11 +529,17 @@ def lloyd_pq_codebooks(df: DataFrame, m: int = 4, k: int = 4,
 def pq_encode(vec_col, codebooks: list[list[list[float]]]) -> Column:
     """Vector → array<int> of `m` codebook indices (nearest centroid per
     subspace, squared-L2). One Arrow kernel pass: the (m, k, d) codebook
-    tensor broadcasts into each batch; per batch the assignment is m
-    matrix products — no shuffle, no per-row Python."""
+    tensor broadcasts into each batch; per batch the assignment is one
+    vectorized broadcast-subtract per subspace — no shuffle, no per-row
+    Python.
+
+    Distances use the DIRECT sum((s-c)²) form, not the expanded
+    |c|² − 2 s·c: the direct form is what the SQL oracles compute, and
+    the expanded form's catastrophic cancellation could flip an argmin
+    between engines when two codebook entries sit ulps apart in
+    distance. The (batch, k, d) temporary is a few MB per subspace."""
     B = np.asarray(codebooks, dtype=np.float64)          # (m, k, d)
     m, k, d = B.shape
-    norms = (B ** 2).sum(axis=2)                          # (m, k)
 
     @F.pandas_udf("array<int>")
     def enc(vs: pd.Series) -> pd.Series:
@@ -535,8 +549,8 @@ def pq_encode(vec_col, codebooks: list[list[list[float]]]) -> Column:
         out = np.empty((X.shape[0], m), dtype=np.int32)
         for i in range(m):
             S = X[:, i * d:(i + 1) * d]                   # (n, d)
-            # argmin_j |s - c_j|^2 = argmin_j (|c_j|^2 - 2 s·c_j)
-            out[:, i] = (norms[i] - 2.0 * S @ B[i].T).argmin(axis=1)
+            D = ((S[:, None, :] - B[i][None, :, :]) ** 2).sum(axis=2)
+            out[:, i] = D.argmin(axis=1)
         return pd.Series([list(map(int, r)) for r in out])
 
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
@@ -545,13 +559,22 @@ def pq_encode(vec_col, codebooks: list[list[list[float]]]) -> Column:
 
 def pq_adc_topk(codes_df: DataFrame, probe: list[float],
                 codebooks: list[list[list[float]]], k: int = 10,
-                code_col: str = "pq_code", id_col: str = "vec_id") -> DataFrame:
+                code_col: str = "pq_code", id_col: str = "vec_id",
+                order_decimals: int | None = None) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC): the
     probe stays exact, each database vector is its PQ reconstruction.
     dist²(probe, x) ≈ Σ_i lut[i][code_i] where the (m, k) lookup table
     of per-subspace squared distances is built once on the driver and
     broadcast into an Arrow kernel — scoring touches ONLY the m-int
     codes, never the raw vectors, and TakeOrdered avoids a global sort.
+
+    ``order_decimals`` ranks by ROUND(adc, n) with an id tiebreak
+    instead of the raw double. PQ ties are STRUCTURAL — every vector
+    sharing a code has exactly-equal ADC in exact arithmetic, while
+    each engine's floating sums differ in the last ulp — so an
+    unrounded ORDER BY at the limit boundary is decided by summation
+    order, not by data. Oracle-checked callers pass the oracle's output
+    rounding (4); latency-sensitive callers leave it None.
     """
     B = np.asarray(codebooks, dtype=np.float64)           # (m, k, d)
     m, _, d = B.shape
@@ -567,9 +590,11 @@ def pq_adc_topk(codes_df: DataFrame, probe: list[float],
             return pd.Series([], dtype=float)
         return pd.Series(lut[np.arange(m), C].sum(axis=1))
 
+    key = (F.round(F.col("adc_dist"), order_decimals)
+           if order_decimals is not None else F.col("adc_dist"))
     return (
         codes_df.select(id_col, adc(F.col(code_col)).alias("adc_dist"))
-        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .orderBy(F.asc(key), F.asc(id_col))
         .limit(k)
     )
 
@@ -578,7 +603,8 @@ def ivf_pq_topk(codes_df: DataFrame, probe: list[float],
                 centroids: list[list[float]],
                 codebooks: list[list[list[float]]], k: int = 10,
                 cell_col: str = "cell", code_col: str = "pq_code",
-                id_col: str = "vec_id", nprobe: int = 1) -> DataFrame:
+                id_col: str = "vec_id", nprobe: int = 1,
+                order_decimals: int | None = None) -> DataFrame:
     """IVF-PQ: the billion-scale composition — coarse IVF cells prune
     the candidate set (partition pruning at rest), then ADC ranks the
     survivors touching only their PQ codes. The index row is
@@ -594,7 +620,8 @@ def ivf_pq_topk(codes_df: DataFrame, probe: list[float],
     near = np.argsort(((C - p) ** 2).sum(axis=1), kind="stable")[:nprobe]
     pruned = codes_df.where(F.col(cell_col).isin(*[int(c) for c in near]))
     return pq_adc_topk(pruned, probe, codebooks, k=k,
-                       code_col=code_col, id_col=id_col)
+                       code_col=code_col, id_col=id_col,
+                       order_decimals=order_decimals)
 
 
 def random_projection(vec_col, out_dim: int, in_dim: int,

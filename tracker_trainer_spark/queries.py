@@ -1377,11 +1377,14 @@ def dedup_minhash_estimate(spark, sf_dir):
 
     Plan: the shingle pass runs ONCE (doc_shingles feeds both the
     LSH candidate pipeline and, via two joins on the candidate ids,
-    the exact-Jaccard verification); signatures for the ~|candidates|
-    surviving pairs recompute from the joined hash arrays with the
-    deterministic affine-min HOF — candidate count is band-collision
-    bounded, so the recompute is noise. Only (id, band, key) rows and
-    the candidate ids ever shuffle; document text moves nowhere.
+    the exact-Jaccard verification); the sa/sb join branches carry
+    ONLY the raw hash arrays, and the affine-min signature HOF is
+    applied ABOVE the joins — Catalyst keeps expression Projects on
+    their side of a join, so signatures evaluate for the
+    band-collision-bounded candidate pairs, not twice per document
+    (the interpreted HOF would otherwise dominate at corpus scale).
+    Only (id, band, key) rows and the candidate ids ever shuffle;
+    document text moves nowhere.
     """
     docs = _t(spark, sf_dir, "documents")
     sh = _dedup.doc_shingles(
@@ -1392,13 +1395,14 @@ def dedup_minhash_estimate(spark, sf_dir):
         sh, num_hashes=MINHASH_H, bands=MINHASH_BANDS, rows=MINHASH_ROWS,
         seed=MINHASH_SEED,
     )
-    sig = _dedup.minhash_signature("hashes", _MINHASH_PARAMS)
     sa = sh.select(F.col("doc_id").alias("doc_id_a"),
-                   F.col("hashes").alias("ha"), sig.alias("siga"))
+                   F.col("hashes").alias("ha"))
     sb = sh.select(F.col("doc_id").alias("doc_id_b"),
-                   F.col("hashes").alias("hb"), sig.alias("sigb"))
+                   F.col("hashes").alias("hb"))
+    siga = _dedup.minhash_signature("ha", _MINHASH_PARAMS)
+    sigb = _dedup.minhash_signature("hb", _MINHASH_PARAMS)
     est = F.size(F.filter(
-        F.zip_with("siga", "sigb", lambda x, y: x == y),
+        F.zip_with(siga, sigb, lambda x, y: x == y),
         lambda m: m,
     )) / F.lit(float(MINHASH_H))
     exact = _dedup.jaccard("ha", "hb")
@@ -1905,7 +1909,7 @@ WITH v AS (
 ), a0 AS (
   SELECT vec_id, CAST(vec_id % 8 AS INT) AS cell FROM embeddings
 ), c1 AS (
-  SELECT a0.cell AS cid, v.i, avg(v.e) AS e
+  SELECT a0.cell AS cid, v.i, round(avg(v.e), 6) AS e
   FROM v JOIN a0 USING (vec_id) GROUP BY 1, 2
 ), d1 AS (
   SELECT v.vec_id, c1.cid, sum(c1.e * c1.e) - 2 * sum(v.e * c1.e) AS dist
@@ -1917,7 +1921,7 @@ WITH v AS (
     FROM d1
   ) WHERE rn = 1
 ), c2 AS (
-  SELECT a1.cell AS cid, v.i, avg(v.e) AS e
+  SELECT a1.cell AS cid, v.i, round(avg(v.e), 6) AS e
   FROM v JOIN a1 USING (vec_id) GROUP BY 1, 2
 ), d2 AS (
   SELECT v.vec_id, c2.cid, sum(c2.e * c2.e) - 2 * sum(v.e * c2.e) AS dist
@@ -1957,6 +1961,12 @@ def knn_join_topk(spark, sf_dir, k: int = 3, n_queries: int = 50):
     — exactly the plan the kernel avoids. Ranking: unrounded cosine,
     neighbor-id tiebreak (registry convention).
     """
+    # drop corpus broadcasts pinned by EARLIER knn_join calls before
+    # creating a new one — without this, repeated registry runs (bench
+    # best-of-2, long driver sessions) accumulate one full float64
+    # corpus per call on driver + executors; any previously returned
+    # knn DataFrame must be re-created after this point
+    _sim.release_knn_broadcasts()
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < n_queries)
     res = _sim.knn_join(queries, emb, k=k, exclude_self=True)

@@ -1325,7 +1325,7 @@ def ann_pq_topk(spark, sf_dir, probe_vec_id: int = 0, k: int = 10):
         "vec_id", _sim.pq_encode("embedding", books).alias("pq_code"))
     probe = [float(x) for x in emb.where(
         F.col("vec_id") == probe_vec_id).select("embedding").first()[0]]
-    top = _sim.pq_adc_topk(codes, probe, books, k=k)
+    top = _sim.pq_adc_topk(codes, probe, books, k=k, order_decimals=4)
     return top.select("vec_id", r4(F.col("adc_dist")).alias("adc_dist"))
 
 
@@ -1385,7 +1385,7 @@ score AS (
   GROUP BY 1
 )
 SELECT vec_id, round(adc, 4) AS adc_dist
-FROM score ORDER BY adc, vec_id LIMIT 10
+FROM score ORDER BY round(adc, 4), vec_id LIMIT 10
 """
 
 
@@ -1399,9 +1399,10 @@ def ann_ivfpq_topk(spark, sf_dir, probe_vec_id: int = 0, k: int = 10,
     vectors left on disk; at rest the cell column is partitionBy so the
     prune is partition pruning.
 
-    Both trained structures are SQL-reproducible: unquantized Lloyd
-    cells (the proven ann_ivf_topk construction) + quantized PQ books
-    (lloyd_pq_codebooks).
+    Both trained structures are SQL-reproducible with 6-decimal
+    quantized means on both engines (Lloyd cells AND PQ books) — the
+    ulp-proofing that keeps knife-edge assignments deterministic
+    across engines and across Spark partition splits.
     """
     from tracker_trainer_spark.functions import similarity as _sim
 
@@ -1415,19 +1416,20 @@ def ann_ivfpq_topk(spark, sf_dir, probe_vec_id: int = 0, k: int = 10,
     )
     probe = [float(x) for x in emb.where(
         F.col("vec_id") == probe_vec_id).select("embedding").first()[0]]
-    top = _sim.ivf_pq_topk(codes, probe, cents, books, k=k, nprobe=1)
+    top = _sim.ivf_pq_topk(codes, probe, cents, books, k=k, nprobe=1,
+                           order_decimals=4)
     return top.select("vec_id", r4(F.col("adc_dist")).alias("adc_dist"))
 
 
 # Coarse-quantizer CTE chain: byte-for-byte the ann_ivf_topk training
-# (unquantized Lloyd, mod-8 init, 2 rounds — see queries.ANN_IVF_SQL),
+# (quantized Lloyd means, mod-8 init, 2 rounds — see queries.ANN_IVF_SQL),
 # prefixed iv* to coexist with the PQ CTEs.
 _IVF_CELLS_SQL = """iva0 AS (
   SELECT vec_id, CAST(vec_id % 8 AS INT) AS cell FROM embeddings
 ), ivv AS (
   SELECT vec_id, sub * 16 + i AS gi, x FROM u
 ), ivc1 AS (
-  SELECT iva0.cell AS cid, v.gi, avg(v.x) AS e
+  SELECT iva0.cell AS cid, v.gi, round(avg(v.x), 6) AS e
   FROM ivv v JOIN iva0 USING (vec_id) GROUP BY 1, 2
 ), ivd1 AS (
   SELECT v.vec_id, c.cid, sum(c.e * c.e) - 2 * sum(v.x * c.e) AS dist
@@ -1438,7 +1440,7 @@ _IVF_CELLS_SQL = """iva0 AS (
            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
     FROM ivd1) WHERE rn = 1
 ), ivc2 AS (
-  SELECT iva1.cell AS cid, v.gi, avg(v.x) AS e
+  SELECT iva1.cell AS cid, v.gi, round(avg(v.x), 6) AS e
   FROM ivv v JOIN iva1 USING (vec_id) GROUP BY 1, 2
 ), ivd2 AS (
   SELECT v.vec_id, c.cid, sum(c.e * c.e) - 2 * sum(v.x * c.e) AS dist
@@ -1463,7 +1465,7 @@ score AS (
   GROUP BY 1
 )
 SELECT vec_id, round(adc, 4) AS adc_dist
-FROM score ORDER BY adc, vec_id LIMIT 10
+FROM score ORDER BY round(adc, 4), vec_id LIMIT 10
 """
 
 
