@@ -179,7 +179,8 @@ def train_ivf_centroids(df: DataFrame, k: int = 8, seed: int = 11,
 
 def lloyd_centroids(df: DataFrame, k: int = 8, iters: int = 2,
                     vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> list[list[float]]:
+                    id_col: str = "vec_id",
+                    dim: int | None = None) -> list[list[float]]:
     """Deterministic distributed Lloyd training for the oracle-checked
     IVF query: init cells = id % k, then ``iters`` rounds of
     (per-cell/per-dim mean → reassign to nearest centroid, ties to the
@@ -204,7 +205,10 @@ def lloyd_centroids(df: DataFrame, k: int = 8, iters: int = 2,
     against the fixed DuckDB oracle (observed once in ann_ivfpq_topk
     at sf0.001 before this guard). Both engines round identically.
     """
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        # pass dim when already known (e.g. from a fetched probe) —
+        # each saved first() is ~0.3-0.5 s of fixed per-action floor
+        dim = len(df.select(vec_col).first()[0])
     mean_cols = [
         F.round(F.avg(F.col("v")[i].cast("double")), 6).alias(f"c{i}")
         for i in range(dim)
@@ -442,7 +446,8 @@ def train_pq_codebooks(df: DataFrame, m: int = 8, k: int = 16, seed: int = 11,
 def lloyd_pq_codebooks(df: DataFrame, m: int = 4, k: int = 4,
                        iters: int = 2, vec_col: str = "embedding",
                        id_col: str = "vec_id",
-                       quantize: int = 6) -> list[list[list[float]]]:
+                       quantize: int = 6,
+                       dim: int | None = None) -> list[list[list[float]]]:
     """Deterministic distributed PQ codebook training — the
     oracle-checkable sibling of ``train_pq_codebooks`` (which uses
     Spark-ML KMeans and its library-internal init randomness, so no SQL
@@ -462,9 +467,11 @@ def lloyd_pq_codebooks(df: DataFrame, m: int = 4, k: int = 4,
     Returns ``books[sub][cid][pos]`` — directly consumable by
     ``pq_encode`` / ``pq_adc_topk``. Raises if any code empties (cannot
     happen under mod-k init on non-degenerate data; the dense m×k shape
-    the kernels need would silently break otherwise).
+    the kernels need would silently break otherwise). Pass ``dim`` when
+    already known to skip the ``first()`` probe action.
     """
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d = dim // m

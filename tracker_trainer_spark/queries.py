@@ -1890,9 +1890,9 @@ def ann_ivf_topk(spark, sf_dir, probe_vec_id: int = 0, k: int = 10, n_cells: int
     prune is partition pruning; training touches only k×dim driver
     floats per round."""
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = _sim.lloyd_centroids(emb, k=n_cells, iters=2)
     probe = [float(x) for x in
              emb.where(F.col("vec_id") == probe_vec_id).select("embedding").first()[0]]
+    centroids = _sim.lloyd_centroids(emb, k=n_cells, iters=2, dim=len(probe))
     return (
         _sim.ann_ivf_topk(emb, probe, centroids, k=k)
         .select("vec_id", r4(F.col("cosine")).alias("cosine"))

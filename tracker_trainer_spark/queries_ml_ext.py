@@ -1320,11 +1320,14 @@ def ann_pq_topk(spark, sf_dir, probe_vec_id: int = 0, k: int = 10):
     from tracker_trainer_spark.functions import similarity as _sim
 
     emb = _t(spark, sf_dir, "embeddings")
-    books = _sim.lloyd_pq_codebooks(emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
-    codes = emb.select(
-        "vec_id", _sim.pq_encode("embedding", books).alias("pq_code"))
+    # probe fetched FIRST so its length feeds dim= to the trainer,
+    # skipping the trainer's own first() probe (one fewer action)
     probe = [float(x) for x in emb.where(
         F.col("vec_id") == probe_vec_id).select("embedding").first()[0]]
+    books = _sim.lloyd_pq_codebooks(emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS,
+                                    dim=len(probe))
+    codes = emb.select(
+        "vec_id", _sim.pq_encode("embedding", books).alias("pq_code"))
     top = _sim.pq_adc_topk(codes, probe, books, k=k, order_decimals=4)
     return top.select("vec_id", r4(F.col("adc_dist")).alias("adc_dist"))
 
@@ -1389,6 +1392,86 @@ FROM score ORDER BY round(adc, 4), vec_id LIMIT 10
 """
 
 
+def _fused_ivfpq_training(emb, n_cells, m, k, iters, dim):
+    """Train the IVF coarse cells AND the PQ codebooks in ONE
+    aggregation job per round.
+
+    The two trainings are independent Lloyd chains over the same
+    vectors, so each round's (cell, pos) means and (sub, cid, subpos)
+    means union into a single long-form aggregate (cells tagged
+    sub = -1) and collect with ONE action — per-query driver actions
+    are the dominant cost of iterative training on sub-second data,
+    and at scale this halves the number of full passes over the
+    corpus. Means quantize to 6 decimals (both engines — the standard
+    ulp-proofing); assignment is the same argmin-struct codegen as the
+    kmeans registry query, over full-vector literals for cells and
+    per-subspace slices for codes. Returns (cents_list, books) in the
+    exact conventions of lloyd_centroids / lloyd_pq_codebooks.
+    """
+    d = dim // m
+
+    def codes_expr(books):
+        return F.array(*[
+            F.array_min(F.array(*[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice("emb", s * d + 1, d),
+                            F.array(*[F.lit(float(v)) for v in books[s][j]]),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0), lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    F.lit(j).alias("cid"),
+                )
+                for j in range(len(books[s]))
+            ]))["cid"]
+            for s in range(m)
+        ])
+
+    cell_col = (F.col("vec_id") % n_cells).cast("int")
+    code_col = F.array(*[(F.col("vec_id") % k).cast("int")] * m)
+    cmap: dict = {}
+    books: list = []
+    for _ in range(iters):
+        # assignment exprs resolve in their own projection: combining a
+        # struct-field access with posexplode in ONE select trips the
+        # analyzer's generator rewrite (struct field names degrade to
+        # col1/col2 and getField("cid") fails to resolve)
+        assigned = emb.select(
+            "emb", cell_col.alias("cell"), code_col.alias("codes"))
+        x = assigned.select(
+            "cell", "codes", F.posexplode("emb").alias("pos", "v"))
+        cells_part = (
+            x.groupBy(F.lit(-1).alias("sub"),
+                      F.col("cell").alias("cid"), F.col("pos"))
+            .agg(F.round(F.avg("v"), 6).alias("m"))
+        )
+        sub = (F.col("pos") / d).cast("int")
+        books_part = (
+            x.select(sub.alias("sub"),
+                     F.element_at("codes", sub + 1).alias("cid"),
+                     (F.col("pos") % d).alias("pos"), "v")
+            .groupBy("sub", "cid", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("m"))
+        )
+        rows = cells_part.unionAll(books_part).collect()  # ONE action
+        cmap, bmap = {}, {}
+        for r in rows:
+            if r["sub"] == -1:
+                cmap.setdefault(r["cid"], [0.0] * dim)[r["pos"]] = r["m"]
+            else:
+                bmap.setdefault((r["sub"], r["cid"]), [0.0] * d)[r["pos"]] = r["m"]
+        if len(bmap) != m * k:
+            raise ValueError(
+                f"PQ training emptied a code: {m * k - len(bmap)} missing")
+        books = [[bmap[(s, j)] for j in range(k)] for s in range(m)]
+        cell_col = _assign_expr(cmap)["cid"]
+        code_col = codes_expr(books)
+    cents = [cmap[c] for c in sorted(cmap)]
+    return cents, books
+
+
 def ann_ivfpq_topk(spark, sf_dir, probe_vec_id: int = 0, k: int = 10,
                    n_cells: int = 8):
     """IVF-PQ: the billion-scale composition — the deterministic-Lloyd
@@ -1400,22 +1483,24 @@ def ann_ivfpq_topk(spark, sf_dir, probe_vec_id: int = 0, k: int = 10,
     prune is partition pruning.
 
     Both trained structures are SQL-reproducible with 6-decimal
-    quantized means on both engines (Lloyd cells AND PQ books) — the
-    ulp-proofing that keeps knife-edge assignments deterministic
-    across engines and across Spark partition splits.
+    quantized means on both engines (Lloyd cells AND PQ books), and
+    they train TOGETHER: one fused aggregation job per round
+    (_fused_ivfpq_training), so the whole query is probe + iters
+    training actions + the final ranked scan.
     """
     from tracker_trainer_spark.functions import similarity as _sim
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = _sim.lloyd_centroids(emb, k=n_cells, iters=2)
-    books = _sim.lloyd_pq_codebooks(emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    probe = [float(x) for x in emb.where(
+        F.col("vec_id") == probe_vec_id).select("embedding").first()[0]]
+    cents, books = _fused_ivfpq_training(
+        _emb_double(emb),
+        n_cells=n_cells, m=PQ_M, k=PQ_K, iters=PQ_ITERS, dim=len(probe))
     codes = emb.select(
         "vec_id",
         _sim.ivf_assign("embedding", cents).alias("cell"),
         _sim.pq_encode("embedding", books).alias("pq_code"),
     )
-    probe = [float(x) for x in emb.where(
-        F.col("vec_id") == probe_vec_id).select("embedding").first()[0]]
     top = _sim.ivf_pq_topk(codes, probe, cents, books, k=k, nprobe=1,
                            order_decimals=4)
     return top.select("vec_id", r4(F.col("adc_dist")).alias("adc_dist"))
