@@ -177,26 +177,12 @@ def doc_shingles(
     return df.select(F.col(id_col), shingle_hashes_arrow(text_col, n).alias("hashes"))
 
 
-def candidates_from_shingles(
-    sh: DataFrame,
-    id_col: str = "doc_id",
-    hashes_col: str = "hashes",
-    num_hashes: int = 12,
-    bands: int = 4,
-    rows: int = 3,
-    seed: int = 7,
-) -> DataFrame:
-    """LSH banding over precomputed shingle hashes → candidate pairs.
-
-    Signatures are computed by an Arrow-vectorized pandas UDF (numpy
-    affine-min per row) rather than per-row array HOFs or explode+agg:
-    Spark's higher-order functions evaluate interpreted (outside
-    whole-stage codegen) and measured ~10× slower than the numpy kernel;
-    the explode route additionally paid a pathological Generate cost.
-    int64 is safe: a < 2^31, h < 2^28 ⇒ a*h + b < 2^60.
-    """
-    assert bands * rows == num_hashes
-    params = minhash_params(num_hashes, seed)
+def minhash_signature_arrow(hashes_col, params: list[tuple[int, int]]) -> Column:
+    """Arrow-vectorized MinHash signature over precomputed shingle
+    hashes (numpy affine-min per row) — bit-identical to
+    ``minhash_signature``'s HOF expression but ~10× faster: Spark's
+    higher-order functions evaluate interpreted, outside whole-stage
+    codegen. int64 is safe: a < 2^31, h < 2^28 ⇒ a*h + b < 2^60."""
     a = np.array([p[0] for p in params], dtype=np.int64)[:, None]
     b = np.array([p[1] for p in params], dtype=np.int64)[:, None]
 
@@ -208,7 +194,32 @@ def candidates_from_shingles(
             out.append(((a * hv + b) % HASH_PRIME).min(axis=1))
         return pd.Series(out)
 
-    mh = sh.select(F.col(id_col), sig_udf(F.col(hashes_col)).alias("sig"))
+    c = F.col(hashes_col) if isinstance(hashes_col, str) else hashes_col
+    return sig_udf(c)
+
+
+def candidates_from_shingles(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    hashes_col: str = "hashes",
+    num_hashes: int = 12,
+    bands: int = 4,
+    rows: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """LSH banding over precomputed shingle hashes → candidate pairs.
+
+    Signatures come from the Arrow kernel (``minhash_signature_arrow``)
+    rather than per-row array HOFs or explode+agg: the HOF route is
+    interpreted (~10× slower) and the explode route additionally paid a
+    pathological Generate cost.
+    """
+    assert bands * rows == num_hashes
+    params = minhash_params(num_hashes, seed)
+    mh = sh.select(
+        F.col(id_col),
+        minhash_signature_arrow(hashes_col, params).alias("sig"),
+    )
     return _pairs_from_signatures(mh, id_col, bands, rows)
 
 

@@ -1375,34 +1375,31 @@ def dedup_minhash_estimate(spark, sf_dir):
     — the measurement that justifies (or invalidates) a chosen (H,
     bands, rows) parameterization before a 100 TB dedup run trusts it.
 
-    Plan: the shingle pass runs ONCE (doc_shingles feeds both the
-    LSH candidate pipeline and, via two joins on the candidate ids,
-    the exact-Jaccard verification); the sa/sb join branches carry
-    ONLY the raw hash arrays, and the affine-min signature HOF is
-    applied ABOVE the joins — Catalyst keeps expression Projects on
-    their side of a join, so signatures evaluate for the
-    band-collision-bounded candidate pairs, not twice per document
-    (the interpreted HOF would otherwise dominate at corpus scale).
-    Only (id, band, key) rows and the candidate ids ever shuffle;
-    document text moves nowhere.
+    Plan: the shingle pass AND the Arrow signature kernel both run
+    ONCE per document — one cached (id, hashes, sig) relation feeds
+    the LSH candidate pipeline and, via two joins on the candidate
+    ids, both the per-pair signature-match estimate (a cheap JVM
+    zip_with over two 12-element arrays) and the exact-Jaccard
+    verification over the hash arrays. Only (id, band, key) rows and
+    the candidate ids ever shuffle; document text moves nowhere.
     """
     docs = _t(spark, sf_dir, "documents")
     sh = _dedup.doc_shingles(
         docs, "doc_id", "text",
         parallelism=spark.sparkContext.defaultParallelism,
+    ).select(
+        "doc_id", "hashes",
+        _dedup.minhash_signature_arrow("hashes", _MINHASH_PARAMS).alias("sig"),
     ).cache()
-    cand = _dedup.candidates_from_shingles(
-        sh, num_hashes=MINHASH_H, bands=MINHASH_BANDS, rows=MINHASH_ROWS,
-        seed=MINHASH_SEED,
+    cand = _dedup._pairs_from_signatures(
+        sh.select("doc_id", "sig"), "doc_id", MINHASH_BANDS, MINHASH_ROWS,
     )
     sa = sh.select(F.col("doc_id").alias("doc_id_a"),
-                   F.col("hashes").alias("ha"))
+                   F.col("hashes").alias("ha"), F.col("sig").alias("siga"))
     sb = sh.select(F.col("doc_id").alias("doc_id_b"),
-                   F.col("hashes").alias("hb"))
-    siga = _dedup.minhash_signature("ha", _MINHASH_PARAMS)
-    sigb = _dedup.minhash_signature("hb", _MINHASH_PARAMS)
+                   F.col("hashes").alias("hb"), F.col("sig").alias("sigb"))
     est = F.size(F.filter(
-        F.zip_with(siga, sigb, lambda x, y: x == y),
+        F.zip_with("siga", "sigb", lambda x, y: x == y),
         lambda m: m,
     )) / F.lit(float(MINHASH_H))
     exact = _dedup.jaccard("ha", "hb")
