@@ -312,6 +312,8 @@ def test_tfidf_single_documents_scan(spark, sf_dir):
     #                                        + broadcast; TakeOrdered free
     ("part_name_editdist_pairs", 2),  # name-dedup agg + block hash join;
     #                                   never a cartesian
+    ("doc_zipf_fit", 2),  # token agg + vocab-sized rank sort; regr
+    #                       moments ride the single post-window partition
 ])
 def test_analytics2_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles

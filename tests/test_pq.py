@@ -144,6 +144,43 @@ def test_registry_pq_plan_scores_codes_only(spark, sf_dir):
     assert "TakeOrderedAndProject" in physical_plan(df)
 
 
+def test_ivfpq_index_build_probe_and_prune(spark, sf_dir, tmp_path):
+    """Persisted IVF-PQ: nprobe=all equals plain ADC over the same
+    trained structures; nprobe=1 reads ONE cell partition (pruned scan,
+    visible in the plan) and still finds the probe itself."""
+    from tracker_trainer_spark.functions.similarity import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+        lloyd_centroids,
+        lloyd_pq_codebooks,
+        pq_encode,
+    )
+    from tracker_trainer_spark.plans import physical_plan
+
+    emb = _embeddings(spark, sf_dir)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, path, n_cells=4, m=4, k=4, dim=64)
+    probe = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+
+    # nprobe=all == plain ADC over identically re-trained structures
+    books = lloyd_pq_codebooks(emb, m=4, k=4, iters=2, dim=64)
+    cents = lloyd_centroids(emb, k=4, iters=2, dim=64)
+    assert len(cents) == 4
+    codes = emb.select("vec_id", pq_encode("embedding", books).alias("pq_code"))
+    want = [r.vec_id for r in
+            pq_adc_topk(codes, probe, books, k=10, order_decimals=4).collect()]
+    got = [r.vec_id for r in
+           ivfpq_index_topk(spark, path, probe, k=10, nprobe=4,
+                            order_decimals=4).collect()]
+    assert got == want
+
+    one = ivfpq_index_topk(spark, path, probe, k=10, nprobe=1)
+    ids = {r.vec_id for r in one.collect()}
+    assert 0 in ids and len(ids) <= 10
+    # partition pruning: exactly one cell directory in the final scan
+    assert physical_plan(one).count("cell=") <= 1
+
+
 def test_random_projection_preserves_distances(spark, sf_dir):
     """JL: 64 -> 32 dims must keep pairwise L2 distances within a
     modest relative error on average (seeded, deterministic)."""

@@ -358,6 +358,72 @@ def ivf_index_topk(spark, path: str, probe: list[float], k: int = 10,
     )
 
 
+def build_ivfpq_index(df: DataFrame, path: str, n_cells: int = 8,
+                      m: int = 4, k: int = 16, iters: int = 2,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      dim: int | None = None) -> None:
+    """Materialize a compressed IVF-PQ index: deterministic-Lloyd coarse
+    cells + PQ codebooks + the (id, code) rows written partitioned by
+    inverted-list id.
+
+    This is the at-rest shape of ``ann_ivfpq_topk``: quantization runs
+    once at build time; every probe afterwards is a PARTITION-PRUNED
+    scan of nprobe/n_cells of an index whose rows are (id, m small
+    ints) — a billion 64-dim float vectors compress to a few GB while
+    the raw vectors stay wherever they were. Layout:
+
+        <path>/meta.json            centroids + codebooks (the trained
+                                    structures; k×dim + m×k×(dim/m) floats)
+        <path>/codes/cell=<c>/      PQ codes of inverted list c
+    """
+    import json as _json
+    import os as _os
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    centroids = lloyd_centroids(df, k=n_cells, iters=iters,
+                                vec_col=vec_col, id_col=id_col, dim=dim)
+    books = lloyd_pq_codebooks(df, m=m, k=k, iters=iters, vec_col=vec_col,
+                               id_col=id_col, dim=dim)
+    (
+        df.select(
+            id_col,
+            ivf_assign(vec_col, centroids).alias("cell"),
+            pq_encode(vec_col, books).alias("pq_code"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    _os.makedirs(path, exist_ok=True)
+    with open(f"{path}/meta.json", "w") as f:
+        _json.dump({"centroids": centroids, "codebooks": books}, f)
+
+
+def ivfpq_index_topk(spark, path: str, probe: list[float], k: int = 10,
+                     nprobe: int = 1, id_col: str = "vec_id",
+                     order_decimals: int | None = None) -> DataFrame:
+    """Probe a persisted IVF-PQ index: rank inverted lists by centroid
+    distance driver-side (metadata floats only — no data scan), read
+    the nearest ``nprobe`` lists via partition pruning, ADC-rank their
+    codes. ``nprobe=n_cells`` degenerates to plain ADC over the whole
+    index, so recall is tunable per query without rebuilding."""
+    import json as _json
+
+    with open(f"{path}/meta.json") as f:
+        meta = _json.load(f)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    p = np.asarray(probe, dtype=np.float64)
+    order = np.argsort(((C - p) ** 2).sum(axis=1), kind="stable")[:nprobe]
+    cells = [int(c) for c in order]
+    codes = spark.read.parquet(f"{path}/codes")
+    return pq_adc_topk(
+        codes.where(F.col("cell").isin(cells)).drop("cell"),
+        probe, meta["codebooks"], k=k, id_col=id_col,
+        order_decimals=order_decimals,
+    )
+
+
 def bucket_pair_cosines(df: DataFrame, planes: list[list[int]],
                         vec_col: str = "embedding",
                         id_col: str = "vec_id") -> DataFrame:

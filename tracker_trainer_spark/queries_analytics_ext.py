@@ -1230,8 +1230,65 @@ WHERE levenshtein(a.name, b.name) <= 4
 """
 
 
+# --------------------------------------------------------------------------
+# Zipf's-law fit: corpus token-distribution diagnostics
+# --------------------------------------------------------------------------
+
+def doc_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit of the corpus unigram distribution: OLS of
+    ln(frequency) on ln(rank) over the ranked vocabulary — slope ≈ −1
+    is the natural-language signature, and a flat slope is the
+    canonical symptom of templated/synthetic text (this corpus's
+    ~200-term vocabulary reads ~−0.6) — a one-row corpus health check a
+    curation pipeline runs before trusting dedup/LM-scoring heuristics
+    tuned for natural text.
+
+    Plan: one scan-side explode → (term) hash agg → the rank window
+    and the regr_* moment aggregates run on the VOCABULARY relation
+    (orders of magnitude smaller than the token stream), so the window
+    sort is a non-issue at any corpus size. Native regr_slope /
+    regr_intercept / regr_r2 — one partial-aggregable pass, identical
+    definitions in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w"))),
+    )
+    return ranked.agg(
+        r4(F.expr("regr_slope(ln(c), ln(rank))")).alias("zipf_slope"),
+        r4(F.expr("regr_intercept(ln(c), ln(rank))")).alias("zipf_intercept"),
+        r4(F.expr("regr_r2(ln(c), ln(rank))")).alias("zipf_r2"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("c").alias("n_tokens"),
+    )
+
+
+ZIPF_SQL = """
+WITH counts AS (
+  SELECT w, count(*) AS c FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+    FROM documents
+  ) WHERE len(w) > 0 GROUP BY 1
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rank FROM counts
+)
+SELECT round(regr_slope(ln(c), ln(rank)), 4) AS zipf_slope,
+       round(regr_intercept(ln(c), ln(rank)), 4) AS zipf_intercept,
+       round(regr_r2(ln(c), ln(rank)), 4) AS zipf_r2,
+       count(*) AS n_terms,
+       CAST(sum(c) AS BIGINT) AS n_tokens
+FROM ranked
+"""
+
+
 ANALYTICS_QUERIES = {
     "doc_bigram_pmi": doc_bigram_pmi,
+    "doc_zipf_fit": doc_zipf_fit,
     "part_name_editdist_pairs": part_name_editdist_pairs,
     "events_daily_pivot": events_daily_pivot,
     "purchase_moving_avg": purchase_moving_avg,
@@ -1257,6 +1314,7 @@ ANALYTICS_QUERIES = {
 
 ANALYTICS_ORACLES = {
     "doc_bigram_pmi": BIGRAM_PMI_SQL,
+    "doc_zipf_fit": ZIPF_SQL,
     "part_name_editdist_pairs": EDITDIST_SQL,
     "events_daily_pivot": EVENTS_DAILY_PIVOT_SQL,
     "purchase_moving_avg": PURCHASE_MOVING_AVG_SQL,
