@@ -220,13 +220,17 @@ def candidates_from_shingles(
         F.col(id_col),
         minhash_signature_arrow(hashes_col, params).alias("sig"),
     )
-    return _pairs_from_signatures(mh, id_col, bands, rows)
+    return pairs_from_signatures(mh, id_col, bands, rows)
 
 
-def _pairs_from_signatures(
+def pairs_from_signatures(
     mh: DataFrame, id_col: str, bands: int, rows: int
 ) -> DataFrame:
-    """(id, sig) → distinct candidate pairs via band bucketing."""
+    """(id, sig) → distinct candidate pairs via band bucketing.
+
+    Public for callers that precompute signatures once and reuse them
+    (e.g. the MinHash estimator-audit query); the shingle-to-candidates
+    convenience wrappers above compose it."""
     band_structs = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -346,7 +350,7 @@ def near_dup_candidates(
         F.col(id_col),
         fused_minhash_signature(text_col, n, num_hashes, seed).alias("sig"),
     )
-    return _pairs_from_signatures(mh, id_col, bands, rows)
+    return pairs_from_signatures(mh, id_col, bands, rows)
 
 
 def jaccard(a_col, b_col) -> Column:

@@ -1391,7 +1391,7 @@ def dedup_minhash_estimate(spark, sf_dir):
         "doc_id", "hashes",
         _dedup.minhash_signature_arrow("hashes", _MINHASH_PARAMS).alias("sig"),
     ).cache()
-    cand = _dedup._pairs_from_signatures(
+    cand = _dedup.pairs_from_signatures(
         sh.select("doc_id", "sig"), "doc_id", MINHASH_BANDS, MINHASH_ROWS,
     )
     sa = sh.select(F.col("doc_id").alias("doc_id_a"),
