@@ -181,6 +181,49 @@ def test_ivfpq_index_build_probe_and_prune(spark, sf_dir, tmp_path):
     assert physical_plan(one).count("cell=") <= 1
 
 
+def test_sq8_compression_and_recall(spark, sf_dir):
+    """Scalar int8 quantization: codes bounded to [-127, 127], scale
+    reconstructs within quantization error (≤ scale/2 per dim), and
+    SQ8 cosine top-10 overlaps exact cosine top-10 heavily — int8 loses
+    far less resolution than PQ, so recall should be near-perfect."""
+    import numpy as np
+
+    from tracker_trainer_spark.functions.similarity import (
+        brute_force_topk, sq8_encode, sq8_topk,
+    )
+
+    emb = _embeddings(spark, sf_dir).cache()
+    codes = emb.select("vec_id", sq8_encode("embedding").alias("sq")).cache()
+    row = codes.first()
+    assert all(-127 <= c <= 127 for c in row.sq.codes)
+    orig = np.asarray(emb.where(F.col("vec_id") == row.vec_id)
+                      .first().embedding, dtype=np.float64)
+    rec = np.asarray(row.sq.codes, dtype=np.float64) * row.sq.scale
+    assert np.abs(rec - orig).max() <= row.sq.scale / 2 + 1e-12
+
+    recalls = []
+    for pid in range(3):
+        probe = [float(x) for x in
+                 emb.where(F.col("vec_id") == pid).first().embedding]
+        got = {r.vec_id for r in sq8_topk(codes, probe, k=10).collect()}
+        want = {r.vec_id for r in brute_force_topk(emb, probe, k=10).collect()}
+        recalls.append(len(got & want) / 10)
+    emb.unpersist()
+    codes.unpersist()
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_sq8_scoring_is_shuffle_free(spark, sf_dir):
+    from tracker_trainer_spark.functions.similarity import sq8_encode, sq8_topk
+    from tracker_trainer_spark.plans import count_shuffles, physical_plan
+
+    emb = _embeddings(spark, sf_dir)
+    codes = emb.select("vec_id", sq8_encode("embedding").alias("sq"))
+    df = sq8_topk(codes, [0.5] * 64, k=5)
+    assert count_shuffles(df) == 0
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
 def test_random_projection_preserves_distances(spark, sf_dir):
     """JL: 64 -> 32 dims must keep pairwise L2 distances within a
     modest relative error on average (seeded, deterministic)."""
