@@ -144,6 +144,27 @@ def test_registry_pq_plan_scores_codes_only(spark, sf_dir):
     assert "TakeOrderedAndProject" in physical_plan(df)
 
 
+def test_fused_training_equals_unfused(spark, sf_dir):
+    """The fused one-job-per-round trainer (registry ann_ivfpq_topk)
+    must produce EXACTLY the structures of lloyd_centroids +
+    lloyd_pq_codebooks (build_ivfpq_index's path) — the 6-decimal mean
+    quantization makes the two execution shapes equal by construction,
+    and this pin stops the three Lloyd spellings drifting apart."""
+    from tracker_trainer_spark.functions.similarity import (
+        lloyd_centroids, lloyd_pq_codebooks,
+    )
+    from tracker_trainer_spark.queries_ml_ext import (
+        PQ_ITERS, PQ_K, PQ_M, _emb_double, _fused_ivfpq_training,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    cents_f, books_f = _fused_ivfpq_training(
+        _emb_double(emb), n_cells=8, m=PQ_M, k=PQ_K, iters=PQ_ITERS, dim=64)
+    assert cents_f == lloyd_centroids(emb, k=8, iters=2, dim=64)
+    assert books_f == lloyd_pq_codebooks(
+        emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS, dim=64)
+
+
 def test_ivfpq_index_build_probe_and_prune(spark, sf_dir, tmp_path):
     """Persisted IVF-PQ: nprobe=all equals plain ADC over the same
     trained structures; nprobe=1 reads ONE cell partition (pruned scan,
@@ -177,8 +198,15 @@ def test_ivfpq_index_build_probe_and_prune(spark, sf_dir, tmp_path):
     one = ivfpq_index_topk(spark, path, probe, k=10, nprobe=1)
     ids = {r.vec_id for r in one.collect()}
     assert 0 in ids and len(ids) <= 10
-    # partition pruning: exactly one cell directory in the final scan
-    assert physical_plan(one).count("cell=") <= 1
+    # partition pruning: the scan must carry a PartitionFilters entry
+    # pinning cell to the single probed value (the plan renders pruning
+    # as PartitionFilters, not as cell= directory paths), and the cell
+    # column must be pruned away before the Python scoring kernel
+    import re
+
+    plan = physical_plan(one)
+    assert re.search(r"PartitionFilters: \[[^\]]*\(cell#\d+ = \d+\)", plan), plan
+    assert "ReadSchema: struct<vec_id:bigint,pq_code:array<int>>" in plan
 
 
 def test_sq8_compression_and_recall(spark, sf_dir):

@@ -185,11 +185,18 @@ def minhash_signature_arrow(hashes_col, params: list[tuple[int, int]]) -> Column
     codegen. int64 is safe: a < 2^31, h < 2^28 ⇒ a*h + b < 2^60."""
     a = np.array([p[0] for p in params], dtype=np.int64)[:, None]
     b = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+    num_hashes = len(params)
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(hashes: pd.Series) -> pd.Series:
         out = []
         for h in hashes:
+            if h is None or len(h) == 0:
+                # empty/no shingles → HASH_PRIME sentinels, matching
+                # minhash_signature's coalesce and fused_minhash_signature
+                # (a zero-size numpy min has no identity and raises)
+                out.append(np.full(num_hashes, HASH_PRIME, dtype=np.int64))
+                continue
             hv = np.asarray(h, dtype=np.int64)[None, :]
             out.append(((a * hv + b) % HASH_PRIME).min(axis=1))
         return pd.Series(out)

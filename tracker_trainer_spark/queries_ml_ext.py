@@ -1393,20 +1393,27 @@ FROM score ORDER BY round(adc, 4), vec_id LIMIT 10
 
 
 def _fused_ivfpq_training(emb, n_cells, m, k, iters, dim):
-    """Train the IVF coarse cells AND the PQ codebooks in ONE
-    aggregation job per round.
+    """Train the IVF coarse cells AND the PQ codebooks in ONE scan and
+    ONE aggregation job per round.
 
     The two trainings are independent Lloyd chains over the same
-    vectors, so each round's (cell, pos) means and (sub, cid, subpos)
-    means union into a single long-form aggregate (cells tagged
-    sub = -1) and collect with ONE action — per-query driver actions
-    are the dominant cost of iterative training on sub-second data,
-    and at scale this halves the number of full passes over the
-    corpus. Means quantize to 6 decimals (both engines — the standard
-    ulp-proofing); assignment is the same argmin-struct codegen as the
-    kmeans registry query, over full-vector literals for cells and
-    per-subspace slices for codes. Returns (cents_list, books) in the
-    exact conventions of lloyd_centroids / lloyd_pq_codebooks.
+    vectors, so each exploded (pos, v) element emits BOTH its keyed
+    rows scan-side — (sub=-1, cell, pos) for the coarse means and
+    (sub, code, pos%d) for the codebook means — into a single
+    (sub, cid, pos) hash aggregate collected with ONE action. Per-query
+    driver actions are the dominant cost of iterative training on
+    sub-second data, and at scale each round is genuinely one corpus
+    scan + one shuffle instead of two of each.
+
+    Means quantize to 6 decimals (both engines — the standard
+    ulp-proofing). Cell reassignment uses the EXPANDED |c|² − 2 x·c
+    distance form — matching the ivd1/ivd2 CTEs of the oracle and the
+    numpy ivf_assign kernel the unfused path uses — while code
+    reassignment uses the direct (x−c)² form matching pd1/pd2 and
+    lloyd_pq_codebooks; mixing the forms ACROSS chains is fine, mixing
+    them WITHIN a chain against its oracle is the cross-engine ulp trap.
+    Returns (cents_list, books) in the exact conventions of
+    lloyd_centroids / lloyd_pq_codebooks.
     """
     d = dim // m
 
@@ -1429,6 +1436,26 @@ def _fused_ivfpq_training(emb, n_cells, m, k, iters, dim):
             for s in range(m)
         ])
 
+    def cells_expr(cmap):
+        # expanded form |c|^2 - 2 x.c (|x|^2 is constant per row):
+        # byte-matches the oracle's ivd CTEs and numpy ivf_assign
+        cands = [
+            F.struct(
+                (F.lit(float(sum(v * v for v in c)))
+                 - 2.0 * F.aggregate(
+                     F.zip_with(
+                         F.col("emb"),
+                         F.array(*[F.lit(float(v)) for v in c]),
+                         lambda x, y: x * y,
+                     ),
+                     F.lit(0.0), lambda acc, x: acc + x,
+                 )).alias("dist"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in sorted(cmap.items())
+        ]
+        return F.array_min(F.array(*cands))["cid"]
+
     cell_col = (F.col("vec_id") % n_cells).cast("int")
     code_col = F.array(*[(F.col("vec_id") % k).cast("int")] * m)
     cmap: dict = {}
@@ -1442,31 +1469,34 @@ def _fused_ivfpq_training(emb, n_cells, m, k, iters, dim):
             "emb", cell_col.alias("cell"), code_col.alias("codes"))
         x = assigned.select(
             "cell", "codes", F.posexplode("emb").alias("pos", "v"))
-        cells_part = (
-            x.groupBy(F.lit(-1).alias("sub"),
-                      F.col("cell").alias("cid"), F.col("pos"))
-            .agg(F.round(F.avg("v"), 6).alias("m"))
-        )
         sub = (F.col("pos") / d).cast("int")
-        books_part = (
-            x.select(sub.alias("sub"),
-                     F.element_at("codes", sub + 1).alias("cid"),
-                     (F.col("pos") % d).alias("pos"), "v")
-            .groupBy("sub", "cid", "pos")
-            .agg(F.round(F.avg("v"), 6).alias("m"))
+        keyed = x.select(
+            F.explode(F.array(
+                F.struct(F.lit(-1).alias("sub"),
+                         F.col("cell").alias("cid"),
+                         F.col("pos").alias("kpos")),
+                F.struct(sub.alias("sub"),
+                         F.element_at("codes", sub + 1).alias("cid"),
+                         (F.col("pos") % d).alias("kpos")),
+            )).alias("kk"),
+            "v",
         )
-        rows = cells_part.unionAll(books_part).collect()  # ONE action
+        rows = (
+            keyed.groupBy("kk.sub", "kk.cid", "kk.kpos")
+            .agg(F.round(F.avg("v"), 6).alias("m"))
+            .collect()  # ONE action, one scan, one shuffle
+        )
         cmap, bmap = {}, {}
         for r in rows:
             if r["sub"] == -1:
-                cmap.setdefault(r["cid"], [0.0] * dim)[r["pos"]] = r["m"]
+                cmap.setdefault(r["cid"], [0.0] * dim)[r["kpos"]] = r["m"]
             else:
-                bmap.setdefault((r["sub"], r["cid"]), [0.0] * d)[r["pos"]] = r["m"]
+                bmap.setdefault((r["sub"], r["cid"]), [0.0] * d)[r["kpos"]] = r["m"]
         if len(bmap) != m * k:
             raise ValueError(
                 f"PQ training emptied a code: {m * k - len(bmap)} missing")
         books = [[bmap[(s, j)] for j in range(k)] for s in range(m)]
-        cell_col = _assign_expr(cmap)["cid"]
+        cell_col = cells_expr(cmap)
         code_col = codes_expr(books)
     cents = [cmap[c] for c in sorted(cmap)]
     return cents, books
