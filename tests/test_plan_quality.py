@@ -314,6 +314,10 @@ def test_tfidf_single_documents_scan(spark, sf_dir):
     #                                   never a cartesian
     ("doc_zipf_fit", 2),  # token agg + vocab-sized rank sort; regr
     #                       moments ride the single post-window partition
+    ("lineitem_benford_deviation", 4),  # 9-digit agg + 1-row total
+    #                                     + presentation sort
+    ("user_event_entropy", 3),    # (user,type) agg + user window + sort
+    ("customer_rfm_segments", 3),  # per-cust agg + ntile windows + sort
 ])
 def test_analytics2_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles

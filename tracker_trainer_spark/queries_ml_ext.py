@@ -1654,6 +1654,168 @@ FROM scored ORDER BY maha2 DESC, o_custkey LIMIT 15
 """
 
 
+# --------------------------------------------------------------------------
+# Data-quality / behavioral / segmentation tail
+# --------------------------------------------------------------------------
+
+def lineitem_benford_deviation(spark, sf_dir):
+    """Benford's-law audit of the price column: observed first-digit
+    frequencies vs the log10(1 + 1/d) expectation — the classic
+    fabricated-data / data-quality screen (synthetic or constrained
+    price generators deviate wildly; organic multiplicative data
+    conforms). Output: per digit, count, observed and expected
+    frequency, and the absolute deviation.
+
+    Plan: the first significant digit extracts EXACTLY via integer
+    floor + leading string character (the log10/power spelling is an
+    FP trap: at price = 10^k one engine's log10 can land a hair under
+    k and flip the digit), then ONE 9-group hash agg and a 1-row total
+    broadcast — nothing here grows with data. Prices ≥ 1 by filter."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_extendedprice") >= 1)
+    digit = F.substring(
+        F.floor("l_extendedprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n"))
+    total = F.broadcast(counts.agg(F.sum("n").alias("_t")))
+    exp_freq = F.log10(1.0 + 1.0 / F.col("digit"))
+    obs_freq = F.col("n") / F.col("_t")
+    return (
+        counts.join(total)
+        .select(
+            "digit", "n",
+            r4(obs_freq).alias("obs_freq"),
+            r4(exp_freq).alias("exp_freq"),
+            r4(F.abs(obs_freq - exp_freq)).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+BENFORD_SQL = """
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INT) AS digit,
+         count(*) AS n
+  FROM lineitem WHERE l_extendedprice >= 1 GROUP BY 1
+), t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM counts)
+SELECT digit, n,
+       round(n / t.total, 4) AS obs_freq,
+       round(log10(1.0 + 1.0 / digit), 4) AS exp_freq,
+       round(abs(n / t.total - log10(1.0 + 1.0 / digit)), 4) AS abs_dev
+FROM counts, t ORDER BY digit
+"""
+
+
+def user_event_entropy(spark, sf_dir):
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity feature (H = 0: single-action bots; high H:
+    engaged browsers) a training pipeline derives before segmentation.
+
+    Plan: (user, type) hash agg → per-user totals as a window SUM
+    riding the same user partitioning → -Σ p·ln p as a second hash agg.
+    Two key-partitioned shuffles, no driver data."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("user_id")
+    p = F.col("c") / F.sum("c").over(w)
+    return (
+        ut.withColumn("term", -p * F.log(p))
+        .groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count(F.lit(1)).cast("int").alias("n_types"),
+            r4(F.sum("term")).alias("entropy"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENT_ENTROPY_SQL = """
+WITH ut AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT user_id, event_type, c,
+         CAST(sum(c) OVER (PARTITION BY user_id) AS DOUBLE) AS t
+  FROM ut
+)
+SELECT user_id,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       CAST(count(*) AS INT) AS n_types,
+       round(sum(-(c / t) * ln(c / t)), 4) AS entropy
+FROM tot GROUP BY user_id ORDER BY user_id
+"""
+
+
+def customer_rfm_segments(spark, sf_dir):
+    """Classic RFM segmentation: per-customer Recency (days since last
+    order vs the corpus-max date), Frequency (order count), Monetary
+    (total spend), each cut into quartiles with NTILE, concatenated to
+    the familiar 'RFM' cell label ('111' = best). Ties order by
+    custkey so quartile boundaries are engine-deterministic.
+
+    Plan: one per-customer hash agg, a 1-row max-date broadcast, then
+    three NTILE windows over the CUSTOMER-cardinality relation (orders
+    of magnitude smaller than the fact table — a global sort there is
+    a non-issue at any scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    maxd = F.broadcast(orders.agg(F.max("o_orderdate").alias("_maxd")))
+    per = per.join(maxd).withColumn(
+        "recency", F.datediff("_maxd", "last_order"))
+    # low recency = good = quartile 1; high frequency/monetary = good
+    wr = Window.orderBy(F.asc("recency"), F.asc("o_custkey"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return (
+        per.select(
+            "o_custkey",
+            F.col("recency").cast("int").alias("recency_days"),
+            "frequency",
+            r4(F.col("monetary")).alias("monetary"),
+            F.ntile(4).over(wr).alias("r_quartile"),
+            F.ntile(4).over(wf).alias("f_quartile"),
+            F.ntile(4).over(wm).alias("m_quartile"),
+        )
+        .withColumn("segment", F.concat_ws(
+            "", "r_quartile", "f_quartile", "m_quartile"))
+        .orderBy("o_custkey")
+    )
+
+
+RFM_SQL = """
+WITH per AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         count(*) AS frequency, sum(o_totalprice) AS monetary
+  FROM orders GROUP BY 1
+), m AS (SELECT max(o_orderdate) AS maxd FROM orders),
+q AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_order, m.maxd) AS INT) AS recency_days,
+         frequency,
+         round(monetary, 4) AS monetary,
+         CAST(ntile(4) OVER (ORDER BY date_diff('day', last_order, m.maxd),
+                             o_custkey) AS INT) AS r_quartile,
+         CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT)
+           AS f_quartile,
+         CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT)
+           AS m_quartile
+  FROM per, m
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       r_quartile, f_quartile, m_quartile,
+       CAST(r_quartile AS VARCHAR) || CAST(f_quartile AS VARCHAR)
+         || CAST(m_quartile AS VARCHAR) AS segment
+FROM q ORDER BY o_custkey
+"""
+
+
 ML_QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "customer_mahalanobis_outliers": customer_mahalanobis_outliers,
@@ -1674,6 +1836,12 @@ ML_QUERIES = {
     "weighted_median_price": weighted_median_price,
     "price_quantity_regression": price_quantity_regression,
     "supplier_triangle_count": supplier_triangle_count,
+    # appended LAST on purpose: the driver certifies the first 50
+    # queries()' entries per round; these three wait for the next
+    # window rather than pushing an older uncertified query out of it
+    "lineitem_benford_deviation": lineitem_benford_deviation,
+    "user_event_entropy": user_event_entropy,
+    "customer_rfm_segments": customer_rfm_segments,
 }
 
 ML_ORACLES = {
@@ -1696,4 +1864,7 @@ ML_ORACLES = {
     "weighted_median_price": WEIGHTED_MEDIAN_SQL,
     "price_quantity_regression": REGRESSION_SQL,
     "supplier_triangle_count": TRIANGLE_SQL,
+    "lineitem_benford_deviation": BENFORD_SQL,
+    "user_event_entropy": EVENT_ENTROPY_SQL,
+    "customer_rfm_segments": RFM_SQL,
 }
