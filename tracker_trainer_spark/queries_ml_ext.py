@@ -1756,23 +1756,27 @@ def customer_rfm_segments(spark, sf_dir):
     the familiar 'RFM' cell label ('111' = best). Ties order by
     custkey so quartile boundaries are engine-deterministic.
 
-    Plan: one per-customer hash agg, a 1-row max-date broadcast, then
-    three NTILE windows over the CUSTOMER-cardinality relation (orders
-    of magnitude smaller than the fact table — a global sort there is
-    a non-issue at any scale)."""
+    Plan: one per-customer hash agg, a 1-row max-date broadcast
+    derived from that same customer-cardinality aggregate (NOT a
+    second scan of the fact table — max of per-customer maxima IS the
+    corpus max), then three NTILE windows over the customer relation
+    (orders of magnitude smaller than the fact table — a global sort
+    there is a non-issue at any scale). The monetary rank orders by
+    the ROUNDED sum: FP totals differ across engines in the last ulp,
+    and an unrounded boundary pair would flip quartiles."""
     orders = _t(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum("o_totalprice").alias("monetary"),
     )
-    maxd = F.broadcast(orders.agg(F.max("o_orderdate").alias("_maxd")))
+    maxd = F.broadcast(per.agg(F.max("last_order").alias("_maxd")))
     per = per.join(maxd).withColumn(
         "recency", F.datediff("_maxd", "last_order"))
     # low recency = good = quartile 1; high frequency/monetary = good
     wr = Window.orderBy(F.asc("recency"), F.asc("o_custkey"))
     wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    wm = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc(F.round("monetary", 4)), F.asc("o_custkey"))
     return (
         per.select(
             "o_custkey",
@@ -1794,7 +1798,7 @@ WITH per AS (
   SELECT o_custkey, max(o_orderdate) AS last_order,
          count(*) AS frequency, sum(o_totalprice) AS monetary
   FROM orders GROUP BY 1
-), m AS (SELECT max(o_orderdate) AS maxd FROM orders),
+), m AS (SELECT max(last_order) AS maxd FROM per),
 q AS (
   SELECT o_custkey,
          CAST(date_diff('day', last_order, m.maxd) AS INT) AS recency_days,
@@ -1804,8 +1808,8 @@ q AS (
                              o_custkey) AS INT) AS r_quartile,
          CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT)
            AS f_quartile,
-         CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT)
-           AS m_quartile
+         CAST(ntile(4) OVER (ORDER BY round(monetary, 4) DESC, o_custkey)
+              AS INT) AS m_quartile
   FROM per, m
 )
 SELECT o_custkey, recency_days, frequency, monetary,
