@@ -317,8 +317,9 @@ def test_tfidf_single_documents_scan(spark, sf_dir):
     ("lineitem_benford_deviation", 4),  # 9-digit agg + 1-row total
     #                                     + presentation sort
     ("user_event_entropy", 3),    # (user,type) agg + user window + sort
-    ("customer_rfm_segments", 4),  # per-cust agg + 1-row max-date agg
-    #   (reuses the per-cust exchange — ONE orders scan) + ntile + sort
+    ("customer_rfm_segments", 2),  # per-cust agg + ONE single-partition
+    #   exchange shared by the global max-date window and all 3 ntiles;
+    #   one orders scan total
 ])
 def test_analytics2_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles

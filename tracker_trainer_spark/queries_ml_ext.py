@@ -1756,10 +1756,11 @@ def customer_rfm_segments(spark, sf_dir):
     the familiar 'RFM' cell label ('111' = best). Ties order by
     custkey so quartile boundaries are engine-deterministic.
 
-    Plan: one per-customer hash agg, a 1-row max-date broadcast
-    derived from that same customer-cardinality aggregate (NOT a
-    second scan of the fact table — max of per-customer maxima IS the
-    corpus max), then three NTILE windows over the customer relation
+    Plan: one per-customer hash agg; the corpus max date is a GLOBAL
+    window max over that same customer-cardinality relation (max of
+    per-customer maxima IS the corpus max — one branch, ONE fact-table
+    scan, and the empty-partition window rides the same single
+    partition the NTILEs already need), then three NTILE windows
     (orders of magnitude smaller than the fact table — a global sort
     there is a non-issue at any scale). The monetary rank orders by
     the ROUNDED sum: FP totals differ across engines in the last ulp,
@@ -1770,9 +1771,10 @@ def customer_rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).alias("frequency"),
         F.sum("o_totalprice").alias("monetary"),
     )
-    maxd = F.broadcast(per.agg(F.max("last_order").alias("_maxd")))
-    per = per.join(maxd).withColumn(
-        "recency", F.datediff("_maxd", "last_order"))
+    w_all = Window.partitionBy()
+    per = per.withColumn(
+        "recency",
+        F.datediff(F.max("last_order").over(w_all), "last_order"))
     # low recency = good = quartile 1; high frequency/monetary = good
     wr = Window.orderBy(F.asc("recency"), F.asc("o_custkey"))
     wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
@@ -1798,19 +1800,26 @@ WITH per AS (
   SELECT o_custkey, max(o_orderdate) AS last_order,
          count(*) AS frequency, sum(o_totalprice) AS monetary
   FROM orders GROUP BY 1
-), m AS (SELECT max(last_order) AS maxd FROM per),
+),
+q0 AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_order, max(last_order) OVER ()) AS INT)
+           AS recency_days,
+         frequency, monetary
+  FROM per
+),
 q AS (
   SELECT o_custkey,
-         CAST(date_diff('day', last_order, m.maxd) AS INT) AS recency_days,
+         recency_days,
          frequency,
          round(monetary, 4) AS monetary,
-         CAST(ntile(4) OVER (ORDER BY date_diff('day', last_order, m.maxd),
-                             o_custkey) AS INT) AS r_quartile,
+         CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS INT)
+           AS r_quartile,
          CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT)
            AS f_quartile,
          CAST(ntile(4) OVER (ORDER BY round(monetary, 4) DESC, o_custkey)
               AS INT) AS m_quartile
-  FROM per, m
+  FROM q0
 )
 SELECT o_custkey, recency_days, frequency, monetary,
        r_quartile, f_quartile, m_quartile,
