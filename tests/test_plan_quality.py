@@ -320,6 +320,10 @@ def test_tfidf_single_documents_scan(spark, sf_dir):
     ("customer_rfm_segments", 2),  # per-cust agg + ONE single-partition
     #   exchange shared by the global max-date window and all 3 ntiles;
     #   one orders scan total
+    ("nation_spend_gini", 3),      # per-cust agg + nation rank window
+    #                                + final nation agg
+    ("order_priority_chi2", 4),    # contingency agg + row/col/grand
+    #   windows + distinct-count Expand; never a fact rescan
 ])
 def test_analytics2_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles

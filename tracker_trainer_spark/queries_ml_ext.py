@@ -1829,6 +1829,119 @@ FROM q ORDER BY o_custkey
 """
 
 
+def nation_spend_gini(spark, sf_dir):
+    """Gini coefficient of customer spend per nation — the inequality
+    lens on revenue concentration (0 = spend spread evenly across a
+    nation's customers, →1 = one whale). Uses the rank-based closed
+    form G = (2·Σ i·xᵢ)/(n·Σ xᵢ) − (n+1)/n over spend sorted
+    ascending, which needs only ONE ordered pass — no O(n²) pairwise
+    |xᵢ−xⱼ| differences.
+
+    Plan: fact-table hash agg to per-customer spend → nation-keyed
+    rank window (one exchange, riding the nation partitioning the
+    final agg needs anyway) → per-nation closed-form agg. Ranks break
+    spend ties by custkey and the rank·spend products order
+    identically on both engines, so the sums match to FP noise far
+    inside the 4-decimal rounding."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    per = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc("spend"), F.asc("c_custkey"))
+    ranked = per.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            r4(F.sum("spend")).alias("total_spend"),
+            r4(
+                2.0 * F.sum(F.col("i") * F.col("spend"))
+                / (F.count(F.lit(1)) * F.sum("spend"))
+                - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1))
+            ).alias("gini"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+GINI_SQL = """
+WITH per AS (
+  SELECT c.c_nationkey, c.c_custkey, sum(o.o_totalprice) AS spend
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT c_nationkey, spend,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY spend, c_custkey) AS i
+  FROM per
+)
+SELECT c_nationkey,
+       count(*) AS n_customers,
+       round(sum(spend), 4) AS total_spend,
+       round(2.0 * sum(i * spend) / (count(*) * sum(spend))
+             - (count(*) + 1.0) / count(*), 4) AS gini
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
+def order_priority_chi2(spark, sf_dir):
+    """Chi-square independence test of order status × priority — the
+    contingency-table screen ("does priority distribution differ by
+    status?") run before trusting a segmentation. Output: the χ²
+    statistic, degrees of freedom, and the table dimensions.
+
+    Plan: ONE (status, priority) hash agg; row totals, column totals,
+    and the grand total all derive from that tiny contingency relation
+    (windows over it — never a fact rescan); χ² = Σ (obs−exp)²/exp as
+    a final 1-row agg."""
+    orders = _t(spark, sf_dir, "orders")
+    cell = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("obs"))
+    wr = Window.partitionBy("o_orderstatus")
+    wc = Window.partitionBy("o_orderpriority")
+    wg = Window.partitionBy()
+    with_exp = (
+        cell.withColumn("rt", F.sum("obs").over(wr))
+        .withColumn("ct", F.sum("obs").over(wc))
+        .withColumn("gt", F.sum("obs").over(wg))
+        .withColumn("exp", F.col("rt") * F.col("ct") / F.col("gt"))
+    )
+    return with_exp.agg(
+        r4(F.sum((F.col("obs") - F.col("exp")) ** 2 / F.col("exp")))
+        .alias("chi2"),
+        ((F.count_distinct("o_orderstatus") - 1)
+         * (F.count_distinct("o_orderpriority") - 1))
+        .cast("int").alias("dof"),
+        F.count_distinct("o_orderstatus").cast("int").alias("n_status"),
+        F.count_distinct("o_orderpriority").cast("int").alias("n_priority"),
+    )
+
+
+CHI2_SQL = """
+WITH cell AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS obs
+  FROM orders GROUP BY 1, 2
+), e AS (
+  SELECT obs,
+         sum(obs) OVER (PARTITION BY o_orderstatus) * 1.0
+           * sum(obs) OVER (PARTITION BY o_orderpriority)
+           / sum(obs) OVER () AS exp,
+         o_orderstatus, o_orderpriority
+  FROM cell
+)
+SELECT round(sum((obs - exp) * (obs - exp) / exp), 4) AS chi2,
+       CAST((count(DISTINCT o_orderstatus) - 1)
+            * (count(DISTINCT o_orderpriority) - 1) AS INT) AS dof,
+       CAST(count(DISTINCT o_orderstatus) AS INT) AS n_status,
+       CAST(count(DISTINCT o_orderpriority) AS INT) AS n_priority
+FROM e
+"""
+
+
 ML_QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "customer_mahalanobis_outliers": customer_mahalanobis_outliers,
@@ -1855,6 +1968,8 @@ ML_QUERIES = {
     "lineitem_benford_deviation": lineitem_benford_deviation,
     "user_event_entropy": user_event_entropy,
     "customer_rfm_segments": customer_rfm_segments,
+    "nation_spend_gini": nation_spend_gini,
+    "order_priority_chi2": order_priority_chi2,
 }
 
 ML_ORACLES = {
@@ -1880,4 +1995,6 @@ ML_ORACLES = {
     "lineitem_benford_deviation": BENFORD_SQL,
     "user_event_entropy": EVENT_ENTROPY_SQL,
     "customer_rfm_segments": RFM_SQL,
+    "nation_spend_gini": GINI_SQL,
+    "order_priority_chi2": CHI2_SQL,
 }
