@@ -324,6 +324,8 @@ def test_tfidf_single_documents_scan(spark, sf_dir):
     #                                + final nation agg
     ("order_priority_chi2", 4),    # contingency agg + row/col/grand
     #   windows + distinct-count Expand; never a fact rescan
+    ("value_drift_ks", 2),   # (value) agg + the ordered ECDF window
+    #                          over the distinct-value relation
 ])
 def test_analytics2_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles

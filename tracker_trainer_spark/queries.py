@@ -2928,3 +2928,15 @@ def _front_load_unverified(registry: dict) -> dict:
 
 QUERIES = _front_load_unverified(QUERIES)
 ORACLES = _front_load_unverified(ORACLES)
+
+# Deferred registrations: appended AFTER the reorder so they land at the
+# very tail of the registry — new queries added mid-round once the
+# 50-query window is already full go here instead of displacing an
+# older not-yet-verified query from the window.
+from tracker_trainer_spark.queries_analytics_ext import (  # noqa: E402
+    ANALYTICS_DEFERRED_ORACLES as _AN_DEF_ORACLES,
+    ANALYTICS_DEFERRED_QUERIES as _AN_DEF_QUERIES,
+)
+
+QUERIES.update(_AN_DEF_QUERIES)
+ORACLES.update(_AN_DEF_ORACLES)

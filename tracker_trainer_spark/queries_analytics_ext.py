@@ -1286,6 +1286,88 @@ FROM ranked
 """
 
 
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov drift statistic
+# --------------------------------------------------------------------------
+
+def value_drift_ks(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov statistic on purchase value:
+    first half of the month (reference) vs second half (serving) — the
+    binning-free companion to ``value_drift_psi``: KS = max |ECDF_ref −
+    ECDF_cur| over every observed value, so no bucket-boundary choice
+    can hide a shift.
+
+    Shape: ONE (value, window) hash agg off the fact scan → per-value
+    conditional counts → running ECDFs as cumulative sums over the
+    value-ordered DISTINCT-value relation (cardinality of distinct
+    values, not rows) → 1-row max. Counts are integers and both
+    engines divide the same integers, so the statistic matches
+    bit-for-bit before the output rounding. At 100 TB the ordered pass
+    is a range-partitioned sort of the distinct-value relation; when
+    even that is too wide, PSI's binned form is the fallback — that's
+    why both live in the registry.
+    """
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    is_ref = F.dayofmonth("ts") <= 15
+    counts = (
+        ev.select("value", is_ref.alias("_ref"))
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("_ref"), 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("_ref"), 0).otherwise(1)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wg = Window.partitionBy()
+    ecdf = counts.select(
+        "value",
+        (F.sum("ca").over(w) / F.sum("ca").over(wg)).alias("fa"),
+        (F.sum("cb").over(w) / F.sum("cb").over(wg)).alias("fb"),
+        F.sum("ca").over(wg).alias("na"),
+        F.sum("cb").over(wg).alias("nb"),
+    )
+    return ecdf.agg(
+        r4(F.max(F.abs(F.col("fa") - F.col("fb")))).alias("ks_stat"),
+        F.max("na").alias("n_ref"),
+        F.max("nb").alias("n_cur"),
+        F.count(F.lit(1)).alias("n_distinct_values"),
+    )
+
+
+VALUE_KS_SQL = """
+WITH counts AS (
+  SELECT value,
+         sum(CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN date_part('day', ts) <= 15 THEN 0 ELSE 1 END) AS cb
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), ecdf AS (
+  SELECT value,
+         sum(ca) OVER (ORDER BY value) * 1.0 / sum(ca) OVER () AS fa,
+         sum(cb) OVER (ORDER BY value) * 1.0 / sum(cb) OVER () AS fb,
+         sum(ca) OVER () AS na,
+         sum(cb) OVER () AS nb
+  FROM counts
+)
+SELECT round(max(abs(fa - fb)), 4) AS ks_stat,
+       CAST(max(na) AS BIGINT) AS n_ref,
+       CAST(max(nb) AS BIGINT) AS n_cur,
+       count(*) AS n_distinct_values
+FROM ecdf
+"""
+
+
+# Registered via the DEFERRED channel in queries.py: these append AFTER
+# the driver-window reorder, so they cannot displace an older
+# not-yet-verified query from the verification window.
+ANALYTICS_DEFERRED_QUERIES = {
+    "value_drift_ks": value_drift_ks,
+}
+
+ANALYTICS_DEFERRED_ORACLES = {
+    "value_drift_ks": VALUE_KS_SQL,
+}
+
+
 ANALYTICS_QUERIES = {
     "doc_bigram_pmi": doc_bigram_pmi,
     "doc_zipf_fit": doc_zipf_fit,
