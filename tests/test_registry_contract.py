@@ -10,7 +10,7 @@ without an oracle (outside the documented rows-only pair).
 from tracker_trainer_spark.queries import (
     ORACLES,
     QUERIES,
-    _DRIVER_CERTIFIED_R1_R2,
+    _DRIVER_CERTIFIED,
 )
 
 DRIVER_WINDOW = 50
@@ -29,7 +29,7 @@ def test_every_query_has_an_oracle_or_is_documented_rows_only():
 def test_certified_keys_all_exist():
     """A renamed/removed query must also leave the certified set —
     otherwise the front-loader silently mis-partitions."""
-    assert _DRIVER_CERTIFIED_R1_R2 <= set(QUERIES)
+    assert _DRIVER_CERTIFIED <= set(QUERIES)
 
 
 def test_uncertified_queries_front_load_into_the_driver_window():
@@ -38,7 +38,7 @@ def test_uncertified_queries_front_load_into_the_driver_window():
     deferred additions) must occupy the TAIL positions only, never
     displacing an older uncertified query from the window."""
     keys = list(QUERIES)
-    uncertified = [k for k in keys if k not in _DRIVER_CERTIFIED_R1_R2]
+    uncertified = [k for k in keys if k not in _DRIVER_CERTIFIED]
     window = keys[:DRIVER_WINDOW]
     in_window = [k for k in uncertified if k in window]
     assert len(in_window) == min(len(uncertified), DRIVER_WINDOW), (
@@ -47,4 +47,4 @@ def test_uncertified_queries_front_load_into_the_driver_window():
     # certified keys may only appear in the window when uncertified
     # queries don't fill it
     if len(uncertified) >= DRIVER_WINDOW:
-        assert all(k not in _DRIVER_CERTIFIED_R1_R2 for k in window)
+        assert all(k not in _DRIVER_CERTIFIED for k in window)

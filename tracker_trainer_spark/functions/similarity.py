@@ -690,7 +690,12 @@ def ivf_pq_topk(codes_df: DataFrame, probe: list[float],
     """
     C = np.asarray(centroids, dtype=np.float64)
     p = np.asarray(probe, dtype=np.float64)
-    near = np.argsort(((C - p) ** 2).sum(axis=1), kind="stable")[:nprobe]
+    # SAME algebraic form as ivf_assign (|c|^2 - 2 x.c), NOT the direct
+    # (C-p)^2: mixing forms within the IVF chain reintroduces the
+    # cancellation-magnitude divergence — a near-tie between two cells
+    # could prune a different cell than assignment/oracle selected.
+    near = np.argsort((C * C).sum(axis=1) - 2.0 * (C @ p),
+                      kind="stable")[:nprobe]
     pruned = codes_df.where(F.col(cell_col).isin(*[int(c) for c in near]))
     return pq_adc_topk(pruned, probe, codebooks, k=k,
                        code_col=code_col, id_col=id_col,

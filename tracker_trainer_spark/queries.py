@@ -2854,14 +2854,25 @@ ORACLES.update(_ML_ORACLES)
 # Driver correctness-window ordering
 # --------------------------------------------------------------------------
 # The per-round driver verifies only the FIRST 50 ``queries()`` entries
-# against their DuckDB oracles.  Keys already certified green in
-# CORRECTNESS_r01/r02 are moved to the BACK of the registry so queries the
-# driver has never checked land inside the window; the union of rounds then
-# certifies the whole registry.  Newly added queries are (by construction)
-# not in the certified set, so they always surface at the front.
-_DRIVER_CERTIFIED_R1_R2 = frozenset({
+# against their DuckDB oracles.  Keys already certified green in a prior
+# round's CORRECTNESS_r* are moved to the BACK of the registry so queries
+# the driver has never checked land inside the window; the union of rounds
+# then certifies the whole registry.  Newly added queries are (by
+# construction) not in the certified set, so they always surface at the
+# front.
+#
+# EVICTION RULE (ADVICE r3): any query whose Spark implementation OR
+# oracle SQL changed since its certification round leaves this set, so
+# the driver re-verifies the changed behavior.  Evicted on that rule:
+#   r3 edit:  ann_ivf_topk (round-6 quantized Lloyd means changed both
+#             engines), dedup_minhash_candidates (Arrow-signature
+#             refactor)
+#   r4 edit:  doc_bigram_pmi (double-cast PMI arithmetic),
+#             ann_ivfpq_topk (probe cell ranking switched to the
+#             expanded |c|^2-2x.c form)
+_DRIVER_CERTIFIED = frozenset({
+    # ---- certified green in CORRECTNESS_r01 / r02 ----
     "ann_cosine_topk",
-    "ann_ivf_topk",
     "ann_lsh_bucketed",
     "contrastive_negative_pairs",
     "corpus_curation",
@@ -2869,7 +2880,6 @@ _DRIVER_CERTIFIED_R1_R2 = frozenset({
     "dedup_cluster_survivors",
     "dedup_embedding_cosine",
     "dedup_exact_documents",
-    "dedup_minhash_candidates",
     "dedup_minhash_clusters",
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -2915,14 +2925,61 @@ _DRIVER_CERTIFIED_R1_R2 = frozenset({
     "value_purchase_auc",
     "weekly_auc_drift",
     "windowed_event_stats",
+    # ---- certified green in CORRECTNESS_r03 ----
+    "ann_lsh_multiprobe",
+    "ann_pq_topk",
+    "basket_pair_lift",
+    "corpus_decontamination",
+    "cube_orders_margin",
+    "customer_mahalanobis_outliers",
+    "customer_order_sequences",
+    "customer_pareto_frontier",
+    "customer_retention_setops",
+    "customer_spend_quartiles",
+    "daily_anomaly_zscore",
+    "dedup_incremental_batch",
+    "dedup_minhash_estimate",
+    "doc_bm25_search",
+    "doc_tfidf_top_terms",
+    "doc_unigram_logprob",
+    "doc_zipf_fit",
+    "event_transition_matrix",
+    "events_daily_pivot",
+    "events_json_value_stats",
+    "ipw_weight_diagnostics",
+    "jaccard_prefix_join",
+    "kmeans_embedding_clusters",
+    "knn_join_topk",
+    "lineitem_measures_unpivot",
+    "lineitem_stats_profile",
+    "orders_profile",
+    "part_name_editdist_pairs",
+    "price_quantity_regression",
+    "purchase_daily_gapfill",
+    "purchase_moving_avg",
+    "q11_important_parts",
+    "q16_supplier_counts",
+    "q20_promotion_suppliers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "retention_cohorts",
+    "sliding_event_counts",
+    "supplier_triangle_count",
+    "user_activity_streaks",
+    "user_decayed_value",
+    "weighted_median_price",
 })
+
+# Backwards-compatible alias (tests / docs referenced the r1-r2 name).
+_DRIVER_CERTIFIED_R1_R2 = _DRIVER_CERTIFIED
 
 
 def _front_load_unverified(registry: dict) -> dict:
     fresh = {k: v for k, v in registry.items()
-             if k not in _DRIVER_CERTIFIED_R1_R2}
+             if k not in _DRIVER_CERTIFIED}
     done = {k: v for k, v in registry.items()
-            if k in _DRIVER_CERTIFIED_R1_R2}
+            if k in _DRIVER_CERTIFIED}
     return {**fresh, **done}
 
 

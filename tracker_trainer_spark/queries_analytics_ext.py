@@ -533,11 +533,11 @@ def stratified_sample_by_lang(spark, sf_dir):
 STRATIFIED_SAMPLE_SQL = """
 SELECT lang,
        count(*) AS n_total,
-       sum(CAST(
+       CAST(sum(CAST(
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
          < CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 50 WHEN 'es' THEN 50
                      WHEN 'fr' THEN 50 WHEN 'zh' THEN 50 ELSE 50 END
-         AS INT)) AS n_sampled
+         AS INT)) AS BIGINT) AS n_sampled
 FROM documents
 GROUP BY lang
 """
@@ -676,8 +676,8 @@ WITH purch AS (
 ), env AS (SELECT min(value) AS lo, max(value) AS hi FROM purch),
 counts AS (
   SELECT CAST(least(floor((value - lo) / (hi - lo) * 10) + 1, 10) AS BIGINT) AS bucket,
-         sum(CAST(is_ref AS INT)) AS n_ref,
-         sum(CAST(NOT is_ref AS INT)) AS n_cur
+         CAST(sum(CAST(is_ref AS INT)) AS BIGINT) AS n_ref,
+         CAST(sum(CAST(NOT is_ref AS INT)) AS BIGINT) AS n_cur
   FROM purch, env
   GROUP BY 1
 ), tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts)
@@ -718,14 +718,19 @@ def weighted_doc_sample(spark, sf_dir, n: int = 50):
         docs.select("doc_id", "lang", "n_chars", key.alias("_k"))
         .orderBy(F.desc("_k"), F.asc("doc_id"))
         .limit(n)
-        .select("doc_id", "lang", "n_chars", r4(F.col("_k")).alias("es_key"))
+        # + 0.0 normalizes IEEE -0.0 -> +0.0 (DuckDB round() can emit -0.0
+        # for tiny negatives where Spark emits 0.0; same fix both engines)
+        .select(
+            "doc_id", "lang", "n_chars",
+            (r4(F.col("_k")) + F.lit(0.0)).alias("es_key"),
+        )
     )
 
 
 WEIGHTED_SAMPLE_SQL = """
 SELECT doc_id, lang, n_chars,
        round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-                 + 0.5) / 4294967296.0) / n_chars, 4) AS es_key
+                 + 0.5) / 4294967296.0) / n_chars, 4) + 0.0 AS es_key
 FROM documents
 ORDER BY ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
             + 0.5) / 4294967296.0) / n_chars DESC, doc_id ASC
@@ -1116,7 +1121,10 @@ def doc_bigram_pmi(spark, sf_dir, k: int = 20, min_pairs: int = 5):
     )
     uni = uni.cache()  # vocabulary-sized (~200 terms here); feeds the
     # two count joins and the 1-row N aggregate
-    n_tok = F.broadcast(uni.agg(F.sum("cw").alias("_n")))
+    # double BEFORE the products: n_pair*N and c1*c2 as long*long would
+    # silently wrap in non-ANSI Spark at real corpus scale (~1e13 tokens);
+    # the oracle already computes in DOUBLE (CAST(sum(cw) AS DOUBLE))
+    n_tok = F.broadcast(uni.agg(F.sum("cw").cast("double").alias("_n")))
     bigrams = toks.select(
         F.explode(
             F.transform(
@@ -1141,7 +1149,7 @@ def doc_bigram_pmi(spark, sf_dir, k: int = 20, min_pairs: int = 5):
         .withColumn(
             "pmi",
             r4(F.log(F.col("n_pair") * F.col("_n")
-                     / (F.col("c1") * F.col("c2")))),
+                     / (F.col("c1").cast("double") * F.col("c2")))),
         )
     )
     return (
@@ -1165,7 +1173,7 @@ WITH toks AS (
   GROUP BY 1, 2 HAVING count(*) >= 5
 )
 SELECT p.w1, p.w2, p.n_pair,
-       round(ln(p.n_pair * n.n_tok / (u1.cw * u2.cw)), 4) AS pmi
+       round(ln(p.n_pair * n.n_tok / (CAST(u1.cw AS DOUBLE) * u2.cw)), 4) AS pmi
 FROM pairs p
 JOIN uni u1 ON u1.w = p.w1
 JOIN uni u2 ON u2.w = p.w2, n
@@ -1358,14 +1366,13 @@ FROM ecdf
 
 # Registered via the DEFERRED channel in queries.py: these append AFTER
 # the driver-window reorder, so they cannot displace an older
-# not-yet-verified query from the verification window.
-ANALYTICS_DEFERRED_QUERIES = {
-    "value_drift_ks": value_drift_ks,
-}
+# not-yet-verified query from the verification window.  Empty right now
+# (r4's certified-set refresh opened window slots, so value_drift_ks was
+# promoted into the main registry); use it again for any mid-round
+# addition once the 50-query window refills.
+ANALYTICS_DEFERRED_QUERIES = {}
 
-ANALYTICS_DEFERRED_ORACLES = {
-    "value_drift_ks": VALUE_KS_SQL,
-}
+ANALYTICS_DEFERRED_ORACLES = {}
 
 
 ANALYTICS_QUERIES = {
@@ -1390,6 +1397,7 @@ ANALYTICS_QUERIES = {
     "doc_bm25_search": doc_bm25_search,
     "lineitem_measures_unpivot": lineitem_measures_unpivot,
     "sliding_event_counts": sliding_event_counts,
+    "value_drift_ks": value_drift_ks,
     # rows-only by design (binary media): no oracle entry
     "media_image_features": media_image_features,
 }
@@ -1416,4 +1424,5 @@ ANALYTICS_ORACLES = {
     "doc_bm25_search": BM25_SQL,
     "lineitem_measures_unpivot": UNPIVOT_SQL,
     "sliding_event_counts": SLIDING_COUNTS_SQL,
+    "value_drift_ks": VALUE_KS_SQL,
 }

@@ -822,7 +822,8 @@ WITH d AS (
          ), 0) / {PACK_CONTEXT}) AS BIGINT) AS pack_id
   FROM d
 )
-SELECT source, pack_id, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+SELECT source, pack_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
 FROM a GROUP BY 1, 2
 """
 
@@ -1495,6 +1496,13 @@ def _fused_ivfpq_training(emb, n_cells, m, k, iters, dim):
         if len(bmap) != m * k:
             raise ValueError(
                 f"PQ training emptied a code: {m * k - len(bmap)} missing")
+        if len(cmap) != n_cells:
+            # the final `cents` list is positional: an emptied cell would
+            # silently relabel every higher cell relative to the oracle's
+            # preserved cids (cannot happen under mod-n init on
+            # non-degenerate data — fail loudly like the bmap check)
+            raise ValueError(
+                f"IVF training emptied a cell: {n_cells - len(cmap)} missing")
         books = [[bmap[(s, j)] for j in range(k)] for s in range(m)]
         cell_col = cells_expr(cmap)
         code_col = codes_expr(books)
@@ -1908,7 +1916,9 @@ def order_priority_chi2(spark, sf_dir):
         cell.withColumn("rt", F.sum("obs").over(wr))
         .withColumn("ct", F.sum("obs").over(wc))
         .withColumn("gt", F.sum("obs").over(wg))
-        .withColumn("exp", F.col("rt") * F.col("ct") / F.col("gt"))
+        # rt*ct as long*long wraps at ~3e9-row tables in non-ANSI Spark;
+        # the oracle multiplies via * 1.0 (DOUBLE) — match that arithmetic
+        .withColumn("exp", F.col("rt").cast("double") * F.col("ct") / F.col("gt"))
     )
     return with_exp.agg(
         r4(F.sum((F.col("obs") - F.col("exp")) ** 2 / F.col("exp")))
