@@ -85,6 +85,29 @@ def main() -> None:
         # accumulate for the whole run
         spark.catalog.clearCache()
 
+    # Measure Spark's fixed per-query floor on THIS box right now:
+    # best-of-5 of the smallest registry-shaped query (scan the 5-row
+    # region table → hash agg over a 32-partition shuffle → Arrow
+    # fetch).  60+ registry queries finish in a few hundred ms where
+    # DuckDB takes single-digit ms, so the aggregate Spark/DuckDB ratio
+    # at sf0.1 is dominated by this constant — plan analysis + stage
+    # scheduling + Arrow roundtrip — which amortizes to nothing at
+    # cluster scale.  The decomposition makes the artifact say that
+    # with data instead of prose: corrected = sum(max(t_q - floor, 0)).
+    # (A bare spark.range(1) job measures ~0.02 s and understates the
+    # floor 10×; the scan+shuffle+agg shape measures ~0.2 s, matching
+    # the observed per-query constant.)
+    from pyspark.sql import functions as _F
+
+    floor_runs = []
+    for _ in range(5):
+        start = time.perf_counter()
+        (spark.read.parquet(f"{sf_dir}/region.parquet")
+         .groupBy("r_regionkey")
+         .agg(_F.count(_F.lit(1)).alias("n")).toPandas())
+        floor_runs.append(time.perf_counter() - start)
+    job_floor = min(floor_runs)
+
     duck = duckdb_timings(sf_dir, cpus)
     ratios = {n: round(timings[n] / duck[n], 2)
               for n in timings if duck.get(n, 0) > 0}
@@ -92,6 +115,8 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     duck_total = round(sum(duck.values()), 3)
+    corrected_total = round(
+        sum(max(t - job_floor, 0.0) for t in timings.values()), 3)
 
     # Full per-query maps (98 queries × 3 maps ≈ 9 KB) overflow the
     # driver's ~2 KB tail capture (BENCH_r02 came back parsed:null), so
@@ -104,6 +129,8 @@ def main() -> None:
         "queries": timings,
         "duckdb_s": duck,
         "spark_over_duckdb": ratios,
+        "spark_job_floor_s": round(job_floor, 4),
+        "overhead_corrected_total_s": corrected_total,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     detail_path = os.path.join(
@@ -129,6 +156,13 @@ def main() -> None:
         "duckdb_total_s": duck_total,
         "spark_over_duckdb_median": median_ratio,
         "spark_over_duckdb_max": max(sorted_ratios) if ratios else None,
+        # fixed per-job scheduling floor measured on this box (best-of-5
+        # trivial job) and the aggregate with that constant removed from
+        # each query — the scale-relevant engine-time comparison
+        "spark_job_floor_s": round(job_floor, 4),
+        "overhead_corrected_total_s": corrected_total,
+        "corrected_over_duckdb": (
+            round(corrected_total / duck_total, 2) if duck_total else None),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "detail": "BENCH_DETAIL.json",
     }))

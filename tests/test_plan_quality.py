@@ -468,7 +468,11 @@ def test_skyline_has_no_self_join(spark, sf_dir):
 
 
 @pytest.mark.parametrize("name,max_shuffles", [
-    ("kmeans_embedding_clusters", 2),  # final assign agg + output sort
+    # fused last-round plan: (cid,pos) mean agg + cid array rollup +
+    # 1-row cents fold + tiny prev-join + stats agg + output sort —
+    # every exchange is k×dim metadata or smaller; nothing n-sized
+    # shuffles (the corpus-side assignment is a 1-row scalar broadcast)
+    ("kmeans_embedding_clusters", 7),
     ("doc_unigram_logprob", 4),        # vocab agg + doc agg (+cached vocab)
     ("retention_cohorts", 3),          # user collect_set + cohort agg + window
     ("event_transition_matrix", 3),    # user window + pair agg + type window

@@ -158,11 +158,16 @@ def test_fused_training_equals_unfused(spark, sf_dir):
     )
 
     emb = _embeddings(spark, sf_dir)
-    cents_f, books_f = _fused_ivfpq_training(
-        _emb_double(emb), n_cells=8, m=PQ_M, k=PQ_K, iters=PQ_ITERS, dim=64)
+    cents_f, books_f, probe = _fused_ivfpq_training(
+        _emb_double(emb), n_cells=8, m=PQ_M, k=PQ_K, iters=PQ_ITERS,
+        probe_id=0)
     assert cents_f == lloyd_centroids(emb, k=8, iters=2, dim=64)
     assert books_f == lloyd_pq_codebooks(
         emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS, dim=64)
+    # the piggybacked probe must be the EXACT (unquantized) vector
+    want_probe = [float(x) for x in emb.where("vec_id = 0")
+                  .select("embedding").first()[0]]
+    assert probe == want_probe
 
 
 def test_ivfpq_index_build_probe_and_prune(spark, sf_dir, tmp_path):

@@ -145,19 +145,89 @@ def kmeans_embedding_clusters(spark, sf_dir, k: int = KMEANS_K,
         return spark.createDataFrame(
             [], "cluster_id int, n_members bigint, inertia double"
         )
-    for _ in range(iters):
+    for _ in range(iters - 1):
         assigned = emb.withColumn("cid", _assign_expr(centroids)["cid"])
         centroids = _mean_centroids(assigned, prev=centroids)
-    final = emb.withColumn("a", _assign_expr(centroids))
+
+    # FUSED last round + final stats — ONE action instead of two: the
+    # last centroid update stays a DataFrame (never collected), its
+    # k×dim result folds to a single sorted array-of-structs row that
+    # broadcasts back onto the cached corpus for the scan-side argmin.
+    # Same data movement as the two separate jobs (k×dim agg partials +
+    # k stat rows — nothing n-sized shuffles), one driver roundtrip
+    # less.  The distance runs through the IDENTICAL zip_with/aggregate
+    # left-fold as _assign_expr's literals, and the means quantize with
+    # the same round(avg, 6), so every argmin input is bit-equal to the
+    # unfused spelling (the unchanged KMEANS_SQL oracle pins this).
+    last = emb.withColumn("cid", _assign_expr(centroids)["cid"])
+    dim = len(next(iter(centroids.values())))
+    # previous centroids as a k×dim literal: an emptied cluster keeps
+    # its previous centroid (the oracle's LEFT JOIN COALESCE), resolved
+    # per element by the coalesce below — no extra join relation
+    prevs = F.array(*[
+        F.array(*[F.lit(float(v)) for v in vec])
+        for _, vec in sorted(centroids.items())
+    ])
+    flat_row = (
+        last.select("cid", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("m"))
+        .agg(F.collect_list(F.struct("cid", "pos", "m")).alias("flat"))
+    )
+    # assemble array<struct<cid,cent>> inside the single scalar row:
+    # k and dim are driver-known, so the dense layout is a pure
+    # expression (filter over the k×dim flat list — 256 elements here)
+    cents_row = flat_row.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda cid: F.struct(
+                cid.cast("int").alias("cid"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda p: F.coalesce(
+                        F.element_at(
+                            F.filter(
+                                F.col("flat"),
+                                lambda e: (e["cid"] == cid) & (e["pos"] == p),
+                            ),
+                            1,
+                        )["m"],
+                        F.element_at(
+                            F.element_at(prevs, cid.cast("int") + 1), p + 1
+                        ),
+                    ),
+                ).alias("cent"),
+            ),
+        ).alias("cents")
+    )
+    a = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("emb"), c["cent"],
+                               lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                ).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
     out = (
-        final.groupBy(F.col("a")["cid"].alias("cluster_id"))
+        emb.crossJoin(F.broadcast(cents_row))  # 1-row scalar broadcast
+        .withColumn("a", a)
+        .groupBy(F.col("a")["cid"].alias("cluster_id"))
         .agg(
             F.count(F.lit(1)).alias("n_members"),
             r4(F.sum(F.col("a")["dist"])).alias("inertia"),
         )
         .orderBy("cluster_id")
     )
-    emb.unpersist()
+    # the cache stays pinned for the RETURNED plan: the fused final job
+    # reads the corpus twice (mean branch + stats branch), and
+    # unpersisting here would turn both into parquet re-scans before the
+    # caller ever executes.  Callers that loop over queries (bench,
+    # oracle gate) clearCache() between queries.
     return out
 
 
@@ -1393,7 +1463,7 @@ FROM score ORDER BY round(adc, 4), vec_id LIMIT 10
 """
 
 
-def _fused_ivfpq_training(emb, n_cells, m, k, iters, dim):
+def _fused_ivfpq_training(emb, n_cells, m, k, iters, probe_id=None):
     """Train the IVF coarse cells AND the PQ codebooks in ONE scan and
     ONE aggregation job per round.
 
@@ -1406,6 +1476,16 @@ def _fused_ivfpq_training(emb, n_cells, m, k, iters, dim):
     sub-second data, and at scale each round is genuinely one corpus
     scan + one shuffle instead of two of each.
 
+    When ``probe_id`` is given, the probe vector rides the FIRST
+    round's aggregation as extra (sub=-2, 0, pos) rows (avg of a single
+    value, NOT quantized — the ADC lookup table needs the exact probe,
+    only training means round to 6 decimals), eliminating the separate
+    probe ``first()`` job; the vector dimension is likewise derived
+    from the collected rows instead of a driver probe, so the whole
+    query performs zero actions before training starts.  Subspace keys
+    use the per-row ``size(emb)/m`` — identical to a literal dim for
+    fixed-dimension corpora, available without an action.
+
     Means quantize to 6 decimals (both engines — the standard
     ulp-proofing). Cell reassignment uses the EXPANDED |c|² − 2 x·c
     distance form — matching the ivd1/ivd2 CTEs of the oracle and the
@@ -1413,12 +1493,12 @@ def _fused_ivfpq_training(emb, n_cells, m, k, iters, dim):
     reassignment uses the direct (x−c)² form matching pd1/pd2 and
     lloyd_pq_codebooks; mixing the forms ACROSS chains is fine, mixing
     them WITHIN a chain against its oracle is the cross-engine ulp trap.
-    Returns (cents_list, books) in the exact conventions of
-    lloyd_centroids / lloyd_pq_codebooks.
+    Returns (cents_list, books, probe_list) in the exact conventions of
+    lloyd_centroids / lloyd_pq_codebooks (probe_list is None when
+    probe_id is None).
     """
-    d = dim // m
-
     def codes_expr(books):
+        d = len(books[0][0])
         return F.array(*[
             F.array_min(F.array(*[
                 F.struct(
@@ -1461,7 +1541,8 @@ def _fused_ivfpq_training(emb, n_cells, m, k, iters, dim):
     code_col = F.array(*[(F.col("vec_id") % k).cast("int")] * m)
     cmap: dict = {}
     books: list = []
-    for _ in range(iters):
+    probe_vals: dict = {}
+    for rnd in range(iters):
         # assignment exprs resolve in their own projection: combining a
         # struct-field access with posexplode in ONE select trips the
         # analyzer's generator rewrite (struct field names degrade to
@@ -1469,8 +1550,12 @@ def _fused_ivfpq_training(emb, n_cells, m, k, iters, dim):
         assigned = emb.select(
             "emb", cell_col.alias("cell"), code_col.alias("codes"))
         x = assigned.select(
-            "cell", "codes", F.posexplode("emb").alias("pos", "v"))
-        sub = (F.col("pos") / d).cast("int")
+            "cell", "codes", F.size("emb").alias("nd"),
+            F.posexplode("emb").alias("pos", "v"))
+        # per-row subspace width: identical to the literal dim//m for a
+        # fixed-dim corpus, but needs no driver action to discover dim
+        d_expr = (F.col("nd") / m).cast("int")
+        sub = (F.col("pos") / d_expr).cast("int")
         keyed = x.select(
             F.explode(F.array(
                 F.struct(F.lit(-1).alias("sub"),
@@ -1478,20 +1563,41 @@ def _fused_ivfpq_training(emb, n_cells, m, k, iters, dim):
                          F.col("pos").alias("kpos")),
                 F.struct(sub.alias("sub"),
                          F.element_at("codes", sub + 1).alias("cid"),
-                         (F.col("pos") % d).alias("kpos")),
+                         (F.col("pos") % d_expr).alias("kpos")),
             )).alias("kk"),
             "v",
-        )
+        ).select("kk.sub", "kk.cid", "kk.kpos", "v")
+        if rnd == 0 and probe_id is not None:
+            keyed = keyed.unionAll(
+                emb.where(F.col("vec_id") == probe_id)
+                .select(F.posexplode("emb").alias("pos", "v"))
+                .select(F.lit(-2).alias("sub"), F.lit(0).alias("cid"),
+                        F.col("pos").alias("kpos"), "v"))
         rows = (
-            keyed.groupBy("kk.sub", "kk.cid", "kk.kpos")
-            .agg(F.round(F.avg("v"), 6).alias("m"))
+            keyed.groupBy("sub", "cid", "kpos")
+            .agg(F.avg("v").alias("raw"))
+            # training means quantize to 6 decimals (the cross-engine
+            # ulp-proofing); the piggybacked probe rows must stay EXACT
+            .select("sub", "cid", "kpos",
+                    F.when(F.col("sub") == -2, F.col("raw"))
+                    .otherwise(F.round(F.col("raw"), 6)).alias("m"))
             .collect()  # ONE action, one scan, one shuffle
         )
+        if rnd == 0:
+            if probe_id is not None:
+                probe_vals = {r["kpos"]: r["m"] for r in rows
+                              if r["sub"] == -2}
+                if not probe_vals:
+                    raise ValueError(f"probe vec_id={probe_id} not found")
+            dim = 1 + max(r["kpos"] for r in rows if r["sub"] == -1)
+            if dim % m != 0:
+                raise ValueError(f"dim {dim} not divisible by m={m}")
+            d = dim // m
         cmap, bmap = {}, {}
         for r in rows:
             if r["sub"] == -1:
                 cmap.setdefault(r["cid"], [0.0] * dim)[r["kpos"]] = r["m"]
-            else:
+            elif r["sub"] >= 0:
                 bmap.setdefault((r["sub"], r["cid"]), [0.0] * d)[r["kpos"]] = r["m"]
         if len(bmap) != m * k:
             raise ValueError(
@@ -1507,7 +1613,9 @@ def _fused_ivfpq_training(emb, n_cells, m, k, iters, dim):
         cell_col = cells_expr(cmap)
         code_col = codes_expr(books)
     cents = [cmap[c] for c in sorted(cmap)]
-    return cents, books
+    probe = ([probe_vals[i] for i in range(len(probe_vals))]
+             if probe_id is not None else None)
+    return cents, books, probe
 
 
 def ann_ivfpq_topk(spark, sf_dir, probe_vec_id: int = 0, k: int = 10,
@@ -1523,17 +1631,19 @@ def ann_ivfpq_topk(spark, sf_dir, probe_vec_id: int = 0, k: int = 10,
     Both trained structures are SQL-reproducible with 6-decimal
     quantized means on both engines (Lloyd cells AND PQ books), and
     they train TOGETHER: one fused aggregation job per round
-    (_fused_ivfpq_training), so the whole query is probe + iters
-    training actions + the final ranked scan.
+    (_fused_ivfpq_training) with the probe vector and corpus dim riding
+    round 1's aggregation, so the whole query is exactly iters training
+    actions + the final ranked scan (no separate probe job).
     """
     from tracker_trainer_spark.functions import similarity as _sim
 
     emb = _t(spark, sf_dir, "embeddings")
-    probe = [float(x) for x in emb.where(
-        F.col("vec_id") == probe_vec_id).select("embedding").first()[0]]
-    cents, books = _fused_ivfpq_training(
+    # the probe row and the corpus dim ride round 1 of the fused
+    # training aggregation — no separate first() action
+    cents, books, probe = _fused_ivfpq_training(
         _emb_double(emb),
-        n_cells=n_cells, m=PQ_M, k=PQ_K, iters=PQ_ITERS, dim=len(probe))
+        n_cells=n_cells, m=PQ_M, k=PQ_K, iters=PQ_ITERS,
+        probe_id=probe_vec_id)
     codes = emb.select(
         "vec_id",
         _sim.ivf_assign("embedding", cents).alias("cell"),
