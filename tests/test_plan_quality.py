@@ -509,6 +509,29 @@ def test_ml_ext_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles
 
 
+def test_propensity_weights_plan(spark, sf_dir):
+    """Scan-side weight arithmetic: the only exchanges are the 1-row
+    mean-candidates aggregate (broadcast back) and TakeOrdered's
+    partial/final — scored rows never shuffle, and the scan reads just
+    the two needed columns."""
+    from tracker_trainer_spark.plans import physical_plan
+
+    df = QUERIES["propensity_training_weights"](spark, sf_dir)
+    assert count_shuffles(df) <= 1          # mean agg only
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+    for cols in scan_columns(df):
+        assert cols <= {"event_id", "props", "event_type", "ts"}
+
+
+def test_ksuid_decode_is_local_and_shuffle_free(spark, sf_dir):
+    """Literal-input codec check: no table scan, no exchange — one
+    Arrow UDF projection."""
+    df = QUERIES["ksuid_decode_partition"](spark, sf_dir)
+    assert count_shuffles(df) == 0
+    assert scan_columns(df) == []           # no parquet scan at all
+
+
 def test_jaccard_prefix_join_no_all_pairs(spark, sf_dir):
     """The exact-similarity join must never plan the quadratic pair
     enumeration its oracle uses — candidates come only from the prefix

@@ -19,7 +19,7 @@ import datetime as _dt
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, StringType
 
 KSUID_EPOCH = 1400000000
 KSUID_LEN = 27
@@ -104,6 +104,29 @@ def deterministic_ksuid(timestamp: float | int, key: int | str, seed: int = 0) -
 
 
 # ---------------------------------------------------------------- Spark side
+
+@F.pandas_udf(StringType())  # type object, not DDL string: a DDL
+# return type parses via the ACTIVE session at decoration time, and
+# this decorates at module import — often before any session exists
+def _ksuid_from_parts_udf(ts: pd.Series, key: pd.Series) -> pd.Series:
+    """Vectorized deterministic KSUID builder (Arrow batches; the codec
+    itself is pure Python — base62 over 160-bit ints has no vectorized
+    spelling, and id GENERATION is a bounded write-path cost, not a
+    query hot path)."""
+    return pd.Series([
+        deterministic_ksuid(int(t), int(k)) for t, k in zip(ts, key)
+    ])
+
+
+def ksuid_column(ts_col, key_col) -> Column:
+    """Column: reproducible KSUID from (unix-seconds, integer key) —
+    the distributed spelling of :func:`deterministic_ksuid`, so
+    synthetic timelines build their ids scan-side instead of collecting
+    rows to the driver."""
+    t = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    return _ksuid_from_parts_udf(t.cast("long"), k.cast("long"))
+
 
 @F.pandas_udf(DoubleType())
 def ksuid_timestamp_udf(ids: pd.Series) -> pd.Series:

@@ -2062,7 +2062,298 @@ FROM e
 """
 
 
+# --------------------------------------------------------------------------
+# Propensity-weighted training weights (M2 inverse-propensity × L5 Poisson)
+# --------------------------------------------------------------------------
+
+def propensity_training_weights(spark, sf_dir, topk: int = 50):
+    """The reference trainer's per-decision training weight, end to end
+    over a deterministic synthetic propensity column: w = IPW × K where
+    IPW = (1 / max(p, 1e-4)) / mean_item_count (M2, reference
+    src/trainer/code/propensities.py:33-49, the exact
+    trainer/weights.py::inverse_propensity_weight expression) and K is
+    the zero-truncated Poisson(1) exploration resample draw (L5,
+    reference src/trainer/code/exploration.py:13-24 — here the shared
+    inverse-CDF ``ztp_from_uniform`` applied to a hash uniform instead
+    of rand(), so both engines reproduce the draw bit-for-bit).
+
+    The synthetic propensity p = u³ over the md5 hash uniform spans
+    (1e-13, 1) so ~5% of decisions exercise the 1e-4 clip;
+    mean_item_count is the A3 mean-candidate aggregate broadcast back
+    as a 1-row join (one action total).  Top-k ranks by the ROUNDED
+    weight with an event_id tiebreak (FP-derived rank convention).
+
+    Plan: scan-side arithmetic + 1-row broadcast + TakeOrdered — no
+    shuffle of scored rows; identical at 100 TB.
+    """
+    from tracker_trainer_spark.functions.sampling import hash_bucket
+    from tracker_trainer_spark.trainer.weights import (
+        CLIP_MIN_PROPENSITY,
+        inverse_propensity_weight,
+        ztp_from_uniform,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") != "purchase")
+    k = F.get_json_object("props", "$.k").cast("long")
+    base = (
+        ev.select("event_id", k.alias("n_candidates"))
+        .where(F.col("n_candidates") >= 1)
+    )
+    mean_k = F.broadcast(base.agg(F.avg("n_candidates").alias("_mean_k")))
+    q = (hash_bucket("event_id", 10000).cast("double") + 0.5) / 10000.0
+    u = (
+        hash_bucket(
+            F.concat(F.lit("z"), F.col("event_id").cast("string")), 10000
+        ).cast("double") + 0.5
+    ) / 10000.0
+    scored = base.join(mean_k).select(
+        "event_id",
+        "n_candidates",
+        (q * q * q).alias("_p"),
+        u.alias("_u"),
+        "_mean_k",
+    )
+    w_ipw = inverse_propensity_weight(F.col("_p"), F.col("_mean_k"))
+    k_pois = ztp_from_uniform(F.col("_u"))
+    out = scored.select(
+        "event_id",
+        "n_candidates",
+        (F.col("_p") < CLIP_MIN_PROPENSITY).cast("int").alias("clipped"),
+        w_ipw.alias("_w_ipw"),
+        k_pois.alias("_k"),
+        (w_ipw * k_pois).alias("_w"),
+    )
+    return (
+        out.orderBy(F.desc(F.round(F.col("_w"), 4)), F.asc("event_id"))
+        .limit(topk)
+        .select(
+            "event_id",
+            "n_candidates",
+            "clipped",
+            r4(F.col("_w_ipw")).alias("ipw_weight"),
+            F.col("_k").cast("int").alias("resample_k"),
+            r4(F.col("_w")).alias("train_weight"),
+        )
+    )
+
+
+def _ztp_case_sql(u_expr: str) -> str:
+    """The zero-truncated-Poisson inverse-CDF as a SQL CASE whose
+    breakpoints are the Python-computed double constants rendered at
+    full precision — both engines compare u against bit-equal literals
+    (re-deriving exp(-1) engine-side risks a last-ulp boundary flip)."""
+    from tracker_trainer_spark.trainer.weights import ztp_cdf_chain
+
+    whens = " ".join(
+        f"WHEN {u_expr} < {c!r} THEN {k}.0" for k, c in ztp_cdf_chain()
+    )
+    return f"CASE {whens} ELSE 12.0 END"
+
+
+PROPENSITY_WEIGHTS_SQL = f"""
+WITH d AS (
+  SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS n_candidates
+  FROM events
+  WHERE event_type <> 'purchase'
+    AND CAST(json_extract(props, '$.k') AS BIGINT) >= 1
+), m AS (SELECT avg(n_candidates) AS mean_k FROM d),
+s AS (
+  SELECT event_id, n_candidates, mean_k,
+         ((CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 10000 + 0.5) / 10000.0) AS q,
+         ((CAST(('0x' || substr(md5('z' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 10000 + 0.5) / 10000.0) AS u
+  FROM d, m
+), w AS (
+  SELECT event_id, n_candidates,
+         CAST(q * q * q < 0.0001 AS INT) AS clipped,
+         (1.0 / greatest(q * q * q, 0.0001)) / mean_k AS w_ipw,
+         {_ztp_case_sql("u")} AS k_pois
+  FROM s
+)
+SELECT event_id, n_candidates, clipped,
+       round(w_ipw, 4) AS ipw_weight,
+       CAST(k_pois AS INT) AS resample_k,
+       round(w_ipw * k_pois, 4) AS train_weight
+FROM w
+ORDER BY round(w_ipw * k_pois, 4) DESC, event_id
+LIMIT 50
+"""
+
+
+# --------------------------------------------------------------------------
+# KSUID timestamp decode (S5/2.10: base62 → embedded partition timestamp)
+# --------------------------------------------------------------------------
+
+def _ksuid_sample_rows(n: int = 64):
+    """Deterministic KSUIDs built by the engine's own codec — the
+    literal input both the Spark query and the SQL oracle decode
+    (reference: src/ingest/partition.py:428-429 derives partition dates
+    from exactly this embedded timestamp)."""
+    from tracker_trainer_spark import ksuid as _ks
+
+    return [
+        (i, _ks.deterministic_ksuid(1700000000 + i * 86461 + 7 * i * i, i))
+        for i in range(n)
+    ]
+
+
+def ksuid_decode_partition(spark, sf_dir):
+    """Decode the KSUID-embedded creation timestamp and its partition
+    day — the id→partition arithmetic every ingest write and groom scan
+    depends on (S5 quarantine, G1 dating; reference
+    src/ingest/partition.py:428-429, src/ingest/utils.py:53-72).
+
+    The Spark side runs the engine's vectorized Arrow decode UDF
+    (ksuid.py::ksuid_timestamp — the §2.10 scalar-UDF surface); the
+    oracle reproduces the FULL 160-bit base62 decode in SQL with a
+    hi/lo HUGEINT pair fold (62·N + d with a 2⁹⁶ carry), so the check
+    is two independent implementations of the codec agreeing on every
+    byte of arithmetic, not a replay."""
+    df = spark.createDataFrame(_ksuid_sample_rows(), "k_id int, ksuid string")
+    from tracker_trainer_spark.ksuid import ksuid_timestamp
+
+    ts = ksuid_timestamp(F.col("ksuid")).cast("long")
+    return df.select(
+        "k_id",
+        "ksuid",
+        ts.alias("ts_unix"),
+        F.floor(ts / F.lit(86400)).cast("long").alias("dt_days"),
+    )
+
+
+def _ksuid_decode_sql() -> str:
+    from tracker_trainer_spark.ksuid import _ALPHABET
+
+    values = ",\n  ".join(
+        f"({i}, '{k}')" for i, k in _ksuid_sample_rows()
+    )
+    two96 = "CAST('79228162514264337593543950336' AS HUGEINT)"  # 2^96
+    return f"""
+WITH v(k_id, ksuid) AS (VALUES
+  {values}
+), dec AS (
+  SELECT k_id, ksuid,
+         list_reduce(
+           list_transform(generate_series(1, 27), i ->
+             struct_pack(hi := CAST(0 AS HUGEINT),
+                         lo := CAST(strpos('{_ALPHABET}', substr(ksuid, i, 1)) - 1
+                                    AS HUGEINT))),
+           (a, b) -> struct_pack(
+             hi := a.hi * 62 + (a.lo * 62 + b.lo) // {two96},
+             lo := (a.lo * 62 + b.lo) % {two96})
+         ) AS acc
+  FROM v
+)
+SELECT k_id, ksuid,
+       CAST(acc.hi // 4294967296 AS BIGINT) + 1400000000 AS ts_unix,
+       (CAST(acc.hi // 4294967296 AS BIGINT) + 1400000000) // 86400 AS dt_days
+FROM dec
+"""
+
+
+KSUID_DECODE_SQL = _ksuid_decode_sql()
+
+
+# --------------------------------------------------------------------------
+# Groom fixpoint: the G2-G6 maintenance loop as a driver-visible check
+# --------------------------------------------------------------------------
+
+def groom_fixpoint_check(spark, sf_dir):
+    """End-to-end groom semantics (G2-G6) as a registry row: build a
+    deterministic synthetic timeline from the events table, dirty it
+    with duplicate-key partial rewards, run ``maintain_timeline`` to
+    fixpoint, and report counts the ORACLE recomputes independently
+    from the same events slice — if the merge dropped a key, left a
+    duplicate, lost reward mass, or failed to converge (second pass
+    must groom 0 partitions), a count diverges and the row goes red.
+
+    Timeline ids are KSUIDs built scan-side (ksuid.ksuid_column) from
+    each event's timestamp, so partition dt = the event's calendar day;
+    batch 2 re-appends reward partials for the event_id % 40 slice
+    (duplicate keys across files — the reference's overlap condition,
+    src/ingest/groom.py:71-84). Row data never reaches the driver: the
+    write is the partitioned sink, groom plans/rewrites distributed.
+    """
+    import tempfile
+
+    from tracker_trainer_spark.ingest.groom import maintain_timeline
+    from tracker_trainer_spark.ingest.sink import write_timeline
+    from tracker_trainer_spark.ksuid import ksuid_column
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") % 20 == 0)
+        .select("event_id", "ts", "value")
+    )
+    ts_sec = F.unix_timestamp("ts").cast("long")
+    did = ksuid_column(ts_sec, "event_id")
+    batch1 = ev.select(
+        F.lit("m0").alias("model"),
+        did.alias("decision_id"),
+        F.to_json(F.struct("event_id")).alias("item"),
+        F.lit("{}").alias("context"),
+        (1 + F.col("event_id") % 3).cast("double").alias("count"),
+        F.lit(None).cast("string").alias("sample"),
+        F.lit("{}").alias("rewards"),
+        F.lit(0.0).alias("reward"),
+    )
+    dup = ev.where(F.col("event_id") % 40 == 0)
+    rid = ksuid_column(ts_sec + 600, F.col("event_id") + F.lit(10 ** 9))
+    batch2 = dup.select(
+        F.lit("m0").alias("model"),
+        ksuid_column(ts_sec, "event_id").alias("decision_id"),
+        F.lit(None).cast("string").alias("item"),
+        F.lit(None).cast("string").alias("context"),
+        F.lit(None).cast("double").alias("count"),
+        F.lit(None).cast("string").alias("sample"),
+        F.to_json(F.map_from_arrays(F.array(rid), F.array(F.col("value"))))
+        .alias("rewards"),
+        F.col("value").alias("reward"),
+    )
+    path = tempfile.mkdtemp(prefix="groom_fixpoint_") + "/tl"
+    write_timeline(batch1, path)
+    write_timeline(batch2, path)
+    rows_before = spark.read.parquet(path).count()
+    first = maintain_timeline(spark, path)
+    second = maintain_timeline(spark, path)
+    after = spark.read.parquet(path)
+    summary = after.agg(
+        F.count(F.lit(1)).alias("n_decisions"),
+        F.count_distinct("decision_id").alias("n_distinct"),
+        r4(F.sum("reward")).alias("total_reward"),
+    )
+    return summary.select(
+        "n_decisions",
+        "n_distinct",
+        F.lit(int(first["groomed"])).cast("int").alias("groomed_first"),
+        F.lit(int(second["groomed"])).cast("int").alias("groomed_second"),
+        F.lit(int(rows_before)).cast("long").alias("rows_before_groom"),
+        "total_reward",
+    )
+
+
+GROOM_FIXPOINT_SQL = """
+WITH sel AS (
+  SELECT event_id, ts, value FROM events WHERE event_id % 20 = 0
+), dup AS (
+  SELECT * FROM sel WHERE event_id % 40 = 0
+)
+SELECT (SELECT count(*) FROM sel) AS n_decisions,
+       (SELECT count(*) FROM sel) AS n_distinct,
+       CAST((SELECT count(DISTINCT CAST(ts AS DATE)) FROM dup) AS INT)
+         AS groomed_first,
+       0 AS groomed_second,
+       (SELECT count(*) FROM sel) + (SELECT count(*) FROM dup)
+         AS rows_before_groom,
+       round((SELECT sum(value) FROM dup), 4) AS total_reward
+"""
+
+
 ML_QUERIES = {
+    "propensity_training_weights": propensity_training_weights,
+    "ksuid_decode_partition": ksuid_decode_partition,
+    "groom_fixpoint_check": groom_fixpoint_check,
     "ann_pq_topk": ann_pq_topk,
     "customer_mahalanobis_outliers": customer_mahalanobis_outliers,
     "ann_ivfpq_topk": ann_ivfpq_topk,
@@ -2093,6 +2384,9 @@ ML_QUERIES = {
 }
 
 ML_ORACLES = {
+    "propensity_training_weights": PROPENSITY_WEIGHTS_SQL,
+    "ksuid_decode_partition": KSUID_DECODE_SQL,
+    "groom_fixpoint_check": GROOM_FIXPOINT_SQL,
     "ann_pq_topk": ANN_PQ_SQL,
     "customer_mahalanobis_outliers": MAHALANOBIS_SQL,
     "ann_ivfpq_topk": ANN_IVFPQ_SQL,

@@ -18,6 +18,33 @@ CONTEXT_DROPOUT_KEEP = 0.95         # reference: src/trainer/code/config.py:16-2
 EXPLORE_SAMPLE = 1 - 1 / math.e     # reference: src/trainer/code/exploration.py:8-11
 
 
+def ztp_cdf_chain(max_k: int = 12) -> list[tuple[int, float]]:
+    """The zero-truncated Poisson(1) inverse-CDF breakpoints
+    [(k, P(K<=k))] — P(k) = e⁻¹ / ((1 - e⁻¹) · k!).  Exposed so SQL
+    oracles can embed the IDENTICAL double constants as literals (both
+    engines then compare u against bit-equal breakpoints; re-deriving
+    exp(-1) inside another engine risks a last-ulp boundary flip)."""
+    cdf = 0.0
+    fact = 1.0
+    chain = []
+    for k in range(1, max_k):
+        fact *= k
+        cdf += math.exp(-1) / ((1 - math.exp(-1)) * fact)
+        chain.append((k, cdf))
+    return chain
+
+
+def ztp_from_uniform(u: Column, max_k: int = 12) -> Column:
+    """Inverse-CDF zero-truncated Poisson(1) of a caller-supplied
+    uniform column — the deterministic core shared by the rand(seed)
+    sampler below and the hash-uniform registry query (the exploration
+    resample weight, L5)."""
+    expr = F.lit(max_k)
+    for k, c in reversed(ztp_cdf_chain(max_k)):
+        expr = F.when(u < c, F.lit(k)).otherwise(expr)
+    return expr.cast("double")
+
+
 def zero_truncated_poisson(seed: int, max_k: int = 12) -> Column:
     """Zero-truncated Poisson(1) draw as a deterministic column expression.
 
@@ -27,24 +54,12 @@ def zero_truncated_poisson(seed: int, max_k: int = 12) -> Column:
     form is distribution-identical and reproducible under partition
     recompute. Tail above ``max_k`` (P < 1e-13) collapses into ``max_k``.
     """
-    cdf = 0.0
-    fact = 1.0
-    chain = []
-    for k in range(1, max_k):
-        fact *= k
-        cdf += math.exp(-1) / ((1 - math.exp(-1)) * fact)
-        chain.append((k, cdf))
-
-    def _chain(u):
-        # u is lambda-bound so the nondeterministic rand() evaluates exactly
-        # once per row (raw F.rand() references are NOT common-subexpression
-        # eliminated — each one would draw independently)
-        expr = F.lit(max_k)
-        for k, c in reversed(chain):
-            expr = F.when(u < c, F.lit(k)).otherwise(expr)
-        return expr.cast("double")
-
-    return F.transform(F.array(F.rand(seed)), _chain)[0]
+    # u is lambda-bound so the nondeterministic rand() evaluates exactly
+    # once per row (raw F.rand() references are NOT common-subexpression
+    # eliminated — each one would draw independently)
+    return F.transform(
+        F.array(F.rand(seed)), lambda u: ztp_from_uniform(u, max_k)
+    )[0]
 
 
 def binary_reward(col="reward") -> Column:
@@ -118,12 +133,18 @@ def drop_context_features(df, keep_col: str = "_keep_context",
     )
 
 
-def inverse_propensity_weight(propensity_col, mean_item_count: float,
+def inverse_propensity_weight(propensity_col, mean_item_count,
                               clip: float = CLIP_MIN_PROPENSITY) -> Column:
     """M2: (1 / max(p, clip)) / mean_item_count
-    (reference: src/trainer/code/propensities.py:33-49)."""
+    (reference: src/trainer/code/propensities.py:33-49).
+
+    ``mean_item_count`` may be a float (collected scalar, the trainer
+    path) or a Column (broadcast 1-row aggregate, the one-action
+    registry path) — same arithmetic either way."""
     p = F.col(propensity_col) if isinstance(propensity_col, str) else propensity_col
-    return (F.lit(1.0) / F.greatest(p, F.lit(clip))) / F.lit(mean_item_count)
+    m = (mean_item_count if isinstance(mean_item_count, Column)
+         else F.lit(float(mean_item_count)))
+    return (F.lit(1.0) / F.greatest(p, F.lit(clip))) / m
 
 
 def sprinkle(col, noise_col) -> Column:
