@@ -504,6 +504,15 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     # static plan re-expands the CACHED basket subtree per consumer
     # (pair agg + marginals); at execution the basket agg runs once
     ("basket_pair_lift", 5),
+    # ONE fact shuffle (category,fold agg); totals are windows over the
+    # |cats|×folds relation (2nd exchange) — fact never rescanned
+    ("oof_target_encoding", 2),
+    # 5 FK edges × (keyed anti join + 1-row agg join); the only
+    # non-keyed joins are 1-row scalar broadcasts
+    ("fk_integrity_audit", 10),
+    ("conversion_latency_quantiles", 2),  # user window + global agg
+    ("event_burst_dedup", 3),             # (user,type) window + rollup + sort
+    ("feature_quantile_bins", 2),         # type window + (type,bin) rollup
 ])
 def test_ml_ext_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles

@@ -1364,6 +1364,319 @@ FROM ecdf
 """
 
 
+# --------------------------------------------------------------------------
+# Out-of-fold target encoding (the A6 smoothed mean-target, leakage-safe)
+# --------------------------------------------------------------------------
+
+OOF_FOLDS = 5
+OOF_PRIOR_W = 10.0
+
+
+def oof_target_encoding(spark, sf_dir, folds: int = OOF_FOLDS,
+                        prior_w: float = OOF_PRIOR_W):
+    """Out-of-fold smoothed target encoding — the leakage-safe version
+    of the reference's prior-smoothed mean-target string statistic (A6,
+    reference src/trainer/code/string_encoder.py): for each
+    (category, fold) cell the encode value is the smoothed target mean
+    computed from every OTHER fold, enc = (Σ_cat − Σ_fold + w·μ) /
+    (n_cat − n_fold + w) — a row's own fold never contributes to its
+    feature, the standard guard against target leakage in tabular
+    pipelines.  Folds are the engine's deterministic md5 bucket of the
+    order key (auditor-recomputable, stable under appends).
+
+    Plan: ONE fact shuffle — the (category, fold) hash agg — then every
+    total (per-category and global) derives from windows over that
+    |cats|×folds relation; the fact table is never rescanned."""
+    from tracker_trainer_spark.functions.sampling import hash_bucket
+
+    orders = _t(spark, sf_dir, "orders")
+    cell = (
+        orders.select(
+            F.col("o_orderpriority").alias("category"),
+            hash_bucket("o_orderkey", folds).cast("int").alias("fold"),
+            F.col("o_totalprice").alias("y"),
+        )
+        .groupBy("category", "fold")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("s"))
+    )
+    wc = Window.partitionBy("category")
+    wg = Window.partitionBy()
+    cat_n, cat_s = F.sum("n").over(wc), F.sum("s").over(wc)
+    g_mean = F.sum("s").over(wg) / F.sum("n").over(wg)
+    enc = (cat_s - F.col("s") + prior_w * g_mean) / (
+        cat_n - F.col("n") + prior_w
+    )
+    return (
+        cell.select(
+            "category",
+            "fold",
+            F.col("n").alias("n_in_fold"),
+            (cat_n - F.col("n")).alias("n_oof"),
+            r4(enc).alias("oof_encoding"),
+        )
+        .orderBy("category", "fold")
+    )
+
+
+OOF_TARGET_SQL = f"""
+WITH cell AS (
+  SELECT o_orderpriority AS category,
+         CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+              % {OOF_FOLDS} AS INT) AS fold,
+         count(*) AS n, sum(o_totalprice) AS s
+  FROM orders GROUP BY 1, 2
+)
+SELECT category, fold,
+       n AS n_in_fold,
+       CAST(sum(n) OVER (PARTITION BY category) - n AS BIGINT) AS n_oof,
+       round((sum(s) OVER (PARTITION BY category) - s
+              + {OOF_PRIOR_W!r} * (sum(s) OVER () / sum(n) OVER ()))
+             / (sum(n) OVER (PARTITION BY category) - n + {OOF_PRIOR_W!r}), 4)
+         AS oof_encoding
+FROM cell ORDER BY category, fold
+"""
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit (anti-join orphan counts per FK edge)
+# --------------------------------------------------------------------------
+
+def fk_integrity_audit(spark, sf_dir):
+    """Orphan audit over the schema's FK edges — the data-quality gate
+    a pipeline runs before training on a fresh snapshot (an orphan
+    count jumping from 0 means an upstream partial load).  Each edge is
+    a LEFT ANTI join of child keys against the parent key set; Spark
+    plans broadcast-anti where the parent fits and shuffle-anti
+    otherwise, and the five 1-row aggregates union into one job.
+
+    At 100 TB the anti joins are the exact shape the runtime
+    bloom-filter semi-join optimizes (tests/test_runtime_bloom.py);
+    counts stay mergeable partials throughout."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+
+    def edge(name, child, ckey, parent, pkey):
+        orphans = child.select(F.col(ckey)).join(
+            parent.select(F.col(pkey).alias(ckey)), ckey, "left_anti"
+        )
+        return child.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).alias("n_child"),
+        ).join(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+
+    edges = [
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        edge("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        edge("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+        edge("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionAll(e)
+    return out.orderBy("fk_edge")
+
+
+FK_AUDIT_SQL = """
+SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+       (SELECT count(*) FROM lineitem) AS n_child,
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders o WHERE NOT EXISTS
+          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       (SELECT count(*) FROM customer),
+       (SELECT count(*) FROM customer c WHERE NOT EXISTS
+          (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+ORDER BY fk_edge
+"""
+
+
+# --------------------------------------------------------------------------
+# View→purchase conversion latency quantiles (as-of + exact percentiles)
+# --------------------------------------------------------------------------
+
+def conversion_latency_quantiles(spark, sf_dir):
+    """Distribution of the view→purchase conversion delay: each
+    purchase attributes to the user's most recent prior view (the as-of
+    carry — one user-partitioned window, no join), and the global
+    latency distribution reports exact interpolated quantiles plus the
+    attach rate.  The monitoring companion to purchase_attribution_asof
+    (which certifies per-pair attribution): a shifting latency P90 is
+    the canonical "the funnel slowed down" alarm.
+
+    Latency is computed in integer MICROSECONDS on both engines
+    (unix_micros vs epoch_us) so the quantile inputs are bit-identical;
+    exact `percentile` (type-7 linear interpolation, same definition as
+    DuckDB quantile_cont) rounds at output only."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+    ).over(w)
+    lat = (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("prev_view", prev_view)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            (
+                (F.unix_micros(F.col("ts").cast("timestamp"))
+                 - F.unix_micros(F.col("prev_view").cast("timestamp")))
+                / F.lit(1_000_000.0)
+            ).alias("lat_s")
+        )
+    )
+    q = F.expr("percentile(lat_s, array(0.25, 0.5, 0.75, 0.9))")
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("lat_s").alias("n_attributed"),
+        r4(q[0]).alias("p25_s"),
+        r4(q[1]).alias("p50_s"),
+        r4(q[2]).alias("p75_s"),
+        r4(q[3]).alias("p90_s"),
+    )
+
+
+CONVERSION_LATENCY_SQL = """
+WITH lat AS (
+  SELECT event_type,
+         (epoch_us(ts) - epoch_us(last_value(
+            CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)))
+           / 1000000.0 AS lat_s
+  FROM events
+)
+SELECT count(*) AS n_purchases,
+       count(lat_s) AS n_attributed,
+       round(quantile_cont(lat_s, 0.25), 4) AS p25_s,
+       round(quantile_cont(lat_s, 0.5), 4) AS p50_s,
+       round(quantile_cont(lat_s, 0.75), 4) AS p75_s,
+       round(quantile_cont(lat_s, 0.9), 4) AS p90_s
+FROM lat WHERE event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
+# Burst dedup: collapse rapid repeats of (user, event_type)
+# --------------------------------------------------------------------------
+
+BURST_GAP_S = 300
+
+
+def event_burst_dedup(spark, sf_dir, gap_s: int = BURST_GAP_S):
+    """Collapse event bursts: within each (user, event_type) stream,
+    events closer than ``gap_s`` to their predecessor are repeats of
+    the same user action (double-clicks, retry storms, bot bursts) and
+    only the burst head survives — the batch spelling of the streaming
+    path's watermarked dedup (`dropDuplicatesWithinWatermark`), as a
+    driver-checkable registry row.
+
+    One (user, type) window (lag), burst heads marked scan-side, one
+    tiny per-type rollup.  Gap arithmetic in integer microseconds —
+    bit-identical across engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    )
+    kept = (F.lag("ts").over(w).isNull()
+            | (gap_us >= F.lit(gap_s * 1_000_000))).cast("int")
+    return (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("_kept", kept)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_kept").alias("n_kept"),
+            r4(F.sum("_kept") / F.count(F.lit(1))).alias("kept_frac"),
+        )
+        .orderBy("event_type")
+    )
+
+
+BURST_DEDUP_SQL = f"""
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(gap_us IS NULL OR gap_us >= {BURST_GAP_S * 1_000_000}
+                AS INT)) AS BIGINT) AS n_kept,
+       round(CAST(sum(CAST(gap_us IS NULL OR gap_us >= {BURST_GAP_S * 1_000_000}
+                      AS INT)) AS BIGINT) * 1.0 / count(*), 4) AS kept_frac
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Equal-frequency feature binning (NTILE bin table for model features)
+# --------------------------------------------------------------------------
+
+def feature_quantile_bins(spark, sf_dir, bins: int = 10):
+    """Equal-frequency binning table for the `value` feature per event
+    type — the discretization artifact a tabular trainer precomputes
+    (monotonic binning for GBDTs, WOE tables, drift bucketing all start
+    here).  NTILE(bins) over (value, event_id) — the id tiebreak makes
+    the bin assignment a total order, so both engines produce identical
+    bin membership, not just identical boundaries.
+
+    One (event_type) window shuffle + one tiny (type, bin) rollup."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", "event_id")
+        .withColumn("bin", F.ntile(bins).over(w))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r4(F.min("value")).alias("lo"),
+            r4(F.max("value")).alias("hi"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+FEATURE_BINS_SQL = """
+WITH b AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS bin
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, bin, count(*) AS n,
+       round(min(value), 4) AS lo,
+       round(max(value), 4) AS hi
+FROM b GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # Registered via the DEFERRED channel in queries.py: these append AFTER
 # the driver-window reorder, so they cannot displace an older
 # not-yet-verified query from the verification window.  Empty right now
@@ -1398,6 +1711,11 @@ ANALYTICS_QUERIES = {
     "lineitem_measures_unpivot": lineitem_measures_unpivot,
     "sliding_event_counts": sliding_event_counts,
     "value_drift_ks": value_drift_ks,
+    "oof_target_encoding": oof_target_encoding,
+    "fk_integrity_audit": fk_integrity_audit,
+    "conversion_latency_quantiles": conversion_latency_quantiles,
+    "event_burst_dedup": event_burst_dedup,
+    "feature_quantile_bins": feature_quantile_bins,
     # rows-only by design (binary media): no oracle entry
     "media_image_features": media_image_features,
 }
@@ -1425,4 +1743,9 @@ ANALYTICS_ORACLES = {
     "lineitem_measures_unpivot": UNPIVOT_SQL,
     "sliding_event_counts": SLIDING_COUNTS_SQL,
     "value_drift_ks": VALUE_KS_SQL,
+    "oof_target_encoding": OOF_TARGET_SQL,
+    "fk_integrity_audit": FK_AUDIT_SQL,
+    "conversion_latency_quantiles": CONVERSION_LATENCY_SQL,
+    "event_burst_dedup": BURST_DEDUP_SQL,
+    "feature_quantile_bins": FEATURE_BINS_SQL,
 }
