@@ -41,10 +41,16 @@ def test_percentile_approx_within_rank_error(spark, sf_dir):
 
 
 def test_hll_sketches_merge_across_splits(spark, sf_dir):
-    """The distributed-aggregation property itself: per-split HLL
-    sketches unioned with hll_union_agg give the SAME estimate as one
+    """The distributed-aggregation property: per-split HLL sketches
+    unioned with hll_union_agg estimate the same cardinality as one
     sketch over all rows — so partial aggregation before the exchange
-    (what Spark plans for approx_count_distinct) loses nothing."""
+    (what Spark plans for approx_count_distinct) is sound.
+
+    Within the sketch's error bound, not exact: DataSketches' union
+    path can drop the historic-inverse-probability estimator (the
+    out-of-order flag), so merged and whole may differ by a fraction of
+    the documented RSE (1.04/sqrt(2^lgK) ≈ 1.6% at the default lgK=12)
+    even over identical value sets."""
     o = _orders(spark, sf_dir).withColumn(
         "half", (F.col("o_orderkey") % 2).cast("int")
     )
@@ -58,7 +64,8 @@ def test_hll_sketches_merge_across_splits(spark, sf_dir):
         .first()
         .est
     )
-    assert merged == whole
+    rse = 1.04 / (2 ** 12) ** 0.5
+    assert abs(merged - whole) <= 2 * rse * whole, (merged, whole)
 
 
 def test_profile_swaps_to_sketch_same_shape(spark, sf_dir):
@@ -123,16 +130,23 @@ def test_approx_top_k_heavy_hitters_swap_path(spark, sf_dir):
     terms = docs.select(
         F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
     )
-    exact = {
+    exact_all = {
         r.term: r.n
-        for r in terms.groupBy("term").agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), "term").limit(10).collect()
+        for r in terms.groupBy("term").agg(F.count("*").alias("n")).collect()
     }
     sketch = terms.agg(
         F.expr("approx_top_k(term, 10, 10000)").alias("tk")
     ).first().tk
     got = {r["item"]: r["count"] for r in sketch}  # .count is Row's method
-    assert got == exact
+    # tie-insensitive at the rank-10 boundary (the sketch breaks count
+    # ties in its own internal order, not lexicographically): every
+    # reported count must be the EXACT global count of that term, and
+    # the count multiset must equal the true top-10 count multiset
+    assert len(got) == 10
+    for t, n in got.items():
+        assert n == exact_all[t], (t, n, exact_all[t])
+    true_top = sorted(exact_all.values(), reverse=True)[:10]
+    assert sorted(got.values(), reverse=True) == true_top
 
 
 def test_theta_sketch_set_operations_swap_path(spark, sf_dir):

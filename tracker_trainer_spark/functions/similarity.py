@@ -414,7 +414,12 @@ def ivfpq_index_topk(spark, path: str, probe: list[float], k: int = 10,
         meta = _json.load(f)
     C = np.asarray(meta["centroids"], dtype=np.float64)
     p = np.asarray(probe, dtype=np.float64)
-    order = np.argsort(((C - p) ** 2).sum(axis=1), kind="stable")[:nprobe]
+    # expanded |c|^2 - 2 x.c, the SAME algebraic form the index build's
+    # assignment used (ivf_assign / _fused_ivfpq_training) — the direct
+    # (C-p)^2 form can order two near-tied cells differently and prune
+    # a different cell than the one the neighbors were assigned to
+    order = np.argsort((C * C).sum(axis=1) - 2.0 * (C @ p),
+                       kind="stable")[:nprobe]
     cells = [int(c) for c in order]
     codes = spark.read.parquet(f"{path}/codes")
     return pq_adc_topk(

@@ -2971,9 +2971,6 @@ _DRIVER_CERTIFIED = frozenset({
     "weighted_median_price",
 })
 
-# Backwards-compatible alias (tests / docs referenced the r1-r2 name).
-_DRIVER_CERTIFIED_R1_R2 = _DRIVER_CERTIFIED
-
 
 def _front_load_unverified(registry: dict) -> dict:
     fresh = {k: v for k, v in registry.items()

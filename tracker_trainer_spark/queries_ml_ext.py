@@ -2275,6 +2275,8 @@ def groom_fixpoint_check(spark, sf_dir):
     src/ingest/groom.py:71-84). Row data never reaches the driver: the
     write is the partitioned sink, groom plans/rewrites distributed.
     """
+    import os
+    import shutil
     import tempfile
 
     from tracker_trainer_spark.ingest.groom import maintain_timeline
@@ -2311,9 +2313,22 @@ def groom_fixpoint_check(spark, sf_dir):
         .alias("rewards"),
         F.col("value").alias("reward"),
     )
-    path = tempfile.mkdtemp(prefix="groom_fixpoint_") + "/tl"
-    write_timeline(batch1, path)
-    write_timeline(batch2, path)
+    # fixed per-sf scratch location, wiped before each run: a fresh
+    # mkdtemp per call would leak one abandoned timeline per bench/gate
+    # invocation (bench alone calls every query twice per round)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_groom_fixpoint_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    path = base + "/tl"
+    # coalesce(1): the oracle's groomed_first counts only DUPLICATE-KEY
+    # dirtiness; a multi-split source would fan each dt partition into
+    # one file per task and trip plan_groom's n_files>target condition
+    # on CLEAN partitions at larger scale factors. The synthetic
+    # timeline is bounded (event_id % 20), so one writer task is fine.
+    write_timeline(batch1.coalesce(1), path)
+    write_timeline(batch2.coalesce(1), path)
     rows_before = spark.read.parquet(path).count()
     first = maintain_timeline(spark, path)
     second = maintain_timeline(spark, path)
