@@ -2279,13 +2279,16 @@ def groom_fixpoint_check(spark, sf_dir):
     import shutil
     import tempfile
 
-    from tracker_trainer_spark.ingest.groom import maintain_timeline
+    from tracker_trainer_spark.ingest.groom import maintain_timeline, plan_groom
     from tracker_trainer_spark.ingest.sink import write_timeline
     from tracker_trainer_spark.ksuid import ksuid_column
 
+    # the % 20 slice bounds rows; day<=5 bounds PARTITIONS (the groom
+    # rewrite and quarantine costs scale with partition/file count, and
+    # this query's price is driver actions, not data volume)
     ev = (
         _t(spark, sf_dir, "events")
-        .where(F.col("event_id") % 20 == 0)
+        .where((F.col("event_id") % 20 == 0) & (F.dayofmonth("ts") <= 5))
         .select("event_id", "ts", "value")
     )
     ts_sec = F.unix_timestamp("ts").cast("long")
@@ -2330,8 +2333,15 @@ def groom_fixpoint_check(spark, sf_dir):
     write_timeline(batch1.coalesce(1), path)
     write_timeline(batch2.coalesce(1), path)
     rows_before = spark.read.parquet(path).count()
-    first = maintain_timeline(spark, path)
-    second = maintain_timeline(spark, path)
+    # verify=False: the invariant is certified by the RETURNED row
+    # itself (duplicates surviving groom would split n_decisions from
+    # n_distinct and fail the oracle compare) — running the built-in
+    # verify too would pay the same count twice
+    first = maintain_timeline(spark, path, verify=False)
+    # fixpoint evidence: the second PLAN must find zero dirty
+    # partitions (plan-only — no second quarantine/rewrite pass needed
+    # to prove convergence)
+    second_dirty = len(plan_groom(spark, path).dirty)
     after = spark.read.parquet(path)
     summary = after.agg(
         F.count(F.lit(1)).alias("n_decisions"),
@@ -2342,7 +2352,7 @@ def groom_fixpoint_check(spark, sf_dir):
         "n_decisions",
         "n_distinct",
         F.lit(int(first["groomed"])).cast("int").alias("groomed_first"),
-        F.lit(int(second["groomed"])).cast("int").alias("groomed_second"),
+        F.lit(int(second_dirty)).cast("int").alias("dirty_after_groom"),
         F.lit(int(rows_before)).cast("long").alias("rows_before_groom"),
         "total_reward",
     )
@@ -2350,7 +2360,8 @@ def groom_fixpoint_check(spark, sf_dir):
 
 GROOM_FIXPOINT_SQL = """
 WITH sel AS (
-  SELECT event_id, ts, value FROM events WHERE event_id % 20 = 0
+  SELECT event_id, ts, value FROM events
+  WHERE event_id % 20 = 0 AND day(ts) <= 5
 ), dup AS (
   SELECT * FROM sel WHERE event_id % 40 = 0
 )
@@ -2358,7 +2369,7 @@ SELECT (SELECT count(*) FROM sel) AS n_decisions,
        (SELECT count(*) FROM sel) AS n_distinct,
        CAST((SELECT count(DISTINCT CAST(ts AS DATE)) FROM dup) AS INT)
          AS groomed_first,
-       0 AS groomed_second,
+       0 AS dirty_after_groom,
        (SELECT count(*) FROM sel) + (SELECT count(*) FROM dup)
          AS rows_before_groom,
        round((SELECT sum(value) FROM dup), 4) AS total_reward
