@@ -513,9 +513,22 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     ("conversion_latency_quantiles", 2),  # user window + global agg
     ("event_burst_dedup", 3),             # (user,type) window + rollup + sort
     ("feature_quantile_bins", 2),         # type window + (type,bin) rollup
+    # vocab agg (the only fact shuffle) + pair rollup; pair explode
+    # runs over distinct words only — join-free by construction
+    ("bpe_first_merges", 2),
+    # per-dim sums + 1-row final agg; the exact all-pairs cosine mean
+    # via |Σû|²−n — NO pair join ever exists in the plan
+    ("embedding_isotropy", 2),
 ])
 def test_ml_ext_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles
+
+
+def test_isotropy_has_no_pair_join(spark, sf_dir):
+    from tracker_trainer_spark.plans import physical_plan
+
+    plan = physical_plan(QUERIES["embedding_isotropy"](spark, sf_dir))
+    assert "Join" not in plan and "CartesianProduct" not in plan
 
 
 def test_propensity_weights_plan(spark, sf_dir):

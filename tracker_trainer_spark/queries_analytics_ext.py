@@ -1677,6 +1677,133 @@ FROM b GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# BPE first-iteration merge table (tokenizer training primitive)
+# --------------------------------------------------------------------------
+
+def bpe_first_merges(spark, sf_dir, k: int = 20):
+    """The first iteration of byte-pair-encoding tokenizer training:
+    count adjacent CHARACTER pairs across the corpus weighted by word
+    frequency, rank the merge candidates — the inner loop every BPE/
+    WordPiece vocabulary build starts from (Sennrich et al., ACL 2016).
+
+    The scale move is the classic BPE one: aggregate the corpus to
+    DISTINCT WORDS + counts first (vocabulary-sized — Heaps' law keeps
+    it sublinear in corpus size), then explode character pairs only
+    over the vocabulary. At 100 TB the word agg is the only fact
+    shuffle; the pair explode runs over ~10⁶ distinct words regardless
+    of corpus size.  Counts are integers → cross-engine exact; top-k
+    orders by (count desc, pair asc)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(k)
+    )
+
+
+BPE_MERGES_SQL = """
+WITH words AS (
+  SELECT w, count(*) AS wc FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+    FROM documents
+  ) WHERE len(w) >= 2 GROUP BY 1
+), pairs AS (
+  SELECT substr(w, i, 2) AS pair, wc
+  FROM words, unnest(generate_series(1, len(w) - 1)) AS u(i)
+)
+SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY 1
+ORDER BY n_occurrences DESC, pair ASC LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding isotropy: exact mean pairwise cosine WITHOUT a pair join
+# --------------------------------------------------------------------------
+
+def embedding_isotropy(spark, sf_dir):
+    """Embedding-space health check: the exact mean pairwise cosine
+    similarity across ALL vector pairs, computed in ONE pass with the
+    mean-vector identity Σ_{i≠j} cos(i,j) = |Σ û_i|² − n (û = unit
+    vectors) — an anisotropy score near 1 means the space has collapsed
+    into a cone (the classic "representation degeneration" failure that
+    ruins cosine retrieval), near 0 means well-spread.
+
+    The scale story IS the query: the naive spelling is an O(n²) pair
+    join (embedding_similar_pairs territory); the identity computes the
+    identical number from one per-dimension sum — a billion vectors
+    cost one narrow agg, no join, no shuffle of vector data beyond
+    dim-sized partials."""
+    from tracker_trainer_spark.queries_ml_ext import _emb_double
+
+    emb = _emb_double(_t(spark, sf_dir, "embeddings"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("emb", lambda x: x * x),
+            F.lit(0.0), lambda a, x: a + x,
+        )
+    )
+    unit = emb.where(norm > 0).select(
+        norm.alias("nrm"),
+        F.posexplode(F.transform("emb", lambda x: x / norm)).alias("pos", "u"),
+    )
+    sums = unit.groupBy("pos").agg(
+        F.sum("u").alias("s"),
+        # per-dim row count is constant; carried to derive n without a
+        # second scan (max over pos groups == n_vectors)
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("nrm")).alias("nrm_sum"),
+    )
+    n = F.max("n")
+    s2 = F.sum(F.col("s") * F.col("s"))
+    return sums.agg(
+        n.cast("long").alias("n_vectors"),
+        r4(F.max("nrm_sum") / n).alias("mean_norm"),
+        r4((s2 - n) / (n * (n - F.lit(1.0)))).alias("mean_pairwise_cosine"),
+    )
+
+
+ISOTROPY_SQL = """
+WITH e AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), nrm AS (
+  SELECT emb,
+         sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+  FROM e
+), u AS (
+  SELECT nrm, i AS pos, emb[i] / nrm AS u
+  FROM nrm, unnest(generate_series(1, len(emb))) AS g(i)
+  WHERE nrm > 0
+), sums AS (
+  SELECT pos, sum(u) AS s, count(*) AS n, sum(nrm) AS nrm_sum
+  FROM u GROUP BY 1
+)
+SELECT CAST(max(n) AS BIGINT) AS n_vectors,
+       round(max(nrm_sum) / max(n), 4) AS mean_norm,
+       round((sum(s * s) - max(n)) / (max(n) * (max(n) - 1.0)), 4)
+         AS mean_pairwise_cosine
+FROM sums
+"""
+
+
 # Registered via the DEFERRED channel in queries.py: these append AFTER
 # the driver-window reorder, so they cannot displace an older
 # not-yet-verified query from the verification window.  Empty right now
@@ -1716,6 +1843,8 @@ ANALYTICS_QUERIES = {
     "conversion_latency_quantiles": conversion_latency_quantiles,
     "event_burst_dedup": event_burst_dedup,
     "feature_quantile_bins": feature_quantile_bins,
+    "bpe_first_merges": bpe_first_merges,
+    "embedding_isotropy": embedding_isotropy,
     # rows-only by design (binary media): no oracle entry
     "media_image_features": media_image_features,
 }
@@ -1748,4 +1877,6 @@ ANALYTICS_ORACLES = {
     "conversion_latency_quantiles": CONVERSION_LATENCY_SQL,
     "event_burst_dedup": BURST_DEDUP_SQL,
     "feature_quantile_bins": FEATURE_BINS_SQL,
+    "bpe_first_merges": BPE_MERGES_SQL,
+    "embedding_isotropy": ISOTROPY_SQL,
 }
