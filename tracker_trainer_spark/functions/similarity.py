@@ -180,7 +180,8 @@ def train_ivf_centroids(df: DataFrame, k: int = 8, seed: int = 11,
 def lloyd_centroids(df: DataFrame, k: int = 8, iters: int = 2,
                     vec_col: str = "embedding",
                     id_col: str = "vec_id",
-                    dim: int | None = None) -> list[list[float]]:
+                    dim: int | None = None,
+                    probe_id: int | None = None):
     """Deterministic distributed Lloyd training for the oracle-checked
     IVF query: init cells = id % k, then ``iters`` rounds of
     (per-cell/per-dim mean → reassign to nearest centroid, ties to the
@@ -204,8 +205,54 @@ def lloyd_centroids(df: DataFrame, k: int = 8, iters: int = 2,
     ulp and nondeterministically flip a knife-edge cell assignment
     against the fixed DuckDB oracle (observed once in ann_ivfpq_topk
     at sf0.001 before this guard). Both engines round identically.
+
+    With ``probe_id`` set, returns ``(cents, probe)`` — the probe
+    vector rides round 1's aggregation (see the fused-round-0 comment
+    below) so no separate probe action runs.
     """
-    if dim is None:
+    start = 0
+    cents: list[list[float]] = []
+    probe: list[float] | None = None
+    if probe_id is not None:
+        # FUSED round 0: the probe vector and the corpus dim ride the
+        # first mean aggregation as extra (cell=-1) rows — in the
+        # exploded (cell, pos) shape, which needs no dim up front —
+        # eliminating the separate probe first() action.  avg of the
+        # single probe row is the exact value; only TRAINING means
+        # quantize to 6 decimals (the probe must stay exact, same
+        # contract as _fused_ivfpq_training's piggyback).
+        dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        x = df.select(
+            (F.col(id_col) % k).cast("int").alias("cell"),
+            F.posexplode(dbl).alias("pos", "v"),
+        ).unionAll(
+            df.where(F.col(id_col) == probe_id).select(
+                F.lit(-1).alias("cell"),
+                F.posexplode(dbl).alias("pos", "v"),
+            )
+        )
+        rows = (
+            x.groupBy("cell", "pos")
+            .agg(F.avg("v").alias("raw"))
+            .select(
+                "cell", "pos",
+                F.when(F.col("cell") == -1, F.col("raw"))
+                .otherwise(F.round("raw", 6)).alias("m"),
+            )
+            .collect()
+        )
+        pvals = {r["pos"]: r["m"] for r in rows if r["cell"] == -1}
+        if not pvals:
+            raise ValueError(f"probe {id_col}={probe_id} not found")
+        probe = [pvals[i] for i in range(len(pvals))]
+        dim = len(probe)
+        cmap: dict = {}
+        for r in rows:
+            if r["cell"] >= 0:
+                cmap.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["m"]
+        cents = [cmap[c] for c in sorted(cmap)]
+        start = 1
+    elif dim is None:
         # pass dim when already known (e.g. from a fetched probe) —
         # each saved first() is ~0.3-0.5 s of fixed per-action floor
         dim = len(df.select(vec_col).first()[0])
@@ -213,11 +260,17 @@ def lloyd_centroids(df: DataFrame, k: int = 8, iters: int = 2,
         F.round(F.avg(F.col("v")[i].cast("double")), 6).alias(f"c{i}")
         for i in range(dim)
     ]
-    assigned = df.select(
-        F.col(vec_col).alias("v"), (F.col(id_col) % k).cast("int").alias("cell")
-    )
-    cents: list[list[float]] = []
-    for _ in range(iters):
+    if start == 0:
+        assigned = df.select(
+            F.col(vec_col).alias("v"),
+            (F.col(id_col) % k).cast("int").alias("cell"),
+        )
+    else:
+        assigned = df.select(
+            F.col(vec_col).alias("v"),
+            ivf_assign(vec_col, cents).alias("cell"),
+        )
+    for _ in range(start, iters):
         rows = assigned.groupBy("cell").agg(*mean_cols).collect()
         # sort by cell id: list position tracks ascending cell id, so the
         # argmin tie-break (first minimum) == SQL's ORDER BY dist, cid.
@@ -233,7 +286,7 @@ def lloyd_centroids(df: DataFrame, k: int = 8, iters: int = 2,
             F.col(vec_col).alias("v"),
             ivf_assign(vec_col, cents).alias("cell"),
         )
-    return cents
+    return (cents, probe) if probe_id is not None else cents
 
 
 def ann_ivf_topk(
@@ -518,7 +571,8 @@ def lloyd_pq_codebooks(df: DataFrame, m: int = 4, k: int = 4,
                        iters: int = 2, vec_col: str = "embedding",
                        id_col: str = "vec_id",
                        quantize: int = 6,
-                       dim: int | None = None) -> list[list[list[float]]]:
+                       dim: int | None = None,
+                       probe_id: int | None = None):
     """Deterministic distributed PQ codebook training — the
     oracle-checkable sibling of ``train_pq_codebooks`` (which uses
     Spark-ML KMeans and its library-internal init randomness, so no SQL
@@ -539,20 +593,28 @@ def lloyd_pq_codebooks(df: DataFrame, m: int = 4, k: int = 4,
     ``pq_encode`` / ``pq_adc_topk``. Raises if any code empties (cannot
     happen under mod-k init on non-degenerate data; the dense m×k shape
     the kernels need would silently break otherwise). Pass ``dim`` when
-    already known to skip the ``first()`` probe action.
+    already known to skip the ``first()`` probe action, or
+    ``probe_id`` to have the probe vector AND the dim ride round 1's
+    aggregation as extra (sub=-2) rows (probe unquantized — only
+    training means round; returns ``(books, probe)`` in that mode).
     """
-    if dim is None:
+    if dim is None and probe_id is None:
         dim = len(df.select(vec_col).first()[0])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    d = dim // m
+    if dim is not None:
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        d_expr = F.lit(dim // m)
+    else:
+        # per-row subspace width — identical to the literal for a
+        # fixed-dim corpus, available without a driver action
+        d_expr = (F.size(F.col(vec_col)) / m).cast("int")
     sv = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array(*[
             F.struct(
                 F.lit(s).alias("sub"),
                 F.transform(
-                    F.slice(F.col(vec_col), s * d + 1, d),
+                    F.slice(F.col(vec_col), F.lit(s) * d_expr + 1, d_expr),
                     lambda x: x.cast("double"),
                 ).alias("sv"),
             )
@@ -585,23 +647,50 @@ def lloyd_pq_codebooks(df: DataFrame, m: int = 4, k: int = 4,
 
     assigned = sv.withColumn("cid", (F.col("_id") % k).cast("int"))
     books: list[list[list[float]]] = []
-    for _ in range(iters):
+    probe: list[float] | None = None
+    for rnd in range(iters):
+        keyed = assigned.select(
+            "sub", "cid", F.posexplode("sv").alias("pos", "v"))
+        if rnd == 0 and probe_id is not None:
+            keyed = keyed.unionAll(
+                df.where(F.col(id_col) == probe_id).select(
+                    F.lit(-2).alias("sub"), F.lit(0).alias("cid"),
+                    F.posexplode(
+                        F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                    ).alias("pos", "v"),
+                )
+            )
         rows = (
-            assigned.select("sub", "cid", F.posexplode("sv").alias("pos", "v"))
-            .groupBy("sub", "cid", "pos")
-            .agg(F.round(F.avg("v"), quantize).alias("m"))
+            keyed.groupBy("sub", "cid", "pos")
+            .agg(F.avg("v").alias("raw"))
+            .select(
+                "sub", "cid", "pos",
+                F.when(F.col("sub") == -2, F.col("raw"))
+                .otherwise(F.round("raw", quantize)).alias("m"),
+            )
             .collect()
         )
+        if rnd == 0 and probe_id is not None:
+            pvals = {r["pos"]: r["m"] for r in rows if r["sub"] == -2}
+            if not pvals:
+                raise ValueError(f"probe {id_col}={probe_id} not found")
+            probe = [pvals[i] for i in range(len(pvals))]
+            dim = len(probe)
+            if dim % m != 0:
+                raise ValueError(f"dim {dim} not divisible by m={m}")
+        d = dim // m
         books = [[[0.0] * d for _ in range(k)] for _ in range(m)]
         seen = set()
         for r in rows:
+            if r["sub"] < 0:
+                continue
             books[r["sub"]][r["cid"]][r["pos"]] = r["m"]
             seen.add((r["sub"], r["cid"]))
         if len(seen) != m * k:
             raise ValueError(
                 f"PQ training emptied a code: {m * k - len(seen)} missing")
         assigned = sv.withColumn("cid", assign_expr(books))
-    return books
+    return (books, probe) if probe_id is not None else books
 
 
 def pq_encode(vec_col, codebooks: list[list[list[float]]]) -> Column:

@@ -1887,9 +1887,10 @@ def ann_ivf_topk(spark, sf_dir, probe_vec_id: int = 0, k: int = 10, n_cells: int
     prune is partition pruning; training touches only k×dim driver
     floats per round."""
     emb = _t(spark, sf_dir, "embeddings")
-    probe = [float(x) for x in
-             emb.where(F.col("vec_id") == probe_vec_id).select("embedding").first()[0]]
-    centroids = _sim.lloyd_centroids(emb, k=n_cells, iters=2, dim=len(probe))
+    # probe + dim ride round 1 of the Lloyd aggregation — no separate
+    # probe first() action
+    centroids, probe = _sim.lloyd_centroids(
+        emb, k=n_cells, iters=2, probe_id=probe_vec_id)
     return (
         _sim.ann_ivf_topk(emb, probe, centroids, k=k)
         .select("vec_id", r4(F.col("cosine")).alias("cosine"))
@@ -2869,7 +2870,8 @@ ORACLES.update(_ML_ORACLES)
 #             refactor)
 #   r4 edit:  doc_bigram_pmi (double-cast PMI arithmetic),
 #             ann_ivfpq_topk (probe cell ranking switched to the
-#             expanded |c|^2-2x.c form)
+#             expanded |c|^2-2x.c form), ann_pq_topk (probe rides the
+#             round-1 training aggregation)
 _DRIVER_CERTIFIED = frozenset({
     # ---- certified green in CORRECTNESS_r01 / r02 ----
     "ann_cosine_topk",
@@ -2927,7 +2929,6 @@ _DRIVER_CERTIFIED = frozenset({
     "windowed_event_stats",
     # ---- certified green in CORRECTNESS_r03 ----
     "ann_lsh_multiprobe",
-    "ann_pq_topk",
     "basket_pair_lift",
     "corpus_decontamination",
     "cube_orders_margin",

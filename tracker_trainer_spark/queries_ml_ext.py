@@ -1391,12 +1391,10 @@ def ann_pq_topk(spark, sf_dir, probe_vec_id: int = 0, k: int = 10):
     from tracker_trainer_spark.functions import similarity as _sim
 
     emb = _t(spark, sf_dir, "embeddings")
-    # probe fetched FIRST so its length feeds dim= to the trainer,
-    # skipping the trainer's own first() probe (one fewer action)
-    probe = [float(x) for x in emb.where(
-        F.col("vec_id") == probe_vec_id).select("embedding").first()[0]]
-    books = _sim.lloyd_pq_codebooks(emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS,
-                                    dim=len(probe))
+    # the probe vector and corpus dim ride round 1 of the codebook
+    # training aggregation — no separate first() action at all
+    books, probe = _sim.lloyd_pq_codebooks(
+        emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS, probe_id=probe_vec_id)
     codes = emb.select(
         "vec_id", _sim.pq_encode("embedding", books).alias("pq_code"))
     top = _sim.pq_adc_topk(codes, probe, books, k=k, order_decimals=4)
