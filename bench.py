@@ -118,6 +118,26 @@ def main() -> None:
     corrected_total = round(
         sum(max(t - job_floor, 0.0) for t in timings.values()), 3)
 
+    # Engine-bound subset: queries whose DuckDB oracle itself does >=
+    # 50 ms of work.  Below that, the oracle runs in microseconds and
+    # the "ratio" measures nothing but Spark's fixed per-query constant
+    # (the 2024-era single-node-engine comparison trap); above it, both
+    # engines execute comparable work and the ratio reflects plan
+    # quality.  Reported alongside the full aggregate, never instead.
+    ENGINE_BOUND_MIN_DUCK_S = 0.05
+    eb = [n for n in timings if duck.get(n, 0) >= ENGINE_BOUND_MIN_DUCK_S]
+    eb_spark = sum(timings[n] for n in eb)
+    eb_duck = sum(duck[n] for n in eb)
+    eb_corr = sum(max(timings[n] - job_floor, 0.0) for n in eb)
+    engine_bound = {
+        "n_queries": len(eb),
+        "min_duckdb_s": ENGINE_BOUND_MIN_DUCK_S,
+        "spark_total_s": round(eb_spark, 3),
+        "duckdb_total_s": round(eb_duck, 3),
+        "ratio": round(eb_spark / eb_duck, 2) if eb_duck else None,
+        "corrected_ratio": round(eb_corr / eb_duck, 2) if eb_duck else None,
+    }
+
     # Full per-query maps (98 queries × 3 maps ≈ 9 KB) overflow the
     # driver's ~2 KB tail capture (BENCH_r02 came back parsed:null), so
     # they go to a sidecar file and the printed line stays compact: the
@@ -131,6 +151,7 @@ def main() -> None:
         "spark_over_duckdb": ratios,
         "spark_job_floor_s": round(job_floor, 4),
         "overhead_corrected_total_s": corrected_total,
+        "engine_bound": engine_bound,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     detail_path = os.path.join(
@@ -163,6 +184,10 @@ def main() -> None:
         "overhead_corrected_total_s": corrected_total,
         "corrected_over_duckdb": (
             round(corrected_total / duck_total, 2) if duck_total else None),
+        # the plan-quality comparison: only queries where the DuckDB
+        # oracle itself does >=50ms of work (sub-ms oracles measure
+        # Spark's fixed constant, not the engine)
+        "engine_bound": engine_bound,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "detail": "BENCH_DETAIL.json",
     }))
