@@ -519,6 +519,12 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     # per-dim sums + 1-row final agg; the exact all-pairs cosine mean
     # via |Σû|²−n — NO pair join ever exists in the plan
     ("embedding_isotropy", 2),
+    # ONE scan, one (source) agg — every pattern is a conditional
+    # column; adding patterns adds columns, not scans — + output sort
+    ("doc_pii_scan", 2),
+    # medians agg + broadcast-back deviation agg + sort (MAD's
+    # inherent two-pass shape; both passes keyed hash aggs)
+    ("feature_robust_scaling", 3),
 ])
 def test_ml_ext_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles

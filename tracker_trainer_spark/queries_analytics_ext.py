@@ -1804,6 +1804,138 @@ FROM sums
 """
 
 
+# --------------------------------------------------------------------------
+# PII pattern scan: regex hit rates per source (curation compliance gate)
+# --------------------------------------------------------------------------
+
+# word-ish token containing '@' between non-space runs; digit runs of 7+
+# (phone-ish); dotted quads — deliberately simple, ENGINE-PORTABLE
+# regexes (no lookaround: Spark uses Java regex, DuckDB uses RE2)
+_PII_PATTERNS = {
+    "email_ish": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+",
+    "long_digit_run": r"[0-9]{7,}",
+    "ipv4_ish": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def doc_pii_scan(spark, sf_dir):
+    """PII-pattern audit per corpus source — the compliance gate a
+    curation pipeline runs before a corpus ships: per (source, pattern),
+    how many documents hit at all and the total match count.  Patterns
+    are deliberately simple portable regexes (the real value is the
+    OPERATOR — per-source regex audit at corpus scale — not the
+    pattern library, which a deployment swaps for its own).
+
+    Plan: ONE scan; every (pattern × measure) is a conditional
+    aggregate over the same row, so the whole audit is a single
+    (source) hash agg — adding patterns adds columns, not scans. The
+    unpivot to (source, pattern) rows happens on the |sources|-sized
+    aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    aggs = []
+    for name, pat in _PII_PATTERNS.items():
+        hits = F.regexp_count(F.col("text"), F.lit(pat))
+        aggs += [
+            F.sum((hits > 0).cast("int")).cast("long").alias(f"d_{name}"),
+            F.sum(hits).cast("long").alias(f"m_{name}"),
+        ]
+    wide = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), *aggs)
+    entries = F.array(*[
+        F.struct(
+            F.lit(name).alias("pattern"),
+            F.col(f"d_{name}").alias("docs_with_match"),
+            F.col(f"m_{name}").alias("total_matches"),
+        )
+        for name in _PII_PATTERNS
+    ])
+    return (
+        wide.select(
+            "source", "n_docs", F.explode(entries).alias("e")
+        )
+        .select(
+            "source",
+            F.col("e.pattern").alias("pattern"),
+            "n_docs",
+            F.col("e.docs_with_match").alias("docs_with_match"),
+            F.col("e.total_matches").alias("total_matches"),
+            r4(F.col("e.docs_with_match") / F.col("n_docs")).alias("hit_rate"),
+        )
+        .orderBy("source", "pattern")
+    )
+
+
+def _pii_sql() -> str:
+    arms = []
+    for name, pat in _PII_PATTERNS.items():
+        # single-quoted SQL literal; patterns contain no quotes
+        arms.append(f"""
+SELECT source, '{name}' AS pattern,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN regexp_matches(text, '{pat}') THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_match,
+       CAST(sum(len(regexp_extract_all(text, '{pat}'))) AS BIGINT)
+         AS total_matches,
+       round(CAST(sum(CASE WHEN regexp_matches(text, '{pat}') THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1.0 / count(*), 4) AS hit_rate
+FROM documents GROUP BY 1""")
+    return " UNION ALL ".join(arms) + " ORDER BY source, pattern"
+
+
+PII_SCAN_SQL = _pii_sql()
+
+
+# --------------------------------------------------------------------------
+# Robust scaling statistics: median / MAD per feature group
+# --------------------------------------------------------------------------
+
+def feature_robust_scaling(spark, sf_dir):
+    """Robust scaler statistics per event type: median and MAD (median
+    absolute deviation from the median) of `value` — the outlier-proof
+    alternative to mean/std feature normalization (a handful of corrupt
+    points move a mean arbitrarily; they move a median not at all).
+
+    Two-level exact median: the per-type median is a tiny |types|-row
+    broadcast joined back (one fact scan for medians, one for the
+    deviations — the inherent two-pass structure of MAD), both passes
+    single hash aggs on the same key."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    med = F.broadcast(
+        ev.groupBy("event_type").agg(
+            F.expr("percentile(value, 0.5)").alias("_med"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    dev = (
+        ev.join(med, "event_type")
+        .select("event_type", "n", "_med",
+                F.abs(F.col("value") - F.col("_med")).alias("_ad"))
+    )
+    return (
+        dev.groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            r4(F.first("_med")).alias("median"),
+            r4(F.expr("percentile(_ad, 0.5)")).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ROBUST_SCALING_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m, count(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT e.event_type, max(med.n) AS n,
+       round(max(med.m), 4) AS median,
+       round(quantile_cont(abs(e.value - med.m), 0.5), 4) AS mad
+FROM events e JOIN med ON med.event_type = e.event_type
+WHERE e.value IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # Registered via the DEFERRED channel in queries.py: these append AFTER
 # the driver-window reorder, so they cannot displace an older
 # not-yet-verified query from the verification window.  Empty right now
@@ -1845,6 +1977,8 @@ ANALYTICS_QUERIES = {
     "feature_quantile_bins": feature_quantile_bins,
     "bpe_first_merges": bpe_first_merges,
     "embedding_isotropy": embedding_isotropy,
+    "doc_pii_scan": doc_pii_scan,
+    "feature_robust_scaling": feature_robust_scaling,
     # rows-only by design (binary media): no oracle entry
     "media_image_features": media_image_features,
 }
@@ -1879,4 +2013,6 @@ ANALYTICS_ORACLES = {
     "feature_quantile_bins": FEATURE_BINS_SQL,
     "bpe_first_merges": BPE_MERGES_SQL,
     "embedding_isotropy": ISOTROPY_SQL,
+    "doc_pii_scan": PII_SCAN_SQL,
+    "feature_robust_scaling": ROBUST_SCALING_SQL,
 }
