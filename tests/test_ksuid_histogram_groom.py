@@ -154,3 +154,42 @@ def test_groom_fails_loudly_on_broken_layout(spark, tmp_path):
     # surfaces as CONFLICTING_DIRECTORY_STRUCTURES (SparkRuntimeException)
     with _pytest.raises(PySparkException, match="CONFLICTING"):
         plan_groom(spark, str(path))
+
+
+def test_ksuid_column_matches_driver_codec(spark):
+    """The distributed KSUID builder (Arrow UDF) must emit byte-for-byte
+    the same ids as the pure-Python deterministic_ksuid — the contract
+    groom_fixpoint_check's oracle counts rely on (same ids ⇒ same
+    partition dts ⇒ same dirty set)."""
+    rows = [(TS + i * 1000, i) for i in range(8)]
+    df = spark.createDataFrame(rows, "t long, k long")
+    got = {
+        (r.t, r.k): r.id
+        for r in df.select(
+            "t", "k", ksuid.ksuid_column("t", "k").alias("id")
+        ).collect()
+    }
+    for t, k in rows:
+        assert got[(t, k)] == ksuid.deterministic_ksuid(t, k)
+
+
+def test_ztp_from_uniform_breakpoints(spark):
+    """Shared inverse-CDF: uniforms straddling the first breakpoints
+    map to k=1/2/3, u→1 saturates at max_k, and the chain constants are
+    exposed for SQL-literal embedding (the cross-engine contract of
+    propensity_training_weights)."""
+    from pyspark.sql import functions as F
+
+    from tracker_trainer_spark.trainer.weights import (
+        ztp_cdf_chain,
+        ztp_from_uniform,
+    )
+
+    chain = ztp_cdf_chain()
+    assert chain[0][0] == 1 and abs(chain[0][1] - 0.5819767068693265) < 1e-15
+    c1, c2 = chain[0][1], chain[1][1]
+    us = [0.0, c1 - 1e-12, c1 + 1e-12, c2 - 1e-12, c2 + 1e-12, 1.0 - 1e-15]
+    df = spark.createDataFrame([(u,) for u in us], "u double")
+    got = [r.k for r in df.select(
+        ztp_from_uniform(F.col("u")).alias("k")).collect()]
+    assert got == [1.0, 1.0, 2.0, 2.0, 3.0, 12.0], got

@@ -280,3 +280,37 @@ def test_random_projection_preserves_distances(spark, sf_dir):
     mean_err = float(np.mean(errs))
     assert mean_err < 0.25, mean_err          # measured ~0.1 at dim 32
     assert max(errs) < 0.8                     # no catastrophic collapse
+
+
+def test_lloyd_probe_piggyback_matches_separate_fetch(spark, sf_dir):
+    """The probe_id piggyback in BOTH shared Lloyd trainers must return
+    (a) the EXACT probe vector (unquantized — avg of one row) and
+    (b) bit-identical trained structures to the probe-free spelling —
+    the contract that lets ann_ivf_topk / ann_pq_topk drop their
+    separate probe action without touching their oracles."""
+    from tracker_trainer_spark.functions.similarity import (
+        lloyd_centroids,
+        lloyd_pq_codebooks,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    want_probe = [float(x) for x in emb.where("vec_id = 0")
+                  .select("embedding").first()[0]]
+
+    cents_p, probe_c = lloyd_centroids(emb, k=8, iters=2, probe_id=0)
+    assert probe_c == want_probe
+    assert cents_p == lloyd_centroids(emb, k=8, iters=2, dim=64)
+
+    books_p, probe_b = lloyd_pq_codebooks(emb, m=4, k=4, iters=2, probe_id=0)
+    assert probe_b == want_probe
+    assert books_p == lloyd_pq_codebooks(emb, m=4, k=4, iters=2, dim=64)
+
+
+def test_lloyd_probe_piggyback_missing_probe_raises(spark, sf_dir):
+    import pytest as _pytest
+
+    from tracker_trainer_spark.functions.similarity import lloyd_centroids
+
+    emb = _embeddings(spark, sf_dir)
+    with _pytest.raises(ValueError, match="probe"):
+        lloyd_centroids(emb, k=8, iters=1, probe_id=-12345)
