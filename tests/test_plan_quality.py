@@ -525,6 +525,11 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     # medians agg + broadcast-back deviation agg + sort (MAD's
     # inherent two-pass shape; both passes keyed hash aggs)
     ("feature_robust_scaling", 3),
+    # global ntile (the diagnostic's one global exchange) + bin rollup
+    ("score_calibration_curve", 1),
+    # user window (islands) + per-user interval window share the
+    # user_id partitioning; + output sort
+    ("user_tier_scd2", 2),
 ])
 def test_ml_ext_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles

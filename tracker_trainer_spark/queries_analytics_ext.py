@@ -1936,6 +1936,146 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Score calibration curve (reliability diagram for a purchase scorer)
+# --------------------------------------------------------------------------
+
+def score_calibration_curve(spark, sf_dir, bins: int = 10):
+    """Reliability diagram for `value` as a purchase scorer: rank all
+    scored events into equal-frequency score deciles (NTILE with an id
+    tiebreak — deterministic membership both engines), then per decile
+    the mean score vs the observed purchase rate.  A well-calibrated
+    scorer tracks the diagonal; AUC (value_purchase_auc) measures
+    ranking, THIS measures whether the magnitudes mean anything — the
+    two standard, non-interchangeable scorer-health views.
+
+    One (global-order) window + one tiny (bin) rollup; at scale the
+    ntile window is the only global exchange and rides a single range
+    partitioning."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select(
+            "value",
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+            F.ntile(bins).over(w).alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # integer-cent accumulation: avg over ~1000 2-decimal
+            # doubles differs between engines in the last ulp and can
+            # flip the 4-dp rounding; summing exact 1e-2 units is
+            # order-independent (same trick as purchase_daily_gapfill)
+            r4(
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .cast("double") / (100.0 * F.count(F.lit(1)))
+            ).alias("mean_score"),
+            r4(F.avg(F.col("y").cast("double"))).alias("purchase_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+CALIBRATION_SQL = """
+WITH b AS (
+  SELECT value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         ntile(10) OVER (ORDER BY value, event_id) AS bin
+  FROM events WHERE value IS NOT NULL
+)
+SELECT bin, count(*) AS n,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             / (100.0 * count(*)), 4) AS mean_score,
+       round(avg(CAST(y AS DOUBLE)), 4) AS purchase_rate
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# SCD2 interval build: per-user tier history with validity ranges
+# --------------------------------------------------------------------------
+
+def user_tier_scd2(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) history build: each purchase
+    places the user in a spend tier (fixed thresholds); consecutive
+    same-tier purchases collapse into ONE validity interval
+    [valid_from, valid_to) closed by the next tier change (open-ended
+    for the current tier) — the warehouse temporal-versioning operator
+    (Kimball SCD2) that turns an event stream into an as-of-joinable
+    dimension.
+
+    Gaps-and-islands: lag to mark changes, running change-count to
+    label islands (both on the SAME user window partitioning — one
+    shuffle), one (user, island) rollup, lead for the closing
+    timestamp.  Summarized per interval with its event count."""
+    ev = _t(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    tier = (
+        F.when(F.col("value") < 5, F.lit("low"))
+        .when(F.col("value") < 15, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = (
+        ev.select("user_id", "ts", "event_id", tier.alias("tier"))
+        .withColumn(
+            "_chg",
+            (F.lag("tier").over(w).isNull()
+             | (F.col("tier") != F.lag("tier").over(w))).cast("int"),
+        )
+        .withColumn("island", F.sum("_chg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    iv = (
+        marked.groupBy("user_id", "island")
+        .agg(
+            # all tiers in an island are equal by construction; min is
+            # the deterministic spelling (matches the oracle)
+            F.min("tier").alias("tier"),
+            F.min("ts").alias("valid_from"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("island")
+    return (
+        iv.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .select("user_id", F.col("island").cast("long").alias("version"),
+                "tier", "valid_from", "valid_to", "n_events")
+        .orderBy("user_id", "version")
+    )
+
+
+SCD2_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN value < 5 THEN 'low'
+              WHEN value < 15 THEN 'mid' ELSE 'high' END AS tier
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), m AS (
+  SELECT *,
+         CASE WHEN lag(tier) OVER w IS NULL OR tier <> lag(tier) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), isl AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS island
+  FROM m
+), iv AS (
+  SELECT user_id, island, min(tier) AS tier, min(ts) AS valid_from,
+         count(*) AS n_events
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, CAST(island AS BIGINT) AS version, tier, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+         AS valid_to,
+       n_events
+FROM iv ORDER BY user_id, version
+"""
+
+
 # Registered via the DEFERRED channel in queries.py: these append AFTER
 # the driver-window reorder, so they cannot displace an older
 # not-yet-verified query from the verification window.  Empty right now
@@ -1979,6 +2119,8 @@ ANALYTICS_QUERIES = {
     "embedding_isotropy": embedding_isotropy,
     "doc_pii_scan": doc_pii_scan,
     "feature_robust_scaling": feature_robust_scaling,
+    "score_calibration_curve": score_calibration_curve,
+    "user_tier_scd2": user_tier_scd2,
     # rows-only by design (binary media): no oracle entry
     "media_image_features": media_image_features,
 }
@@ -2015,4 +2157,6 @@ ANALYTICS_ORACLES = {
     "embedding_isotropy": ISOTROPY_SQL,
     "doc_pii_scan": PII_SCAN_SQL,
     "feature_robust_scaling": ROBUST_SCALING_SQL,
+    "score_calibration_curve": CALIBRATION_SQL,
+    "user_tier_scd2": SCD2_SQL,
 }
