@@ -50,7 +50,11 @@ def interval_join(
 ) -> DataFrame:
     """Rows = (interval columns ⊕ point columns) for every point whose
     `point_time` falls inside [interval_start, interval_end] and whose
-    `on` keys match. Timestamps compare at second precision.
+    `on` keys match. Timestamps compare at MICROSECOND precision —
+    second-truncated comparison (the old unix_timestamp spelling)
+    silently widened the window by up to a second at each edge, which
+    flips membership for boundary-second events (caught by the sf0.1
+    oracle gate: one event in 100k landed in the truncation gap).
 
     Choose `bin_seconds` near the typical interval length: too small
     explodes intervals into many bins (row blow-up ≈ len/W), too large
@@ -59,14 +63,15 @@ def interval_join(
     if bin_seconds <= 0:
         raise ValueError(f"bin_seconds must be positive, got {bin_seconds}")
 
-    pt = F.unix_timestamp(F.col(point_time))
-    lo = F.unix_timestamp(F.col(interval_start))
-    hi = F.unix_timestamp(F.col(interval_end))
+    bin_us = F.lit(int(bin_seconds) * 1_000_000)
+    pt = F.unix_micros(F.col(point_time).cast("timestamp"))
+    lo = F.unix_micros(F.col(interval_start).cast("timestamp"))
+    hi = F.unix_micros(F.col(interval_end).cast("timestamp"))
 
-    p = points.withColumn("_bin", F.floor(pt / bin_seconds))
+    p = points.withColumn("_bin", F.floor(pt / bin_us))
     iv = intervals.withColumn(
         "_bin",
-        F.explode(F.sequence(F.floor(lo / bin_seconds), F.floor(hi / bin_seconds))),
+        F.explode(F.sequence(F.floor(lo / bin_us), F.floor(hi / bin_us))),
     )
     return iv.join(p, [*on, "_bin"]).where(pt.between(lo, hi)).drop("_bin")
 

@@ -2871,7 +2871,11 @@ ORACLES.update(_ML_ORACLES)
 #   r4 edit:  doc_bigram_pmi (double-cast PMI arithmetic),
 #             ann_ivfpq_topk (probe cell ranking switched to the
 #             expanded |c|^2-2x.c form), ann_pq_topk (probe rides the
-#             round-1 training aggregation)
+#             round-1 training aggregation),
+#             events_before_purchase (interval_join now compares
+#             microseconds, not truncated seconds),
+#             purchase_moving_avg (integer-space half-up rounding —
+#             Spark/DuckDB disagree on true half-way doubles)
 _DRIVER_CERTIFIED = frozenset({
     # ---- certified green in CORRECTNESS_r01 / r02 ----
     "ann_cosine_topk",
@@ -2891,7 +2895,6 @@ _DRIVER_CERTIFIED = frozenset({
     "doc_text_stats",
     "doc_token_chunks",
     "embedding_similar_pairs",
-    "events_before_purchase",
     "events_type_stats",
     "funnel_view_click_purchase",
     "merge_rewarded_events",
@@ -2957,7 +2960,6 @@ _DRIVER_CERTIFIED = frozenset({
     "part_name_editdist_pairs",
     "price_quantity_regression",
     "purchase_daily_gapfill",
-    "purchase_moving_avg",
     "q11_important_parts",
     "q16_supplier_counts",
     "q20_promotion_suppliers",

@@ -119,27 +119,33 @@ def purchase_moving_avg(spark, sf_dir):
         .rangeBetween(-7 * 86400 * 1_000_000, 0)
     )
     # exact moving sum: value → integer micro-units so the windowed sum
-    # is order-independent (DuckDB's segment-tree moving sum and Spark's
-    # running accumulation otherwise differ by 1 ulp, which flips the
-    # 4-decimal rounding at half-way values); the final double division
-    # is then bit-identical on both engines
+    # is order-independent; the 4-decimal HALF-UP rounding then ALSO
+    # runs in integer space — floor((sum + 50·n) / (100·n)) in 1e-4
+    # units — because a true half-way average (sum of micro-units over
+    # n=8 hitting exactly .xxxx5) is rounded UP by Spark's
+    # decimal-string ROUND but DOWN by DuckDB's binary-double round
+    # (the nearest double sits just below the decimal midpoint).
+    # Observed at sf0.1: 17 of 20k rows differed by 1e-4 on exactly
+    # this case. Integer arithmetic is identical on both engines; the
+    # boundary division is exact (divisible → representable quotient).
     value_u = F.round(F.col("value") * 1_000_000).cast("long")
+    sum_u = F.sum("_vu").over(w)
+    cnt = F.count(F.lit(1)).over(w)
     return ev.withColumn("_vu", value_u).select(
         "event_id",
         "user_id",
-        F.round(
-            F.sum("_vu").over(w).cast("double")
-            / F.count(F.lit(1)).over(w).cast("double") / 1_000_000.0,
-            4,
-        ).alias("mavg_7d"),
-        F.count(F.lit(1)).over(w).alias("n_7d"),
+        (F.floor((sum_u + 50 * cnt) / (100 * cnt)).cast("double")
+         / 10_000.0).alias("mavg_7d"),
+        cnt.alias("n_7d"),
     )
 
 
 PURCHASE_MOVING_AVG_SQL = """
 SELECT event_id, user_id,
-       round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w AS DOUBLE)
-             / CAST(count(*) OVER w AS DOUBLE) / 1000000.0, 4) AS mavg_7d,
+       CAST(CAST((sum(CAST(round(value * 1000000) AS BIGINT)) OVER w
+                  + 50 * count(*) OVER w)
+                 // (100 * count(*) OVER w) AS BIGINT) AS DOUBLE)
+         / 10000.0 AS mavg_7d,
        count(*) OVER w AS n_7d
 FROM events
 WHERE event_type = 'purchase'
