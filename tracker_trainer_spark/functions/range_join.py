@@ -60,8 +60,11 @@ def interval_join(
     explodes intervals into many bins (row blow-up ≈ len/W), too large
     degrades back toward the per-key cross product within a bin.
     """
-    if bin_seconds <= 0:
-        raise ValueError(f"bin_seconds must be positive, got {bin_seconds}")
+    if int(bin_seconds) < 1:
+        # int() also guards 0 < bin_seconds < 1, which would truncate
+        # to a zero-width bin (NULL keys → silently empty join)
+        raise ValueError(
+            f"bin_seconds must be a whole second >= 1, got {bin_seconds}")
 
     bin_us = F.lit(int(bin_seconds) * 1_000_000)
     pt = F.unix_micros(F.col(point_time).cast("timestamp"))

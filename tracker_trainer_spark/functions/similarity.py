@@ -222,12 +222,16 @@ def lloyd_centroids(df: DataFrame, k: int = 8, iters: int = 2,
         # quantize to 6 decimals (the probe must stay exact, same
         # contract as _fused_ivfpq_training's piggyback).
         dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        # probe sentinel is NULL, not a negative int: Spark's % keeps
+        # the dividend sign, so negative ids produce genuine negative
+        # cells that a -1 sentinel would collide with (and that must
+        # flow into cents exactly as the non-fused path keeps them)
         x = df.select(
             (F.col(id_col) % k).cast("int").alias("cell"),
             F.posexplode(dbl).alias("pos", "v"),
         ).unionAll(
             df.where(F.col(id_col) == probe_id).select(
-                F.lit(-1).alias("cell"),
+                F.lit(None).cast("int").alias("cell"),
                 F.posexplode(dbl).alias("pos", "v"),
             )
         )
@@ -236,19 +240,19 @@ def lloyd_centroids(df: DataFrame, k: int = 8, iters: int = 2,
             .agg(F.avg("v").alias("raw"))
             .select(
                 "cell", "pos",
-                F.when(F.col("cell") == -1, F.col("raw"))
+                F.when(F.col("cell").isNull(), F.col("raw"))
                 .otherwise(F.round("raw", 6)).alias("m"),
             )
             .collect()
         )
-        pvals = {r["pos"]: r["m"] for r in rows if r["cell"] == -1}
+        pvals = {r["pos"]: r["m"] for r in rows if r["cell"] is None}
         if not pvals:
             raise ValueError(f"probe {id_col}={probe_id} not found")
         probe = [pvals[i] for i in range(len(pvals))]
         dim = len(probe)
         cmap: dict = {}
         for r in rows:
-            if r["cell"] >= 0:
+            if r["cell"] is not None:
                 cmap.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["m"]
         cents = [cmap[c] for c in sorted(cmap)]
         start = 1

@@ -142,9 +142,12 @@ def purchase_moving_avg(spark, sf_dir):
 
 PURCHASE_MOVING_AVG_SQL = """
 SELECT event_id, user_id,
-       CAST(CAST((sum(CAST(round(value * 1000000) AS BIGINT)) OVER w
-                  + 50 * count(*) OVER w)
-                 // (100 * count(*) OVER w) AS BIGINT) AS DOUBLE)
+       -- floor(), not //: DuckDB integer // truncates toward zero
+       -- while Spark F.floor rounds toward -inf — they differ on
+       -- negative sums (refund-heavy windows)
+       CAST(CAST(floor((sum(CAST(round(value * 1000000) AS BIGINT)) OVER w
+                        + 50 * count(*) OVER w) * 1.0
+                       / (100 * count(*) OVER w)) AS BIGINT) AS DOUBLE)
          / 10000.0 AS mavg_7d,
        count(*) OVER w AS n_7d
 FROM events
@@ -1865,9 +1868,14 @@ def doc_pii_scan(spark, sf_dir):
             "n_docs",
             F.col("e.docs_with_match").alias("docs_with_match"),
             F.col("e.total_matches").alias("total_matches"),
-            r4(F.col("e.docs_with_match") / F.col("n_docs")).alias("hit_rate"),
+            # integer-space half-up 4-dp rounding: d/n can land exactly
+            # on a decimal midpoint where Spark/DuckDB round() disagree
+            (F.floor((20_000 * F.col("e.docs_with_match") + F.col("n_docs"))
+                     / (2 * F.col("n_docs"))).cast("double") / 10_000.0
+             ).alias("hit_rate"),
         )
-        .orderBy("source", "pattern")
+        # nulls_last matches DuckDB's ORDER BY default on a nullable col
+        .orderBy(F.asc_nulls_last("source"), "pattern")
     )
 
 
@@ -1882,8 +1890,10 @@ SELECT source, '{name}' AS pattern,
             AS BIGINT) AS docs_with_match,
        CAST(sum(len(regexp_extract_all(text, '{pat}'))) AS BIGINT)
          AS total_matches,
-       round(CAST(sum(CASE WHEN regexp_matches(text, '{pat}') THEN 1 ELSE 0 END)
-                  AS BIGINT) * 1.0 / count(*), 4) AS hit_rate
+       CAST(CAST(floor((20000 * sum(CASE WHEN regexp_matches(text, '{pat}')
+                                    THEN 1 ELSE 0 END)
+                        + count(*)) * 1.0 / (2 * count(*))) AS BIGINT)
+            AS DOUBLE) / 10000.0 AS hit_rate
 FROM documents GROUP BY 1""")
     return " UNION ALL ".join(arms) + " ORDER BY source, pattern"
 
@@ -1969,15 +1979,25 @@ def score_calibration_curve(spark, sf_dir, bins: int = 10):
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            # integer-cent accumulation: avg over ~1000 2-decimal
-            # doubles differs between engines in the last ulp and can
-            # flip the 4-dp rounding; summing exact 1e-2 units is
-            # order-independent (same trick as purchase_daily_gapfill)
-            r4(
-                F.sum(F.round(F.col("value") * 100).cast("long"))
-                .cast("double") / (100.0 * F.count(F.lit(1)))
-            ).alias("mean_score"),
-            r4(F.avg(F.col("y").cast("double"))).alias("purchase_rate"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("_sc"),
+            F.sum("y").cast("long").alias("_pos"),
+        )
+        # integer-cent accumulation AND integer-space half-up rounding:
+        # avg over ~1000 2-decimal doubles differs between engines in
+        # the last ulp, and integer-unit quotients can land EXACTLY on
+        # a .xxxx5 midpoint where Spark's decimal-string HALF_UP and
+        # DuckDB's binary-double round disagree — floor((200·s + n) /
+        # (2·100·n)) in 1e-4 units cannot (same spelling as
+        # purchase_moving_avg; values non-negative so floor == trunc)
+        .select(
+            "bin",
+            "n",
+            (F.floor((200 * F.col("_sc") + F.col("n"))
+                     / (2 * F.col("n"))).cast("double") / 10_000.0
+             ).alias("mean_score"),
+            (F.floor((20_000 * F.col("_pos") + F.col("n"))
+                     / (2 * F.col("n"))).cast("double") / 10_000.0
+             ).alias("purchase_rate"),
         )
         .orderBy("bin")
     )
@@ -1991,9 +2011,12 @@ WITH b AS (
   FROM events WHERE value IS NOT NULL
 )
 SELECT bin, count(*) AS n,
-       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
-             / (100.0 * count(*)), 4) AS mean_score,
-       round(avg(CAST(y AS DOUBLE)), 4) AS purchase_rate
+       CAST(CAST(floor((200 * sum(CAST(round(value * 100) AS BIGINT))
+                        + count(*)) * 1.0 / (2 * count(*))) AS BIGINT)
+            AS DOUBLE) / 10000.0 AS mean_score,
+       CAST(CAST(floor((20000 * sum(y) + count(*)) * 1.0
+                       / (2 * count(*))) AS BIGINT) AS DOUBLE)
+         / 10000.0 AS purchase_rate
 FROM b GROUP BY 1 ORDER BY 1
 """
 
