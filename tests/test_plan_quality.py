@@ -527,6 +527,9 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     ("feature_robust_scaling", 3),
     # global ntile (the diagnostic's one global exchange) + bin rollup
     ("score_calibration_curve", 1),
+    # (user,ts) dedup agg + the asof union's ONE key shuffle — all
+    # three asof directions ride a single exchange by design
+    ("next_event_after_purchase", 2),
     # user window (islands) + per-user interval window share the
     # user_id partitioning; + output sort
     ("user_tier_scd2", 2),

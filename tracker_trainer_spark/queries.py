@@ -488,6 +488,121 @@ FROM events GROUP BY 1, 2
 """
 
 
+def stream_windowed_counts(spark, sf_dir):
+    """§2.11 through the REAL streaming engine: the events table plays
+    as a file-source stream (``readStream`` + ``availableNow``) through
+    the SAME watermarked tumbling-window operator the ingest stream
+    uses, drained to a memory sink in complete mode — and the result
+    must equal the DuckDB batch SQL. ``windowed_event_stats_batch``
+    certifies the operator's batch twin; THIS row certifies that the
+    streaming execution path (micro-batch planner, state store,
+    watermark bookkeeping) computes the identical answer, which is the
+    §2.11 claim a user actually relies on.
+
+    Complete-mode state here is the window×type aggregate (bounded,
+    tiny); at production scale the same operator runs in append mode
+    where the watermark expires state — proven by
+    tests/test_streaming_window.py's late-data cases."""
+    import uuid
+
+    from .streaming.ingest_stream import windowed_event_stats
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if batch_schema["ts"].dataType.simpleString() == "bigint":
+        # sf0.001's nanos-as-long ts: same normalization as _t
+        src = src.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    agg = windowed_event_stats(src.select("ts", "event_type", "value"))
+    name = f"stream_win_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "window_start", "event_type", "n",
+        r4(F.col("sum_value")).alias("sum_value"),
+    )
+
+
+# identical answer contract: the streaming drain must reproduce the
+# batch oracle byte for byte
+STREAM_WINDOWED_SQL = WINDOWED_EVENTS_SQL
+
+
+def next_event_after_purchase(spark, sf_dir):
+    """FORWARD as-of join, oracle-certified: for every purchase, the
+    user's next non-purchase event within one hour (type + delay) — the
+    post-conversion behavior question ('what do users do right after
+    buying?'), and the registry certification of asof_join's forward
+    direction + tolerance bound (backward is certified by
+    purchase_attribution_asof; DuckDB has no forward ASOF JOIN, so the
+    oracle spells it as an argmin over the bounded window).
+
+    The right side dedupes to one row per (user, ts) first (min
+    event_id — deterministic in both engines) so an exact-timestamp tie
+    cannot pick different rows cross-engine. The delay rounds in
+    integer 100-µs space (floor((µs+50)/100)/1e4): an exact-decimal
+    quotient of integer microseconds CAN land on a .xxxx5 midpoint
+    where the engines' round() disagree."""
+    from tracker_trainer_spark.functions.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    nxt = (
+        ev.where(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min_by("event_type", "event_id").alias("event_type"))
+    )
+    joined = asof_join(
+        purchases, nxt, on="ts", by="user_id",
+        right_cols=["ts", "event_type"],
+        direction="forward", tolerance=3600.0,
+    )
+    gap_us = (
+        F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    return joined.select(
+        "purchase_id",
+        F.col("asof_event_type").alias("next_type"),
+        (F.floor((gap_us + 50) / 100).cast("double") / 10_000.0)
+        .alias("gap_s"),
+    )
+
+
+NEXT_EVENT_SQL = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+), nx AS (
+  SELECT user_id, ts, min_by(event_type, event_id) AS event_type
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+), m AS (
+  SELECT p.purchase_id,
+         min_by(nx.event_type, nx.ts) AS next_type,
+         min(epoch_us(nx.ts) - epoch_us(p.ts)) AS gap_us
+  FROM p LEFT JOIN nx
+    ON nx.user_id = p.user_id
+   AND nx.ts >= p.ts
+   AND nx.ts <= p.ts + INTERVAL 1 HOUR
+  GROUP BY 1
+)
+SELECT purchase_id, next_type,
+       CAST(CAST(floor((gap_us + 50) * 1.0 / 100) AS BIGINT) AS DOUBLE)
+         / 10000.0 AS gap_s
+FROM m
+"""
+
+
 def merge_rewarded_events(spark, sf_dir):
     """The reward↔decision merge shape on the events table.
 
@@ -2722,6 +2837,8 @@ QUERIES = {
     "nations_with_customers_and_suppliers": nations_with_customers_and_suppliers,
     "events_type_stats": events_type_stats,
     "windowed_event_stats": windowed_event_stats_batch,
+    "stream_windowed_counts": stream_windowed_counts,
+    "next_event_after_purchase": next_event_after_purchase,
     "merge_rewarded_events": merge_rewarded_events,
     "reward_summary_stats": reward_summary_stats,
     "value_purchase_auc": value_purchase_auc,
@@ -2813,6 +2930,8 @@ ORACLES = {
     "nations_with_customers_and_suppliers": INTERSECT_SQL,
     "events_type_stats": EVENTS_STATS_SQL,
     "windowed_event_stats": WINDOWED_EVENTS_SQL,
+    "stream_windowed_counts": STREAM_WINDOWED_SQL,
+    "next_event_after_purchase": NEXT_EVENT_SQL,
     "merge_rewarded_events": MERGE_EVENTS_SQL,
     "reward_summary_stats": REWARD_STATS_SQL,
     "value_purchase_auc": AUC_SQL,
