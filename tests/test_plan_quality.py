@@ -609,3 +609,53 @@ def test_kmeans_assignment_is_codegen(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "mapInPandas" not in plan
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    ("hll_distinct_users", 4),        # register agg + 256-row rollup + exact-distinct (2)
+    ("countmin_frequency_topk", 3),   # freq agg + counter agg (counters broadcast back)
+    ("bloom_filter_audit", 3),        # bit-set distinct (broadcast) + per-part + per-brand
+    ("customer_hierarchy_rollup", 2), # recursive frontier joins + one depth rollup
+    ("user_running_distinct", 2),     # both windows + final agg share the user_id hash
+    ("theil_sen_price_slope", 3),     # pair sort rank + scalar point-count attach
+    ("supplier_shared_parts", 3),     # per-part set agg + pair agg (+ top-k window)
+])
+def test_sketch_shuffle_budgets(spark, sf_dir, name, max_shuffles):
+    assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles
+
+
+def test_cms_counters_built_from_keys_not_rows(spark, sf_dir):
+    """Count-Min counter construction must aggregate frequencies FIRST:
+    the d-way explosion happens on the distinct-key relation, so no
+    Generate (explode) node may sit below the first lineitem-side
+    aggregate exchange."""
+    from tracker_trainer_spark.plans import physical_plan
+    plan = physical_plan(QUERIES["countmin_frequency_topk"](spark, sf_dir))
+    gen = plan.index("Generate")
+    first_agg = plan.index("HashAggregate")
+    assert "CartesianProduct" not in plan
+    # the plan string lists operators top-down: the explode (Generate)
+    # must appear ABOVE (before) the scan-side count aggregate's last
+    # HashAggregate, i.e. the explode consumes aggregated rows
+    assert gen < plan.rindex("HashAggregate"), plan
+
+
+def test_shared_parts_pairs_are_scan_side(spark, sf_dir):
+    """Bipartite pair generation is a HOF over the per-part supplier
+    array — never a partkey self-join."""
+    from tracker_trainer_spark.plans import physical_plan
+    plan = physical_plan(QUERIES["supplier_shared_parts"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hll_registers_never_move_raw_rows(spark, sf_dir):
+    """The HLL register build must partial-aggregate map-side: the plan
+    has a 2-level (partial/final) HashAggregate pair on (type, idx) and
+    no Python eval anywhere."""
+    from tracker_trainer_spark.plans import physical_plan
+    plan = physical_plan(QUERIES["hll_distinct_users"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × (regs, rollup)

@@ -2904,6 +2904,16 @@ from tracker_trainer_spark.queries_ml_ext import (  # noqa: E402
 
 QUERIES.update(_ML_QUERIES)
 
+# Sketch / probabilistic structures (HyperLogLog, Count-Min, Bloom),
+# recursive-CTE hierarchy, running-distinct, Theil-Sen, bipartite
+# projection, streaming-dedup certification — same one-registry contract.
+from tracker_trainer_spark.queries_sketch_ext import (  # noqa: E402
+    SKETCH_ORACLES as _SKETCH_ORACLES,
+    SKETCH_QUERIES as _SKETCH_QUERIES,
+)
+
+QUERIES.update(_SKETCH_QUERIES)
+
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_revenue_orders": Q3_SQL,
@@ -2969,6 +2979,7 @@ ORACLES = {
 ORACLES.update(_EXT_ORACLES)
 ORACLES.update(_ANALYTICS_ORACLES)
 ORACLES.update(_ML_ORACLES)
+ORACLES.update(_SKETCH_ORACLES)
 
 # --------------------------------------------------------------------------
 # Driver correctness-window ordering

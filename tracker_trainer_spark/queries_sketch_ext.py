@@ -1,0 +1,685 @@
+"""Sketch / probabilistic-structure queries plus the operator families
+they certify: HyperLogLog distinct-count, Count-Min frequency, Bloom
+membership, recursive-CTE hierarchy rollup, running-distinct windows,
+Theil-Sen robust regression, bipartite co-occurrence projection, and a
+second streaming-engine certification (stateful dedup).
+
+Sketches here are the REAL algorithms (register max / counter min /
+bit-position membership), built so both engines compute bit-identical
+results: every hash is the portable md5 prefix (never engine-native
+hash functions), every accumulation is integer-space (register sums as
+shifted BIGINTs, counter sums cast back to BIGINT), and the only float
+op is a final single division or an exact order statistic — per the
+repo's oracle-parity conventions.
+
+Scale notes (the reason each shape survives 100 TB):
+- HLL: per-(group, register) max is a 2-level hash agg — map-side
+  combine collapses the stream to ≤ groups×256 rows before any
+  exchange; the estimate itself never moves row data.
+- Count-Min: frequencies are pre-aggregated BEFORE hashing into
+  counters, so the d×w counter build shuffles |distinct items| rows,
+  not |rows|; counters (4×1024) broadcast back for the point lookup.
+- Bloom: the bit-set is a distinct-position relation (≤ k×|blocked|)
+  that broadcasts; membership is a position-count semi-join, never a
+  driver-side bitmap.
+- Recursive CTE: Spark 4's native WITH RECURSIVE — each iteration is
+  one equi-join of the frontier against the (broadcastable) parent
+  relation; depth is log_8(n).
+- Theil-Sen: the all-pairs slope join is quadratic by definition, so
+  it runs on a deterministic hash sample (mod-600) — the standard
+  scale posture for pairwise robust estimators.
+- Bipartite projection: per-part supplier lists are hub-capped
+  (≤ 40) before the pair explosion, bounding the quadratic term the
+  way LSH banding bounds minhash pair generation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark, sf_dir, name):
+    from tracker_trainer_spark.queries import _t as _load
+
+    return _load(spark, sf_dir, name)
+
+
+def _spread(df, n=None):
+    from tracker_trainer_spark.session import spread
+
+    return spread(df, n)
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (m = 256 registers)
+# --------------------------------------------------------------------------
+# Estimator constant, computed ONCE here and embedded as the same literal
+# in both engines (parity convention: engine-derived float constants are
+# repr()'d into the SQL).  alpha_256 * m^2, pre-scaled by 2^53 because
+# register contributions are accumulated as integer 2^(53-reg).
+_HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_NUMER = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 53)
+_POW53 = 1 << 53  # scaled contribution of an untouched (rho = 0) register
+
+
+def hll_distinct_users(spark, sf_dir):
+    """HyperLogLog distinct-user estimate per event type, next to the
+    exact count it approximates (the cardinality-sketch operator of
+    Flajolet et al. 2007 — what `approx_count_distinct` runs inside,
+    re-built here portably so DuckDB verifies the arithmetic).
+
+    Hash = portable 60-bit md5 prefix; low 8 bits pick one of 256
+    registers, the remaining 52 bits' leading-zero count (+1) is the
+    register rank.  The harmonic-mean denominator is accumulated in
+    EXACT integer space as sum(2^(53-reg)) — max 256·2^53 = 2^61, so
+    it fits BIGINT in both engines without HUGEINT promotion — and the
+    single float op is the final literal/denominator division (bit-
+    identical cross-engine).  No small-range linear-counting branch:
+    libm log() is not cross-engine reproducible, so the raw estimator
+    is the contract (and what the relative-error column reports).
+
+    At 100 TB: one 2-level hash agg to (type, register), a 256-row
+    rollup per group, and a broadcast join against the exact counts —
+    register maps never leave the executors un-combined.
+    """
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.shiftright(h, 8)
+    rho = F.lit(53) - F.length(F.conv(w.cast("string"), 10, 2))
+    regs = (
+        ev.select(
+            "event_type",
+            h.bitwiseAND(F.lit(255)).alias("idx"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("reg"))
+    )
+    denom = regs.groupBy("event_type").agg(
+        # pyspark's shiftleft() only takes a literal shift — spell the
+        # column-shift in SQL (1L << (53 - reg), max 2^52 per register)
+        F.sum(F.expr("shiftleft(1L, 53 - reg)")).alias("_present"),
+        F.count(F.lit(1)).alias("n_registers"),
+    )
+    s_scaled = F.col("_present") + (F.lit(_HLL_M) - F.col("n_registers")) * F.lit(
+        _POW53
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return (
+        exact.join(F.broadcast(denom), "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (F.lit(_HLL_NUMER) / s_scaled.cast("double")).alias("hll_est"),
+            "n_registers",
+        )
+    )
+
+
+HLL_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS hv
+  FROM events
+), r AS (
+  SELECT event_type, hv & 255 AS idx,
+         max(53 - length(bin(hv >> 8))) AS reg
+  FROM h GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         CAST(sum(1::BIGINT << (53 - reg)) AS BIGINT)
+           + ({_HLL_M} - count(*)) * {_POW53} AS s_scaled,
+         CAST(count(*) AS BIGINT) AS n_registers
+  FROM r GROUP BY 1
+), x AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+)
+SELECT x.event_type, x.n_exact,
+       {_HLL_NUMER!r} / CAST(s.s_scaled AS DOUBLE) AS hll_est,
+       s.n_registers
+FROM x JOIN s USING (event_type)
+"""
+
+
+# --------------------------------------------------------------------------
+# Count-Min frequency sketch (d = 4 rows × w = 1024 buckets)
+# --------------------------------------------------------------------------
+_CMS_D = 4
+_CMS_W = 1024
+
+
+def countmin_frequency_topk(spark, sf_dir):
+    """Count-Min sketch point estimates for the 20 most frequent
+    lineitem part keys, next to their true frequencies (Cormode &
+    Muthukrishnan 2005): d=4 portable hash rows × w=1024 counters, the
+    estimate is the min over rows, overcount = estimate − truth ≥ 0.
+
+    Scale shape: frequencies are aggregated FIRST (one |rows| → |keys|
+    hash agg), the 4×1024 counter table is built from the 4-way key
+    explosion of that small relation, and the point lookup broadcasts
+    the counters back — so sketch construction shuffles |keys| rows,
+    never |rows|, and the final per-key min rides the same partitioning
+    as the frequency agg (no extra exchange under AQE)."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("true_n"))
+    j = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("j")
+    keyed = counts.select("l_partkey", "true_n", j).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("j"), F.col("l_partkey").cast("string"))
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W,
+    )
+    counters = keyed.groupBy("j", "bucket").agg(F.sum("true_n").alias("c"))
+    est = (
+        keyed.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("l_partkey")
+        .agg(F.max("true_n").alias("true_n"), F.min("c").alias("cms_est"))
+    )
+    wtop = Window.orderBy(F.col("true_n").desc(), F.col("l_partkey"))
+    return (
+        est.withColumn("_rk", F.row_number().over(wtop))
+        .where(F.col("_rk") <= 20)
+        .select(
+            "l_partkey",
+            "true_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_n")).alias("overcount"),
+        )
+    )
+
+
+CMS_SQL = f"""
+WITH counts AS (
+  SELECT l_partkey, count(*) AS true_n FROM lineitem GROUP BY 1
+), keyed AS (
+  SELECT l_partkey, true_n, j,
+         CAST(('0x' || substr(md5(j || ':' || CAST(l_partkey AS VARCHAR)),
+                              1, 7)) AS BIGINT) % {_CMS_W} AS bucket
+  FROM counts, (SELECT unnest(['0', '1', '2', '3']) AS j)
+), counters AS (
+  SELECT j, bucket, CAST(sum(true_n) AS BIGINT) AS c
+  FROM keyed GROUP BY 1, 2
+), est AS (
+  SELECT k.l_partkey, max(k.true_n) AS true_n, min(c.c) AS cms_est
+  FROM keyed k JOIN counters c ON k.j = c.j AND k.bucket = c.bucket
+  GROUP BY 1
+)
+SELECT l_partkey, true_n, cms_est, cms_est - true_n AS overcount
+FROM (
+  SELECT *, row_number() OVER (ORDER BY true_n DESC, l_partkey) AS _rk
+  FROM est
+) WHERE _rk <= 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership audit (m = 4096 bits, k = 3 hashes)
+# --------------------------------------------------------------------------
+_BLOOM_BITS = 4096
+_BLOOM_K = 3
+
+
+def bloom_filter_audit(spark, sf_dir):
+    """Bloom-filter false-positive audit: parts with p_size = 1 form a
+    blocklist; every part is then tested against the blocklist's Bloom
+    filter (k=3 portable hashes into 4096 bits) and the per-brand
+    confusion counts come back — the denylist-membership operator
+    (join pre-filtering, PII suppression) with its FP rate made
+    visible.  Bloom filters never false-negative, so n_blocked rows
+    are all recovered and the interesting column is n_false_pos.
+
+    The bit-set is relational: distinct set positions of the blocked
+    keys (≤ 3·|blocked| rows) broadcast to a position-count semi-join
+    — membership = all 3 probe positions present.  No driver-side
+    bitmap, no per-row Python; at 100 TB the probe side stays a
+    scan + broadcast join + two hash aggs."""
+    part = _t(spark, sf_dir, "part")
+    i = F.explode(F.array(*[F.lit(x) for x in range(_BLOOM_K)])).alias("i")
+    pos = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("i"), F.col("p_partkey").cast("string"))),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("long") % _BLOOM_BITS
+    # positions of the BLOCKED keys → the filter's set bits
+    bloom = (
+        part.where(F.col("p_size") == 1)
+        .select(i, "p_partkey")
+        .select(pos.alias("pos"))
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+    probes = part.select("p_partkey", "p_brand", "p_size", i).select(
+        "p_partkey", "p_brand", "p_size", pos.alias("pos")
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "pos", "left")
+        .groupBy("p_partkey", "p_brand", "p_size")
+        .agg(F.sum(F.coalesce(F.col("_set"), F.lit(0))).alias("_nhit"))
+    )
+    flagged = hits.select(
+        "p_brand",
+        (F.col("p_size") == 1).cast("int").alias("_truth"),
+        (F.col("_nhit") == _BLOOM_K).cast("int").alias("_pos"),
+    )
+    return (
+        flagged.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("_truth").cast("long").alias("n_blocked"),
+            F.sum("_pos").cast("long").alias("n_bloom_pos"),
+            F.sum(
+                ((F.col("_pos") == 1) & (F.col("_truth") == 0)).cast("int")
+            ).cast("long").alias("n_false_pos"),
+        )
+    )
+
+
+BLOOM_SQL = f"""
+WITH blocked AS (
+  SELECT p_partkey FROM part WHERE p_size = 1
+), bloom AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(i || ':' || CAST(p_partkey AS VARCHAR)),
+                              1, 7)) AS BIGINT) % {_BLOOM_BITS} AS pos
+  FROM blocked, (SELECT unnest(['0', '1', '2']) AS i)
+), probes AS (
+  SELECT p_partkey, p_brand, p_size,
+         CAST(('0x' || substr(md5(i || ':' || CAST(p_partkey AS VARCHAR)),
+                              1, 7)) AS BIGINT) % {_BLOOM_BITS} AS pos
+  FROM part, (SELECT unnest(['0', '1', '2']) AS i)
+), hits AS (
+  SELECT p.p_partkey, p.p_brand, p.p_size,
+         sum(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS _nhit
+  FROM probes p LEFT JOIN bloom b ON p.pos = b.pos
+  GROUP BY 1, 2, 3
+)
+SELECT p_brand,
+       count(*) AS n_parts,
+       CAST(sum(CASE WHEN p_size = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_blocked,
+       CAST(sum(CASE WHEN _nhit = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_pos,
+       CAST(sum(CASE WHEN _nhit = {_BLOOM_K} AND p_size <> 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+FROM hits GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE: synthetic customer hierarchy rollup
+# --------------------------------------------------------------------------
+
+def customer_hierarchy_rollup(spark, sf_dir):
+    """Per-depth rollup of a customer reporting tree via Spark 4's
+    native ``WITH RECURSIVE`` — the iterative-fixpoint operator class
+    (org charts, bill-of-materials, folder trees) that classic Spark
+    had to hand-loop.  The tree is derived deterministically from the
+    key space (parent(c) = (c−1) div 8, root 0) so both engines build
+    the identical 8-ary hierarchy; per depth: node count and total
+    account balance accumulated as exact integer cents.
+
+    Each recursion step is one equi-join of the current frontier
+    against the customer relation — at scale the frontier is the only
+    growing side and the recursion depth is log_8(n) (5 levels at
+    15k customers, 12 at 100 TB's ~10^11 keys)."""
+    cust = _t(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("hier_customer_src")
+    return spark.sql(
+        """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey, CAST(0 AS BIGINT) AS depth
+  FROM hier_customer_src WHERE c_custkey = 0
+  UNION ALL
+  SELECT c.c_custkey, chain.depth + 1
+  FROM hier_customer_src c JOIN chain
+    ON (c.c_custkey - 1) div 8 = chain.c_custkey
+  WHERE c.c_custkey > 0
+)
+SELECT chain.depth,
+       count(*) AS n_nodes,
+       CAST(sum(CAST(round(s.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM chain JOIN hier_customer_src s ON chain.c_custkey = s.c_custkey
+GROUP BY chain.depth
+"""
+    )
+
+
+HIERARCHY_SQL = """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey, CAST(0 AS BIGINT) AS depth
+  FROM customer WHERE c_custkey = 0
+  UNION ALL
+  SELECT c.c_custkey, chain.depth + 1
+  FROM customer c JOIN chain ON (c.c_custkey - 1) // 8 = chain.c_custkey
+  WHERE c.c_custkey > 0
+)
+SELECT chain.depth,
+       count(*) AS n_nodes,
+       CAST(sum(CAST(round(s.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM chain JOIN customer s ON chain.c_custkey = s.c_custkey
+GROUP BY chain.depth
+"""
+
+
+# --------------------------------------------------------------------------
+# Streaming certification #2: stateful dedup through the real engine
+# --------------------------------------------------------------------------
+
+def stream_distinct_users(spark, sf_dir):
+    """§2.11 stateful streaming DEDUP through the REAL engine: the
+    events table plays as a file-source stream and every (user, type)
+    pair must be emitted exactly once by ``dropDuplicates`` state
+    (append mode, availableNow drain to a memory sink) — and the result
+    must equal batch DISTINCT.  ``stream_windowed_counts`` certifies
+    the windowed-aggregation state path; THIS row certifies the
+    dedup/state-store path, the operator the ingest stream's
+    message-id dedup relies on (streaming/ingest_stream.py).
+
+    Complete-history state is fine for a finite drain; the production
+    variant bounds it with dropDuplicatesWithinWatermark (covered by
+    tests/test_streaming_dedup.py's late-data cases)."""
+    import uuid
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dedup = src.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    name = f"stream_dd_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("user_id", "event_type")
+
+
+STREAM_DISTINCT_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Running distinct: cumulative novel-type window per user
+# --------------------------------------------------------------------------
+
+def user_running_distinct(spark, sf_dir):
+    """Per-user cumulative-distinct summary: how many distinct event
+    types the user ever reaches and WHEN the third novel type appeared
+    (an activation-milestone timestamp) — the running COUNT(DISTINCT)
+    OVER (ORDER BY …) operator that engines refuse to evaluate
+    directly, decomposed scalably: first-occurrence flags via one
+    per-(user, type) window, a running sum of flags on the per-user
+    window, then a per-user rollup.
+
+    Both windows and the final agg hash-partition by user_id, so the
+    whole query is ONE exchange at any scale; ties break on event_id
+    in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("_novel", (F.row_number().over(w_first) == 1).cast("int"))
+        .withColumn("_ntypes", F.sum("_novel").over(w_run))
+    )
+    return marked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("_ntypes").cast("long").alias("n_types"),
+        F.min(
+            F.when((F.col("_novel") == 1) & (F.col("_ntypes") == 3), F.col("ts"))
+        ).alias("third_type_ts"),
+    )
+
+
+RUNNING_DISTINCT_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN row_number() OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id
+              ) = 1 THEN 1 ELSE 0 END AS _novel
+  FROM events
+), run AS (
+  SELECT user_id, ts, _novel,
+         CAST(sum(_novel) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS _ntypes
+  FROM marked
+)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(max(_ntypes) AS BIGINT) AS n_types,
+       min(CASE WHEN _novel = 1 AND _ntypes = 3 THEN ts END) AS third_type_ts
+FROM run GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust slope (median of pairwise slopes on a hash sample)
+# --------------------------------------------------------------------------
+
+def theil_sen_price_slope(spark, sf_dir):
+    """Theil-Sen robust regression of extended price on quantity: the
+    LOWER MEDIAN of all pairwise slopes over a deterministic mod-600
+    hash sample of lineitem (Sen 1968) — the outlier-resistant
+    counterpart to price_quantity_regression's OLS, and the estimator
+    of choice when 29% of the rows can be corrupted.
+
+    Pairwise slopes are quadratic by construction, so the sample IS
+    the scale strategy (1k points → 500k pairs at sf0.1, invariant at
+    100 TB).  The median is taken as an exact order statistic (element
+    at ceil(n/2) of the slope sort with a pair-id tiebreak) — never
+    interpolated, because Spark's percentile() and DuckDB's
+    quantile_cont() disagree in the last ulp on interpolated
+    midpoints."""
+    li = _t(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long").alias("_h"),
+    )
+    pts = keyed.where(F.col("_h") % 600 == 0).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pid"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.pid") < F.col("b.pid"))
+            & (F.col("a.l_quantity") != F.col("b.l_quantity")),
+        )
+        .select(
+            F.col("a.pid").alias("pid_a"),
+            F.col("b.pid").alias("pid_b"),
+            (
+                (F.col("b.l_extendedprice") - F.col("a.l_extendedprice"))
+                / (F.col("b.l_quantity") - F.col("a.l_quantity"))
+            ).alias("slope"),
+        )
+    )
+    wm = Window.orderBy("slope", "pid_a", "pid_b")
+    wall = Window.partitionBy()
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(wm).alias("_rk"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    )
+    npts = pts.agg(F.count(F.lit(1)).alias("n_points"))
+    return (
+        ranked.where(F.col("_rk") == F.expr("(_n + 1) div 2"))
+        .crossJoin(F.broadcast(npts))  # 1-row scalar attach
+        .select(
+            "n_points",
+            F.col("_n").alias("n_pairs"),
+            F.col("slope").alias("theil_sen_slope"),
+        )
+    )
+
+
+THEIL_SEN_SQL = """
+WITH pts AS (
+  SELECT l_orderkey * 10 + l_linenumber AS pid, l_quantity, l_extendedprice
+  FROM lineitem
+  WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                                 CAST(l_linenumber AS VARCHAR)), 1, 7))
+             AS BIGINT) % 600 = 0
+), pairs AS (
+  SELECT a.pid AS pid_a, b.pid AS pid_b,
+         (b.l_extendedprice - a.l_extendedprice)
+           / (b.l_quantity - a.l_quantity) AS slope
+  FROM pts a JOIN pts b
+    ON a.pid < b.pid AND a.l_quantity <> b.l_quantity
+), ranked AS (
+  SELECT slope, row_number() OVER (ORDER BY slope, pid_a, pid_b) AS _rk,
+         count(*) OVER () AS _n
+  FROM pairs
+)
+SELECT (SELECT count(*) FROM pts) AS n_points,
+       CAST(_n AS BIGINT) AS n_pairs,
+       slope AS theil_sen_slope
+FROM ranked WHERE _rk = (_n + 1) // 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Bipartite projection: suppliers sharing parts (hub-capped)
+# --------------------------------------------------------------------------
+
+def supplier_shared_parts(spark, sf_dir):
+    """Bipartite co-occurrence projection: the 20 supplier pairs that
+    ship the most parts in common, from the distinct (part, supplier)
+    edges of lineitem — the collaborative-filtering / co-citation
+    projection whose quadratic hub term every graph system must bound.
+
+    Scale posture is the hub cap: parts with more than 40 distinct
+    suppliers are dropped BEFORE pair generation (the same
+    degree-bounding that makes the triangle count hub-proof), so the
+    pair volume is ≤ C(40,2)·|parts| regardless of how skewed the
+    hottest part is.  Instead of a partkey self-join (2 extra
+    exchanges + a recomputed distinct), the per-part supplier set is
+    collected ONCE (collect_set = the distinct, map-side combined) and
+    unordered pairs are generated scan-side from the sorted array with
+    nested transform/slice — 3 total exchanges: per-part set, pair
+    agg, top-k.  Pairs aggregate in one hash agg; top-20 breaks ties
+    on the pair ids in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    sets = (
+        li.groupBy("l_partkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
+        .where((F.size("ss") >= 2) & (F.size("ss") <= 40))
+    )
+    pair_expr = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(ss, (x, i) -> "
+                "transform(slice(ss, i + 2, size(ss)), y -> struct(x AS s1, y AS s2)))"
+            )
+        )
+    )
+    pairs = (
+        sets.select(pair_expr.alias("p"))
+        .select(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared_parts"))
+    )
+    wtop = Window.orderBy(F.col("shared_parts").desc(), "s1", "s2")
+    return (
+        pairs.withColumn("_rk", F.row_number().over(wtop))
+        .where(F.col("_rk") <= 20)
+        .select("s1", "s2", "shared_parts")
+    )
+
+
+SHARED_PARTS_SQL = """
+WITH edges AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), deg AS (
+  SELECT l_partkey, count(*) AS _deg FROM edges GROUP BY 1
+), kept AS (
+  SELECT e.l_partkey, e.l_suppkey
+  FROM edges e JOIN deg d ON e.l_partkey = d.l_partkey AND d._deg <= 40
+), pairs AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS shared_parts
+  FROM kept a JOIN kept b
+    ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+)
+SELECT s1, s2, CAST(shared_parts AS BIGINT) AS shared_parts
+FROM (
+  SELECT s1, s2, shared_parts,
+         row_number() OVER (ORDER BY shared_parts DESC, s1, s2) AS _rk
+  FROM pairs
+) WHERE _rk <= 20
+"""
+
+
+SKETCH_QUERIES = {
+    "hll_distinct_users": hll_distinct_users,
+    "countmin_frequency_topk": countmin_frequency_topk,
+    "bloom_filter_audit": bloom_filter_audit,
+    "customer_hierarchy_rollup": customer_hierarchy_rollup,
+    "stream_distinct_users": stream_distinct_users,
+    "user_running_distinct": user_running_distinct,
+    "theil_sen_price_slope": theil_sen_price_slope,
+    "supplier_shared_parts": supplier_shared_parts,
+}
+
+SKETCH_ORACLES = {
+    "hll_distinct_users": HLL_SQL,
+    "countmin_frequency_topk": CMS_SQL,
+    "bloom_filter_audit": BLOOM_SQL,
+    "customer_hierarchy_rollup": HIERARCHY_SQL,
+    "stream_distinct_users": STREAM_DISTINCT_SQL,
+    "user_running_distinct": RUNNING_DISTINCT_SQL,
+    "theil_sen_price_slope": THEIL_SEN_SQL,
+    "supplier_shared_parts": SHARED_PARTS_SQL,
+}
