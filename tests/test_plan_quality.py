@@ -619,6 +619,9 @@ def test_kmeans_assignment_is_codegen(spark, sf_dir):
     ("user_running_distinct", 2),     # both windows + final agg share the user_id hash
     ("theil_sen_price_slope", 3),     # pair sort rank + scalar point-count attach
     ("supplier_shared_parts", 3),     # per-part set agg + pair agg (+ top-k window)
+    ("cms_join_size_estimate", 6),    # freq agg feeds exact + sketch branches (all ≤4k rows after)
+    ("daily_revenue_autocorr", 3),    # daily agg + one ordered window + 2-group rollup
+    ("event_trigram_patterns", 2),    # one user window + trigram rollup (+ top-k)
 ])
 def test_sketch_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles

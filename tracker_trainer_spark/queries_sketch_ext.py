@@ -662,6 +662,261 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# Count-Min inner product: join-size estimation (AMS/CMS composition)
+# --------------------------------------------------------------------------
+
+def cms_join_size_estimate(spark, sf_dir):
+    """Join-cardinality estimation by sketch composition: the exact
+    size of the view⋈purchase self-join on user_id next to its
+    Count-Min inner-product estimate (min over rows of Σ_b cA·cB —
+    Alon-Matias-Szegedy / Cormode-Muthukrishnan), the statistic a
+    cost-based optimizer consults before picking a join strategy.
+    CMS inner products only over-estimate, so overcount ≥ 0 always.
+
+    Both frequency vectors aggregate BEFORE sketching (|keys| rows
+    into 4×1024 counters), the per-row bucket dot products are exact
+    BIGINT arithmetic, and the exact join size is itself computed
+    key-aggregated (Σ f_A·f_B over the key join — never a row-level
+    join).  One scan feeds both sides via conditional aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    freqs = (
+        ev.where(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "view").cast("int")).alias("fa"),
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias("fb"),
+        )
+    )
+    exact = freqs.agg(
+        F.sum(F.col("fa") * F.col("fb")).cast("long").alias("exact_size")
+    )
+    j = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("j")
+    keyed = freqs.select("user_id", "fa", "fb", j).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("j"), F.col("user_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W,
+    )
+    counters = keyed.groupBy("j", "bucket").agg(
+        F.sum("fa").alias("ca"), F.sum("fb").alias("cb")
+    )
+    est = (
+        counters.groupBy("j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+        .agg(F.min("dot").cast("long").alias("cms_est"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))  # two 1-row scalars
+        .select(
+            "exact_size",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_size")).alias("overcount"),
+        )
+    )
+
+
+CMS_JOIN_SIZE_SQL = f"""
+WITH freqs AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS fa,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS fb
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1
+), exact AS (
+  SELECT CAST(sum(fa * fb) AS BIGINT) AS exact_size FROM freqs
+), keyed AS (
+  SELECT fa, fb, j,
+         CAST(('0x' || substr(md5(j || ':' || CAST(user_id AS VARCHAR)),
+                              1, 7)) AS BIGINT) % {_CMS_W} AS bucket
+  FROM freqs, (SELECT unnest(['0', '1', '2', '3']) AS j)
+), counters AS (
+  SELECT j, bucket, CAST(sum(fa) AS BIGINT) AS ca,
+         CAST(sum(fb) AS BIGINT) AS cb
+  FROM keyed GROUP BY 1, 2
+), est AS (
+  SELECT CAST(min(dot) AS BIGINT) AS cms_est FROM (
+    SELECT j, CAST(sum(ca * cb) AS BIGINT) AS dot FROM counters GROUP BY 1
+  )
+)
+SELECT exact_size, cms_est, cms_est - exact_size AS overcount
+FROM exact, est
+"""
+
+
+# --------------------------------------------------------------------------
+# Daily revenue autocorrelation (exact integer-cent moments)
+# --------------------------------------------------------------------------
+
+def daily_revenue_autocorr(spark, sf_dir):
+    """Lag-1 and lag-7 Pearson autocorrelation of daily purchase
+    revenue — the seasonality probe (does yesterday / the same weekday
+    last week predict today?) run before fitting any forecast model.
+
+    Cross-engine exactness: daily revenue is summed as integer cents,
+    every Pearson moment (Σx, Σy, Σxy, Σx², Σy², n) stays BIGINT, and
+    the only float ops are the final two casts, one multiply, one
+    correctly-rounded sqrt, and one division — bit-identical in both
+    engines.  The day series is tiny after the one daily rollup; lags
+    come from a single ordered window over it (pairs with a missing
+    predecessor day drop out via the day-difference guard)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    w = Window.orderBy("day")
+    # both lags ride ONE ordered window pass; the (lag, pair) rows are
+    # exploded scan-side so a single grouped aggregation produces both
+    # autocorrelations — 3 exchanges total (daily agg, day window,
+    # 2-group rollup) instead of two per-lag branches
+    both = daily.select(
+        "day",
+        "cents",
+        F.lag("cents", 1).over(w).alias("p1"),
+        F.lag("day", 1).over(w).alias("pd1"),
+        F.lag("cents", 7).over(w).alias("p7"),
+        F.lag("day", 7).over(w).alias("pd7"),
+    )
+    pairs = (
+        both.select(
+            "day",
+            "cents",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).cast("long").alias("lag"),
+                        F.col("p1").alias("prev"),
+                        F.col("pd1").alias("prev_day"),
+                    ),
+                    F.struct(
+                        F.lit(7).cast("long").alias("lag"),
+                        F.col("p7").alias("prev"),
+                        F.col("pd7").alias("prev_day"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("day", "cents", "e.lag", "e.prev", "e.prev_day")
+        .where(F.expr("date_add(prev_day, CAST(lag AS INT)) = day"))
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("cents").alias("sx"),
+        F.sum("prev").alias("sy"),
+        F.sum(F.col("cents") * F.col("prev")).alias("sxy"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
+        F.sum(F.col("prev") * F.col("prev")).alias("syy"),
+    )
+    return m.select(
+        "lag",
+        "n_pairs",
+        (
+            (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / F.sqrt(
+                (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+                * (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy"))
+                .cast("double")
+            )
+        ).alias("acf"),
+    )
+
+
+AUTOCORR_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), lagged AS (
+  SELECT lag FROM (SELECT unnest([1, 7]) AS lag)
+), series AS (
+  SELECT l.lag, d.day, d.cents,
+         lag(d.cents, l.lag) OVER (PARTITION BY l.lag ORDER BY d.day) AS prev,
+         lag(d.day, l.lag) OVER (PARTITION BY l.lag ORDER BY d.day) AS prev_day
+  FROM daily d CROSS JOIN lagged l
+), pairs AS (
+  SELECT lag, cents, prev FROM series
+  WHERE prev_day IS NOT NULL AND prev_day + to_days(lag::INT) = day
+), m AS (
+  SELECT lag, count(*) AS n_pairs,
+         CAST(sum(cents) AS BIGINT) AS sx, CAST(sum(prev) AS BIGINT) AS sy,
+         CAST(sum(cents * prev) AS BIGINT) AS sxy,
+         CAST(sum(cents * cents) AS BIGINT) AS sxx,
+         CAST(sum(prev * prev) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                * CAST(n_pairs * syy - sy * sy AS DOUBLE)) AS acf
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# Sequential pattern mining: top event-type trigrams
+# --------------------------------------------------------------------------
+
+def event_trigram_patterns(spark, sf_dir):
+    """The 15 most common 3-step behavior paths: per-user event-type
+    trigrams from two lag windows on the SAME (user, time) ordering —
+    third-order sequence mining extending event_transition_matrix's
+    bigrams (what a session-based recommender consumes as path
+    context).
+
+    One user_id exchange for both lags, one tiny trigram rollup,
+    deterministic (t1, t2, t3) tiebreak under the top-15 in both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            F.lag("event_type", 2).over(w).alias("t1"),
+            F.lag("event_type", 1).over(w).alias("t2"),
+            F.col("event_type").alias("t3"),
+        )
+        .where(F.col("t1").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wtop = Window.orderBy(F.col("n").desc(), "t1", "t2", "t3")
+    return (
+        tri.withColumn("_rk", F.row_number().over(wtop))
+        .where(F.col("_rk") <= 15)
+        .select("t1", "t2", "t3", "n")
+    )
+
+
+TRIGRAM_SQL = """
+WITH tri AS (
+  SELECT lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS t1,
+         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS t2,
+         event_type AS t3
+  FROM events
+), counted AS (
+  SELECT t1, t2, t3, count(*) AS n FROM tri WHERE t1 IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT t1, t2, t3, n FROM (
+  SELECT t1, t2, t3, n,
+         row_number() OVER (ORDER BY n DESC, t1, t2, t3) AS _rk
+  FROM counted
+) WHERE _rk <= 15
+"""
+
+
 SKETCH_QUERIES = {
     "hll_distinct_users": hll_distinct_users,
     "countmin_frequency_topk": countmin_frequency_topk,
@@ -671,6 +926,9 @@ SKETCH_QUERIES = {
     "user_running_distinct": user_running_distinct,
     "theil_sen_price_slope": theil_sen_price_slope,
     "supplier_shared_parts": supplier_shared_parts,
+    "cms_join_size_estimate": cms_join_size_estimate,
+    "daily_revenue_autocorr": daily_revenue_autocorr,
+    "event_trigram_patterns": event_trigram_patterns,
 }
 
 SKETCH_ORACLES = {
@@ -682,4 +940,7 @@ SKETCH_ORACLES = {
     "user_running_distinct": RUNNING_DISTINCT_SQL,
     "theil_sen_price_slope": THEIL_SEN_SQL,
     "supplier_shared_parts": SHARED_PARTS_SQL,
+    "cms_join_size_estimate": CMS_JOIN_SIZE_SQL,
+    "daily_revenue_autocorr": AUTOCORR_SQL,
+    "event_trigram_patterns": TRIGRAM_SQL,
 }
