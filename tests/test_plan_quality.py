@@ -634,13 +634,26 @@ def test_cms_counters_built_from_keys_not_rows(spark, sf_dir):
     aggregate exchange."""
     from tracker_trainer_spark.plans import physical_plan
     plan = physical_plan(QUERIES["countmin_frequency_topk"](spark, sf_dir))
-    gen = plan.index("Generate")
-    first_agg = plan.index("HashAggregate")
     assert "CartesianProduct" not in plan
-    # the plan string lists operators top-down: the explode (Generate)
-    # must appear ABOVE (before) the scan-side count aggregate's last
-    # HashAggregate, i.e. the explode consumes aggregated rows
-    assert gen < plan.rindex("HashAggregate"), plan
+    # walk the TREE section only (the formatted per-node details repeat
+    # operator names): the tree lists consumers above their inputs, so
+    # EVERY explode (Generate) must have a HashAggregate between it and
+    # the parquet scan below it — i.e. it consumes aggregated rows
+    tree = plan.split("\n\n")[0]
+    idx = 0
+    found = 0
+    while True:
+        gen = tree.find("Generate", idx)
+        if gen == -1:
+            break
+        found += 1
+        scan = tree.find("Scan parquet", gen)
+        assert scan != -1, tree
+        assert "HashAggregate" in tree[gen:scan], (
+            "explode consumes raw scan rows:\n" + tree
+        )
+        idx = gen + 1
+    assert found >= 1, tree
 
 
 def test_shared_parts_pairs_are_scan_side(spark, sf_dir):

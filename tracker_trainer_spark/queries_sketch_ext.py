@@ -45,10 +45,12 @@ def _t(spark, sf_dir, name):
     return _load(spark, sf_dir, name)
 
 
-def _spread(df, n=None):
-    from tracker_trainer_spark.session import spread
+def _hash28(col):
+    """The repo's portable 28-bit md5-prefix hash (one spelling:
+    functions/text.py), == DuckDB ``('0x' || substr(md5(x),1,7))::BIGINT``."""
+    from tracker_trainer_spark.functions.text import portable_token_hash
 
-    return spread(df, n)
+    return portable_token_hash(col)
 
 
 # --------------------------------------------------------------------------
@@ -172,17 +174,7 @@ def countmin_frequency_topk(spark, sf_dir):
     j = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("j")
     keyed = counts.select("l_partkey", "true_n", j).withColumn(
         "bucket",
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(":", F.col("j"), F.col("l_partkey").cast("string"))
-                ),
-                1,
-                7,
-            ),
-            16,
-            10,
-        ).cast("long")
+        _hash28(F.concat_ws(":", F.col("j"), F.col("l_partkey").cast("string")))
         % _CMS_W,
     )
     counters = keyed.groupBy("j", "bucket").agg(F.sum("true_n").alias("c"))
@@ -251,15 +243,10 @@ def bloom_filter_audit(spark, sf_dir):
     scan + broadcast join + two hash aggs."""
     part = _t(spark, sf_dir, "part")
     i = F.explode(F.array(*[F.lit(x) for x in range(_BLOOM_K)])).alias("i")
-    pos = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.col("i"), F.col("p_partkey").cast("string"))),
-            1,
-            7,
-        ),
-        16,
-        10,
-    ).cast("long") % _BLOOM_BITS
+    pos = (
+        _hash28(F.concat_ws(":", F.col("i"), F.col("p_partkey").cast("string")))
+        % _BLOOM_BITS
+    )
     # positions of the BLOCKED keys → the filter's set bits
     bloom = (
         part.where(F.col("p_size") == 1)
@@ -509,21 +496,13 @@ def theil_sen_price_slope(spark, sf_dir):
         "l_linenumber",
         "l_quantity",
         "l_extendedprice",
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "-",
-                        F.col("l_orderkey").cast("string"),
-                        F.col("l_linenumber").cast("string"),
-                    )
-                ),
-                1,
-                7,
-            ),
-            16,
-            10,
-        ).cast("long").alias("_h"),
+        _hash28(
+            F.concat_ws(
+                "-",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("_h"),
     )
     pts = keyed.where(F.col("_h") % 600 == 0).select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pid"),
@@ -678,7 +657,14 @@ def cms_join_size_estimate(spark, sf_dir):
     into 4×1024 counters), the per-row bucket dot products are exact
     BIGINT arithmetic, and the exact join size is itself computed
     key-aggregated (Σ f_A·f_B over the key join — never a row-level
-    join).  One scan feeds both sides via conditional aggregation."""
+    join).  One scan feeds both sides via conditional aggregation.
+
+    Exact-arithmetic envelope: the bucket products ca·cb stay in
+    BIGINT while per-bucket frequency mass is below ~3e9 (their sum
+    below 2^63) — comfortably true at any tested scale; a corpus whose
+    1024-bucket counters each exceed billions of rows needs the
+    squared terms widened to DECIMAL(38,0) on both engines, same as
+    daily_revenue_autocorr's documented path."""
     ev = _t(spark, sf_dir, "events")
     freqs = (
         ev.where(F.col("event_type").isin("view", "purchase"))
@@ -694,15 +680,7 @@ def cms_join_size_estimate(spark, sf_dir):
     j = F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)])).alias("j")
     keyed = freqs.select("user_id", "fa", "fb", j).withColumn(
         "bucket",
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("j"), F.col("user_id").cast("string"))),
-                1,
-                7,
-            ),
-            16,
-            10,
-        ).cast("long")
+        _hash28(F.concat_ws(":", F.col("j"), F.col("user_id").cast("string")))
         % _CMS_W,
     )
     counters = keyed.groupBy("j", "bucket").agg(
@@ -760,13 +738,20 @@ def daily_revenue_autocorr(spark, sf_dir):
     revenue — the seasonality probe (does yesterday / the same weekday
     last week predict today?) run before fitting any forecast model.
 
-    Cross-engine exactness: daily revenue is summed as integer cents,
-    every Pearson moment (Σx, Σy, Σxy, Σx², Σy², n) stays BIGINT, and
-    the only float ops are the final two casts, one multiply, one
-    correctly-rounded sqrt, and one division — bit-identical in both
-    engines.  The day series is tiny after the one daily rollup; lags
-    come from a single ordered window over it (pairs with a missing
-    predecessor day drop out via the day-difference guard)."""
+    Cross-engine exactness: daily revenue is summed as integer cents
+    and every Pearson moment (Σx, Σy, Σxy, Σx², Σy², n) accumulates as
+    exact BIGINT; the moments are then cast to DOUBLE and combined in
+    an identical scalar-op sequence (products, subtractions, one
+    correctly-rounded sqrt, one division) — bit-identical cross-engine
+    and immune to the n·Σxy / Σx·Σy product overflow.  Remaining
+    exact-arithmetic envelope is the Σx² accumulation itself: BIGINT
+    holds until ~5.5e8 cents of daily revenue over a 30-day window
+    (Σx² < 2^63); past that, widen the two squared-moment sums to
+    DECIMAL(38,0) on both engines (the repo's KSUID-oracle hi/lo
+    spelling shows the DuckDB side).  The day series is tiny after the
+    one daily rollup; lags come from a single ordered window over it
+    (pairs with a missing predecessor day drop out via the
+    day-difference guard)."""
     ev = _t(spark, sf_dir, "events")
     daily = (
         ev.where(F.col("event_type") == "purchase")
@@ -816,18 +801,16 @@ def daily_revenue_autocorr(spark, sf_dir):
         F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
         F.sum(F.col("prev") * F.col("prev")).alias("syy"),
     )
+    nd = F.col("n_pairs").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
     return m.select(
         "lag",
         "n_pairs",
         (
-            (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            .cast("double")
-            / F.sqrt(
-                (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                .cast("double")
-                * (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy"))
-                .cast("double")
-            )
+            (nd * sxyd - sxd * syd)
+            / F.sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
         ).alias("acf"),
     )
 
@@ -856,9 +839,12 @@ WITH daily AS (
   FROM pairs GROUP BY 1
 )
 SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
-       CAST(n_pairs * sxy - sx * sy AS DOUBLE)
-         / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
-                * CAST(n_pairs * syy - sy * sy AS DOUBLE)) AS acf
+       (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
 FROM m
 """
 
