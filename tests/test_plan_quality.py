@@ -622,6 +622,7 @@ def test_kmeans_assignment_is_codegen(spark, sf_dir):
     ("cms_join_size_estimate", 6),    # freq agg feeds exact + sketch branches (all ≤4k rows after)
     ("daily_revenue_autocorr", 3),    # daily agg + one ordered window + 2-group rollup
     ("event_trigram_patterns", 2),    # one user window + trigram rollup (+ top-k)
+    ("isotonic_calibration", 4),      # ntile window + bin rollup; minimax on 10-row relation
 ])
 def test_sketch_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles

@@ -45,6 +45,15 @@ def _t(spark, sf_dir, name):
     return _load(spark, sf_dir, name)
 
 
+def _spread(df, n=None):
+    """session.spread: repartition a byte-small single-split scan across
+    cores (no-op when input splits already parallelize it — see its
+    contract; call on scan + narrow plans only)."""
+    from tracker_trainer_spark.session import spread
+
+    return spread(df, n)
+
+
 def _hash28(col):
     """The repo's portable 28-bit md5-prefix hash (one spelling:
     functions/text.py), == DuckDB ``('0x' || substr(md5(x),1,7))::BIGINT``."""
@@ -590,7 +599,7 @@ def supplier_shared_parts(spark, sf_dir):
     nested transform/slice — 3 total exchanges: per-part set, pair
     agg, top-k.  Pairs aggregate in one hash agg; top-20 breaks ties
     on the pair ids in both engines."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _spread(_t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey"))
     sets = (
         li.groupBy("l_partkey")
         .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
@@ -610,12 +619,13 @@ def supplier_shared_parts(spark, sf_dir):
         .groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("shared_parts"))
     )
-    wtop = Window.orderBy(F.col("shared_parts").desc(), "s1", "s2")
-    return (
-        pairs.withColumn("_rk", F.row_number().over(wtop))
-        .where(F.col("_rk") <= 20)
-        .select("s1", "s2", "shared_parts")
-    )
+    # total order + limit plans as TakeOrderedAndProject (per-partition
+    # top-20 heaps, no single-partition window sort over |supplier|²/2
+    # candidate pairs); the (desc, s1, s2) tiebreak keeps the selection
+    # deterministic in both engines
+    return pairs.orderBy(
+        F.col("shared_parts").desc(), "s1", "s2"
+    ).limit(20)
 
 
 SHARED_PARTS_SQL = """
@@ -903,6 +913,111 @@ SELECT t1, t2, t3, n FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# Isotonic regression calibration (PAVA via the minimax identity)
+# --------------------------------------------------------------------------
+
+def isotonic_calibration(spark, sf_dir):
+    """Isotonic (monotone non-decreasing) calibration of the `value`
+    scorer: the pool-adjacent-violators fit over the 10 score deciles,
+    computed through the minimax identity
+    iso(i) = max_{j≤i} min_{k≥j} mean(y, j..k) — the calibration map
+    Platt-vs-isotonic model comparisons need, and a weighted PAVA the
+    engines can verify value-for-value (score_calibration_curve shows
+    the raw diagram; THIS is the monotone regression on top of it).
+
+    Cross-engine exactness: pooled means are single divisions of exact
+    BIGINT prefix-sum differences (never float accumulations), so
+    every candidate mean is bit-identical and min/max over identical
+    sets is deterministic.  The quadratic j×k enumeration runs on the
+    10-row decile relation — the fact table contributes exactly one
+    ntile window + one rollup, the same scale shape as the calibration
+    curve; bin count, not data volume, bounds the triple term."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    wn = Window.orderBy("value", "event_id")
+    bins = (
+        ev.select(
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+            F.ntile(10).over(wn).alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("pos"))
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pref = bins.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(wcum).alias("cumn"),
+        F.sum("pos").over(wcum).alias("cump"),
+    )
+    left = pref.select(
+        F.col("bin").alias("j"),
+        (F.col("cump") - F.col("pos")).alias("pj"),
+        (F.col("cumn") - F.col("n")).alias("nj"),
+    )
+    right = pref.select(
+        F.col("bin").alias("k"), F.col("cump").alias("pk"), F.col("cumn").alias("nk")
+    )
+    minmean = (
+        left.join(F.broadcast(right), F.col("k") >= F.col("j"))
+        .select(
+            "j",
+            (
+                (F.col("pk") - F.col("pj")).cast("double")
+                / (F.col("nk") - F.col("nj")).cast("double")
+            ).alias("m"),
+        )
+        .groupBy("j")
+        .agg(F.min("m").alias("minmean"))
+    )
+    iso = (
+        pref.join(F.broadcast(minmean), F.col("j") <= F.col("bin"))
+        .groupBy("bin", "n", "pos")
+        .agg(F.max("minmean").alias("iso_rate"))
+    )
+    return iso.select(
+        "bin",
+        "n",
+        "pos",
+        (F.col("pos").cast("double") / F.col("n").cast("double")).alias("raw_rate"),
+        "iso_rate",
+    )
+
+
+ISOTONIC_SQL = """
+WITH base AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         ntile(10) OVER (ORDER BY value, event_id) AS bin
+  FROM events WHERE value IS NOT NULL
+), bins AS (
+  SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM base GROUP BY 1
+), pref AS (
+  SELECT bin, n, pos,
+         CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cumn,
+         CAST(sum(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cump
+  FROM bins
+), minmean AS (
+  SELECT l.bin AS j,
+         min(CAST(r.cump - (l.cump - l.pos) AS DOUBLE)
+             / CAST(r.cumn - (l.cumn - l.n) AS DOUBLE)) AS minmean
+  FROM pref l JOIN pref r ON r.bin >= l.bin
+  GROUP BY 1
+), iso AS (
+  SELECT p.bin, p.n, p.pos, max(m.minmean) AS iso_rate
+  FROM pref p JOIN minmean m ON m.j <= p.bin
+  GROUP BY 1, 2, 3
+)
+SELECT bin, n, pos,
+       CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate,
+       iso_rate
+FROM iso
+"""
+
+
 SKETCH_QUERIES = {
     "hll_distinct_users": hll_distinct_users,
     "countmin_frequency_topk": countmin_frequency_topk,
@@ -915,6 +1030,7 @@ SKETCH_QUERIES = {
     "cms_join_size_estimate": cms_join_size_estimate,
     "daily_revenue_autocorr": daily_revenue_autocorr,
     "event_trigram_patterns": event_trigram_patterns,
+    "isotonic_calibration": isotonic_calibration,
 }
 
 SKETCH_ORACLES = {
@@ -929,4 +1045,5 @@ SKETCH_ORACLES = {
     "cms_join_size_estimate": CMS_JOIN_SIZE_SQL,
     "daily_revenue_autocorr": AUTOCORR_SQL,
     "event_trigram_patterns": TRIGRAM_SQL,
+    "isotonic_calibration": ISOTONIC_SQL,
 }
