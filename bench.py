@@ -55,8 +55,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # 4 MB splits: the sf parquet files are all under the 128 MB
+    # production split size, so with the default every first stage runs
+    # on ONE core — a small-file artifact a 100 TB cluster (≥128 MB
+    # files) never sees, and one DuckDB doesn't share (it parallelizes
+    # row groups regardless of file size). Restoring scan parallelism
+    # here measures the plans, not the local file layout.
     spark = get_spark(app_name="tts-bench", master=f"local[{cpus}]",
-                      extra_conf={"spark.ui.enabled": "false"})
+                      extra_conf={
+                          "spark.ui.enabled": "false",
+                          "spark.sql.files.maxPartitionBytes": "4194304",
+                      })
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}

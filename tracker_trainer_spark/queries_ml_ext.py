@@ -2091,9 +2091,14 @@ def propensity_training_weights(spark, sf_dir, topk: int = 50):
         ztp_from_uniform,
     )
 
+    from tracker_trainer_spark.session import spread as _spread
+
     ev = _t(spark, sf_dir, "events").where(F.col("event_type") != "purchase")
     k = F.get_json_object("props", "$.k").cast("long")
-    base = (
+    # byte-small events file = ONE input split: spread the narrow scan
+    # so the JSON extraction + two md5 hash uniforms run on all cores
+    # (no-op at real scale where splits parallelize the scan)
+    base = _spread(
         ev.select("event_id", k.alias("n_candidates"))
         .where(F.col("n_candidates") >= 1)
     )

@@ -73,6 +73,16 @@ _HLL_M = 256
 _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
 _HLL_NUMER = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 53)
 _POW53 = 1 << 53  # scaled contribution of an untouched (rho = 0) register
+# Small-range (linear counting) correction, engine-portably: libm log()
+# is not bit-reproducible across engines, but the correction only ever
+# evaluates m·ln(m/V) at the 256 possible zero-register counts — so the
+# whole function is embedded as one literal lookup table computed HERE
+# (same convention as the ztp_cdf_chain breakpoints).  Index V=1..256;
+# V=0 never consults the table (raw estimator branch).
+import math as _math  # noqa: E402
+
+_HLL_LC = [_HLL_M * _math.log(_HLL_M / v) for v in range(1, _HLL_M + 1)]
+_HLL_SMALL = 2.5 * _HLL_M  # raw-estimator validity threshold
 
 
 def hll_distinct_users(spark, sf_dir):
@@ -87,9 +97,11 @@ def hll_distinct_users(spark, sf_dir):
     EXACT integer space as sum(2^(53-reg)) — max 256·2^53 = 2^61, so
     it fits BIGINT in both engines without HUGEINT promotion — and the
     single float op is the final literal/denominator division (bit-
-    identical cross-engine).  No small-range linear-counting branch:
-    libm log() is not cross-engine reproducible, so the raw estimator
-    is the contract (and what the relative-error column reports).
+    identical cross-engine).  The Flajolet small-range correction IS
+    applied (raw estimate ≤ 2.5m with empty registers → linear
+    counting m·ln(m/V)) — portably: libm log() isn't cross-engine
+    reproducible, but V only takes 256 values, so the correction ships
+    as a literal lookup table both engines index identically.
 
     At 100 TB: one 2-level hash agg to (type, register), a 256-row
     rollup per group, and a broadcast join against the exact counts —
@@ -122,16 +134,27 @@ def hll_distinct_users(spark, sf_dir):
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_exact")
     )
+    raw = F.lit(_HLL_NUMER) / s_scaled.cast("double")
+    zeros = F.lit(_HLL_M) - F.col("n_registers")
+    lc = F.element_at(F.array(*[F.lit(x) for x in _HLL_LC]), zeros.cast("int"))
     return (
         exact.join(F.broadcast(denom), "event_type")
         .select(
             "event_type",
             "n_exact",
-            (F.lit(_HLL_NUMER) / s_scaled.cast("double")).alias("hll_est"),
+            F.when((raw <= F.lit(_HLL_SMALL)) & (zeros > 0), lc)
+            .otherwise(raw)
+            .alias("hll_est"),
             "n_registers",
         )
     )
 
+
+# 'e0'-suffixed literals parse as DOUBLE in DuckDB — bare decimal
+# literals parse as DECIMAL and the 256-element list unifies to one
+# decimal scale wide enough for the largest element, silently rounding
+# the small ones a ulp off the Python doubles Spark gets via F.lit
+_HLL_LC_SQL = "[" + ", ".join(f"{x!r}e0" for x in _HLL_LC) + "]"
 
 HLL_SQL = f"""
 WITH h AS (
@@ -153,7 +176,10 @@ WITH h AS (
   SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
 )
 SELECT x.event_type, x.n_exact,
-       {_HLL_NUMER!r} / CAST(s.s_scaled AS DOUBLE) AS hll_est,
+       CASE WHEN {_HLL_NUMER!r} / CAST(s.s_scaled AS DOUBLE) <= {_HLL_SMALL!r}
+                 AND {_HLL_M} - s.n_registers > 0
+            THEN ({_HLL_LC_SQL})[CAST({_HLL_M} - s.n_registers AS INT)]
+            ELSE {_HLL_NUMER!r} / CAST(s.s_scaled AS DOUBLE) END AS hll_est,
        s.n_registers
 FROM x JOIN s USING (event_type)
 """
@@ -499,7 +525,11 @@ def theil_sen_price_slope(spark, sf_dir):
     interpolated, because Spark's percentile() and DuckDB's
     quantile_cont() disagree in the last ulp on interpolated
     midpoints."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _spread(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        )
+    )
     keyed = li.select(
         "l_orderkey",
         "l_linenumber",

@@ -29,7 +29,12 @@ DEFAULT_CONF = {
     # At 100 TB this is set per-cluster; 32 matches the local test harness
     # and keeps sf0.1 shuffle partitions fully occupied on local[32].
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
-    "spark.sql.files.maxPartitionBytes": "134217728",
+    # 128 MB is the right production split size (100 TB = ~800k tasks);
+    # overridable because LOCAL sf files are byte-small (<128 MB → ONE
+    # input split → single-core first stages that a real cluster never
+    # sees — bench.py sets 4 MB to restore production scan parallelism)
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
     # testdata events.parquet carries TIMESTAMP(NANOS); read as long and
     # normalize to microseconds at the scan (see queries._t)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
