@@ -133,6 +133,20 @@ def test_trigrams_are_the_bigram_extension(rows, spark, sf_dir):
         assert all((a, b) in pairs for a, b in zip(tri.t1, tri.t2))
 
 
+def test_bootstrap_ci_brackets_the_mean(rows):
+    """The replicate distribution must bracket the full-sample mean and
+    the endpoints must be ordered (2nd vs 49th order statistic)."""
+    df = rows("bootstrap_mean_ci")
+    assert len(df) == 1
+    r = df.iloc[0]
+    assert r.n_boot == 50
+    assert r.ci_lo <= r.ci_hi
+    assert r.ci_lo <= r.mean_value <= r.ci_hi
+    # Poisson-bootstrap spread scales like sigma/sqrt(n): the interval
+    # must be non-degenerate but far narrower than the mean itself
+    assert 0 < (r.ci_hi - r.ci_lo) < r.mean_value
+
+
 def test_shared_parts_pairs_ordered_and_positive(rows):
     df = rows("supplier_shared_parts")
     assert len(df) == 20

@@ -944,6 +944,134 @@ SELECT t1, t2, t3, n FROM (
 
 
 # --------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (deterministic hash resampling)
+# --------------------------------------------------------------------------
+# Poisson(1) inverse-CDF breakpoints (NOT zero-truncated — the classic
+# Poisson bootstrap needs P(0) = e^-1 so rows can drop out of a
+# replicate).  Computed once here, embedded as identical literals in
+# both engines (ztp_cdf_chain convention).
+_POIS_MAX_K = 12
+_POIS_CDF = []
+_acc = 0.0
+_pk = _math.exp(-1.0)
+for _k in range(_POIS_MAX_K):
+    _acc += _pk
+    _POIS_CDF.append((_k, _acc))
+    _pk /= (_k + 1)
+_BOOT_B = 50
+
+
+def _pois_from_uniform(u):
+    expr = F.lit(_POIS_MAX_K)
+    for k, c in reversed(_POIS_CDF):
+        expr = F.when(u < F.lit(c), F.lit(k)).otherwise(expr)
+    return expr
+
+
+_POIS_SQL_CASE = "CASE " + " ".join(
+    f"WHEN {{u}} < {c!r} THEN {k}" for k, c in _POIS_CDF
+) + f" ELSE {_POIS_MAX_K} END"
+
+
+def bootstrap_mean_ci(spark, sf_dir):
+    """95% Poisson-bootstrap confidence interval for the mean purchase
+    value — the resampling-inference operator (Chamandy et al.,
+    'Estimating Uncertainty for Massive Data Streams', the
+    shuffle-free bootstrap used on data too large to resample by
+    permutation): every row receives an independent Poisson(1)
+    multiplicity per replicate, so one explode + one grouped
+    aggregation computes all 50 replicate means in a single pass.
+
+    Determinism: the Poisson draw is the inverse CDF of a portable
+    md5-hash uniform (breakpoints embedded as identical literals in
+    both engines), replicate means are exact-integer-cent ratios, and
+    the CI endpoints are exact order statistics (2nd / 49th of 50,
+    replicate-id tiebreak) — never interpolated percentiles.
+
+    At 100 TB the explode factor B rides the scan (no extra shuffle):
+    the aggregate state is B rows per partition, map-side combined."""
+    ev = _t(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    base = _spread(
+        ev.select(
+            "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+        )
+    )
+    b = F.explode(F.array(*[F.lit(i) for i in range(_BOOT_B)])).alias("b")
+    u = (
+        _hash28(F.concat_ws(":", F.col("b"), F.col("event_id").cast("string")))
+        % 1_000_000
+    ).cast("double") / 1_000_000.0 + 0.0000005
+    reps = (
+        base.select("event_id", "cents", b)
+        .select("b", "cents", _pois_from_uniform(u).alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum("w").alias("_sw"),
+            F.sum(F.col("w") * F.col("cents")).alias("_swx"),
+        )
+        .select(
+            "b",
+            (F.col("_swx").cast("double") / F.col("_sw").cast("double") / 100.0)
+            .alias("mean_b"),
+        )
+    )
+    wr = Window.orderBy("mean_b", "b")
+    ranked = reps.select("mean_b", F.row_number().over(wr).alias("_rk"))
+    full = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double") / 100.0)
+        .alias("mean_value"),
+    )
+    lo = ranked.where(F.col("_rk") == 2).select(F.col("mean_b").alias("ci_lo"))
+    hi = ranked.where(F.col("_rk") == _BOOT_B - 1).select(
+        F.col("mean_b").alias("ci_hi")
+    )
+    return (
+        full.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n",
+            F.lit(_BOOT_B).cast("long").alias("n_boot"),
+            "mean_value",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+BOOTSTRAP_SQL = f"""
+WITH base AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), reps AS (
+  SELECT b, cents,
+         {_POIS_SQL_CASE.format(u=f"(CAST(('0x' || substr(md5(b || ':' || CAST(event_id AS VARCHAR)), 1, 7)) AS BIGINT) % 1000000) / 1000000.0 + 0.0000005")}
+           AS w
+  FROM base, (SELECT unnest(range(0, {_BOOT_B})) AS b)
+), means AS (
+  SELECT b,
+         CAST(CAST(sum(w * cents) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / 100.0 AS mean_b
+  FROM reps GROUP BY 1
+), ranked AS (
+  SELECT mean_b, row_number() OVER (ORDER BY mean_b, b) AS _rk FROM means
+), tot AS (
+  SELECT count(*) AS n,
+         CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) / 100.0 AS mean_value
+  FROM base
+)
+SELECT tot.n, CAST({_BOOT_B} AS BIGINT) AS n_boot, tot.mean_value,
+       lo.mean_b AS ci_lo, hi.mean_b AS ci_hi
+FROM tot,
+     (SELECT mean_b FROM ranked WHERE _rk = 2) lo,
+     (SELECT mean_b FROM ranked WHERE _rk = {_BOOT_B - 1}) hi
+"""
+
+
+# --------------------------------------------------------------------------
 # Isotonic regression calibration (PAVA via the minimax identity)
 # --------------------------------------------------------------------------
 
@@ -1061,6 +1189,7 @@ SKETCH_QUERIES = {
     "daily_revenue_autocorr": daily_revenue_autocorr,
     "event_trigram_patterns": event_trigram_patterns,
     "isotonic_calibration": isotonic_calibration,
+    "bootstrap_mean_ci": bootstrap_mean_ci,
 }
 
 SKETCH_ORACLES = {
@@ -1076,4 +1205,5 @@ SKETCH_ORACLES = {
     "daily_revenue_autocorr": AUTOCORR_SQL,
     "event_trigram_patterns": TRIGRAM_SQL,
     "isotonic_calibration": ISOTONIC_SQL,
+    "bootstrap_mean_ci": BOOTSTRAP_SQL,
 }
