@@ -627,6 +627,7 @@ def test_kmeans_assignment_is_codegen(spark, sf_dir):
     ("event_trigram_patterns", 2),    # one user window + trigram rollup (+ top-k)
     ("isotonic_calibration", 4),      # ntile window + bin rollup; minimax on 10-row relation
     ("bootstrap_mean_ci", 6),         # replicate agg + rank window + scalar attaches (50-row relations)
+    ("km_conversion_survival", 7),    # two per-user aggs + day rollup; fold on a <=31-row array
 ])
 def test_sketch_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles

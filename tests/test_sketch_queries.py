@@ -147,6 +147,24 @@ def test_bootstrap_ci_brackets_the_mean(rows):
     assert 0 < (r.ci_hi - r.ci_lo) < r.mean_value
 
 
+def test_km_survival_is_a_valid_curve(rows):
+    """Kaplan-Meier invariants: S is non-increasing in day, stays in
+    [0, 1], risk sets shrink by exactly the prior deaths (censoring
+    only at the horizon), and S(k) equals the explicit product of its
+    own step factors."""
+    df = rows("km_conversion_survival").sort_values("day").reset_index(drop=True)
+    assert len(df) > 0
+    s = df.survival.tolist()
+    assert all(0 <= x <= 1 + 1e-12 for x in s)
+    assert all(a >= b - 1e-12 for a, b in zip(s, s[1:]))
+    n, d = df.n_risk.tolist(), df.d_events.tolist()
+    assert all(nb == na - da for na, da, nb in zip(n, d, n[1:]))
+    prod = 1.0
+    for i in range(len(df)):
+        prod *= 1.0 - d[i] / n[i]
+        assert abs(prod - s[i]) < 1e-9
+
+
 def test_shared_parts_pairs_ordered_and_positive(rows):
     df = rows("supplier_shared_parts")
     assert len(df) == 20

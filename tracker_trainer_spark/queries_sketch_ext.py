@@ -1072,6 +1072,146 @@ FROM tot,
 
 
 # --------------------------------------------------------------------------
+# Kaplan-Meier survival curve (view → purchase conversion)
+# --------------------------------------------------------------------------
+_KM_HORIZON = 30  # days; users without a purchase by then are censored
+
+
+def km_conversion_survival(spark, sf_dir):
+    """Kaplan-Meier survival curve for view→purchase conversion: for
+    the cohort of users with at least one view, the probability of
+    still NOT having purchased k days after the first view, with
+    right-censoring at a 30-day horizon — the survival-analysis
+    operator (time-to-event with censoring) that a naive conversion
+    rate gets wrong whenever observation windows differ.
+
+    Engine-exact product: S(k) = Π_{j≤k} (1 − d_j/n_j) is evaluated as
+    an ORDERED fold over the collected (day, d, n) step array (Spark
+    sort_array+aggregate vs DuckDB ORDER BY list + list_reduce — both
+    left folds over the identical double sequence, and every factor is
+    a single division of exact BIGINTs).  Risk sets are pure integer
+    arithmetic (N minus the running death count; censoring happens
+    only at the horizon, after same-day deaths, per the standard
+    convention).
+
+    The fact table contributes two per-user aggs and one ≤31-row day
+    rollup — the fold runs on a ≤31-element array, data volume never
+    touches it."""
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    first_after = (
+        views.join(purch, "user_id", "left")
+        .where(F.col("pts").isNull() | (F.col("pts") >= F.col("vts")))
+        .groupBy("user_id", "vts")
+        .agg(F.min("pts").alias("pts"))
+    )
+    # users whose only purchases precede their first view are censored:
+    # re-attach them with a null pts via the views anchor
+    lat = views.join(
+        first_after.select("user_id", "pts"), "user_id", "left"
+    ).select(
+        "user_id",
+        F.floor(
+            (F.unix_micros(F.col("pts").cast("timestamp"))
+             - F.unix_micros(F.col("vts").cast("timestamp")))
+            / 86_400_000_000
+        ).alias("k"),
+    )
+    events = lat.select(
+        F.when(
+            F.col("k").isNotNull() & (F.col("k") <= _KM_HORIZON), F.col("k")
+        ).alias("event_day")
+    )
+    daycnt = (
+        events.where(F.col("event_day").isNotNull())
+        .groupBy("event_day")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    n_total = events.agg(F.count(F.lit(1)).alias("_n"))
+    wday = Window.orderBy("event_day").rowsBetween(Window.unboundedPreceding, 0)
+    steps = (
+        daycnt.crossJoin(F.broadcast(n_total))
+        .select(
+            "event_day",
+            "d",
+            (F.col("_n") - (F.sum("d").over(wday) - F.col("d"))).alias("n_risk"),
+        )
+    )
+    folded = steps.agg(
+        F.sort_array(
+            F.collect_list(F.struct("event_day", "d", "n_risk"))
+        ).alias("arr")
+    )
+    surv = folded.select(
+        F.explode(
+            F.expr(
+                "transform(arr, s -> struct("
+                "  s.event_day AS day, s.d AS d_events, s.n_risk AS n_risk,"
+                "  aggregate("
+                "    filter(arr, x -> x.event_day <= s.event_day),"
+                "    CAST(1.0 AS DOUBLE),"
+                "    (acc, x) -> acc * (1.0 - CAST(x.d AS DOUBLE)"
+                "                             / CAST(x.n_risk AS DOUBLE))"
+                "  ) AS survival))"
+            )
+        ).alias("s")
+    )
+    return surv.select("s.day", "s.d_events", "s.n_risk", "s.survival")
+
+
+KM_SQL = f"""
+WITH views AS (
+  SELECT user_id, min(ts) AS vts FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), first_after AS (
+  SELECT v.user_id, min(p.ts) AS pts
+  FROM views v LEFT JOIN events p
+    ON p.user_id = v.user_id AND p.event_type = 'purchase'
+   AND p.ts >= v.vts
+  GROUP BY 1
+), lat AS (
+  SELECT v.user_id,
+         CAST(floor((epoch_us(f.pts) - epoch_us(v.vts)) / 86400000000.0e0)
+              AS BIGINT) AS k
+  FROM views v JOIN first_after f ON v.user_id = f.user_id
+), events_k AS (
+  SELECT CASE WHEN k IS NOT NULL AND k <= {_KM_HORIZON} THEN k END
+           AS event_day
+  FROM lat
+), daycnt AS (
+  SELECT event_day, count(*) AS d FROM events_k
+  WHERE event_day IS NOT NULL GROUP BY 1
+), steps AS (
+  SELECT event_day, d,
+         (SELECT count(*) FROM events_k)
+           - (CAST(sum(d) OVER (ORDER BY event_day
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) - d)
+           AS n_risk
+  FROM daycnt
+), folded AS (
+  SELECT list(struct_pack(event_day := event_day, d := d, n_risk := n_risk)
+              ORDER BY event_day) AS arr
+  FROM steps
+)
+SELECT s.event_day AS day, s.d AS d_events, s.n_risk,
+       list_reduce(
+         list_prepend(CAST(1.0 AS DOUBLE),
+           list_transform(
+             list_filter(arr, x -> x.event_day <= s.event_day),
+             x -> 1.0 - CAST(x.d AS DOUBLE) / CAST(x.n_risk AS DOUBLE))),
+         (a, b) -> a * b) AS survival
+FROM folded, unnest(arr) AS t(s)
+"""
+
+
+# --------------------------------------------------------------------------
 # Isotonic regression calibration (PAVA via the minimax identity)
 # --------------------------------------------------------------------------
 
@@ -1190,6 +1330,7 @@ SKETCH_QUERIES = {
     "event_trigram_patterns": event_trigram_patterns,
     "isotonic_calibration": isotonic_calibration,
     "bootstrap_mean_ci": bootstrap_mean_ci,
+    "km_conversion_survival": km_conversion_survival,
 }
 
 SKETCH_ORACLES = {
@@ -1206,4 +1347,5 @@ SKETCH_ORACLES = {
     "event_trigram_patterns": TRIGRAM_SQL,
     "isotonic_calibration": ISOTONIC_SQL,
     "bootstrap_mean_ci": BOOTSTRAP_SQL,
+    "km_conversion_survival": KM_SQL,
 }
