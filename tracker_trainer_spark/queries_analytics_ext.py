@@ -1763,15 +1763,23 @@ def embedding_isotropy(spark, sf_dir):
     from tracker_trainer_spark.queries_ml_ext import _emb_double
 
     emb = _emb_double(_t(spark, sf_dir, "embeddings"))
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform("emb", lambda x: x * x),
-            F.lit(0.0), lambda a, x: a + x,
-        )
+    # project the norm ONCE before normalizing: referencing the norm
+    # expression inside the transform lambda would inline the whole
+    # O(dim) aggregate into every element's division — an O(dim²)/row
+    # expression tree (measured 1.06 s → 0.29 s at sf0.1 from this
+    # split alone)
+    withn = emb.select(
+        "emb",
+        F.sqrt(
+            F.aggregate(
+                F.transform("emb", lambda x: x * x),
+                F.lit(0.0), lambda a, x: a + x,
+            )
+        ).alias("nrm"),
     )
-    unit = emb.where(norm > 0).select(
-        norm.alias("nrm"),
-        F.posexplode(F.transform("emb", lambda x: x / norm)).alias("pos", "u"),
+    unit = withn.where(F.col("nrm") > 0).select(
+        "nrm",
+        F.posexplode(F.expr("transform(emb, x -> x / nrm)")).alias("pos", "u"),
     )
     sums = unit.groupBy("pos").agg(
         F.sum("u").alias("s"),

@@ -1269,12 +1269,13 @@ def supplier_triangle_count(spark, sf_dir):
     naive id-ordered triple join (exact parity, different plan).
 
     Edges come from the basket HOF (orders hold ≤7 suppliers — pair
-    generation is scan-side), then ONE distinct."""
-    from tracker_trainer_spark.session import spread as _spread
+    generation is scan-side), then ONE distinct.
 
-    li = _spread(
-        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    )
+    No pre-agg spread: the basket agg's own shuffle redistributes the
+    scan, and the ≤C(7,2)× pair explode is too mild to need a
+    session.fanout rebalance (A/B'd at sf0.1: within noise, unlike
+    supplier_shared_parts' ~400× explode)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     baskets = (
         li.groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_suppkey")).alias("brands"))

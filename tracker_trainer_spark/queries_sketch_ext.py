@@ -54,6 +54,15 @@ def _spread(df, n=None):
     return spread(df, n)
 
 
+def _fanout(df, n=None):
+    """session.fanout: re-spread a compact post-agg relation before an
+    explode that multiplies it (AQE coalesces by observed bytes and
+    cannot see the amplification — see its contract)."""
+    from tracker_trainer_spark.session import fanout
+
+    return fanout(df, n)
+
+
 def _hash28(col):
     """The repo's portable 28-bit md5-prefix hash (one spelling:
     functions/text.py), == DuckDB ``('0x' || substr(md5(x),1,7))::BIGINT``."""
@@ -626,15 +635,18 @@ def supplier_shared_parts(spark, sf_dir):
     exchanges + a recomputed distinct), the per-part supplier set is
     collected ONCE (collect_set = the distinct, map-side combined) and
     unordered pairs are generated scan-side from the sorted array with
-    nested transform/slice — 3 total exchanges: per-part set, pair
-    agg, top-k.  Pairs aggregate in one hash agg; top-20 breaks ties
-    on the pair ids in both engines."""
-    li = _spread(_t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey"))
+    nested transform/slice — 3 total exchanges: per-part set,
+    pre-explode rebalance, pair agg (+ top-k).  Pairs aggregate in one
+    hash agg; top-20 breaks ties on the pair ids in both engines."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     sets = (
         li.groupBy("l_partkey")
         .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
         .where((F.size("ss") >= 2) & (F.size("ss") <= 40))
     )
+    # the pair explode below multiplies rows ~C(d,2)/d-fold, invisible
+    # to AQE's coalesce estimator (measured 2.4 s → 1.0 s at sf0.1)
+    sets = _fanout(sets)
     pair_expr = F.explode(
         F.flatten(
             F.expr(

@@ -93,3 +93,25 @@ def spread(df, n: int | None = None):
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n)
+
+
+def fanout(df, n: int | None = None):
+    """Unconditionally re-spread a COMPACT relation that is about to be
+    exploded/multiplied.
+
+    AQE coalesces a shuffle stage by its *observed* byte size, so the
+    small output of an agg (per-key sets, baskets, signatures) lands on
+    a handful of partitions — and a downstream explode that multiplies
+    rows 10-400× then runs on those few cores, invisible to AQE's
+    estimator.  One extra exchange of the compact relation keeps the
+    quadratic stage parallel at any scale (at 100 TB the same rebalance
+    is what keeps pair generation off a single straggler).
+
+    Unlike :func:`spread` this never probes ``df.rdd`` (which would
+    eagerly materialize AQE query stages on shuffled plans); the input
+    is known-small, so the repartition is always cheap relative to the
+    explosion it parallelizes.
+    """
+    if n is None:
+        n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
