@@ -616,6 +616,10 @@ def test_kmeans_assignment_is_codegen(spark, sf_dir):
 
 @pytest.mark.parametrize("name,max_shuffles", [
     ("hll_distinct_users", 4),        # register agg + 256-row rollup + exact-distinct (2)
+    # (day,idx) register agg + day/idx rollups + 1-row merge rollup +
+    # exact-distinct comparators (2 each) — every post-scan relation is
+    # ≤ |days|×256 rows
+    ("hll_merge_daily", 8),
     ("countmin_frequency_topk", 3),   # freq agg + counter agg (counters broadcast back)
     ("bloom_filter_audit", 3),        # bit-set distinct (broadcast) + per-part + per-brand
     ("customer_hierarchy_rollup", 2), # recursive frontier joins + one depth rollup
@@ -664,12 +668,42 @@ def test_cms_counters_built_from_keys_not_rows(spark, sf_dir):
 
 def test_shared_parts_pairs_are_scan_side(spark, sf_dir):
     """Bipartite pair generation is a HOF over the per-part supplier
-    array — never a partkey self-join."""
+    array — never a partkey self-join — and the explode stage is fed by
+    the fanout rebalance: AQE coalesces the compact set-agg output by
+    bytes and cannot see the ~C(d,2)/d-fold pair amplification, so a
+    round-robin exchange must sit between the agg and the Generate."""
     from tracker_trainer_spark.plans import physical_plan
     plan = physical_plan(QUERIES["supplier_shared_parts"](spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "RoundRobinPartitioning" in plan, plan
+    tree = plan.split("\n\n")[0]
+    gen = tree.find("Generate")
+    assert gen != -1, tree
+    agg = tree.find("HashAggregate", gen)
+    exch = tree.find("Exchange", gen)
+    assert exch != -1 and (agg == -1 or exch < agg), (
+        "pair explode not fed by the fanout rebalance:\n" + tree
+    )
+
+
+def test_fanout_rebalances_to_all_cores(spark):
+    """session.fanout is an unconditional round-robin repartition to
+    defaultParallelism — the explode-amplification guard (spread()'s
+    rdd-probe would eagerly materialize AQE stages on shuffled input,
+    so fanout must never probe)."""
+    from tracker_trainer_spark.session import fanout
+
+    df = spark.range(0, 1000, 1, 2).groupBy((F.col("id") % 7).alias("k")).count()
+    out = fanout(df)
+    assert "RoundRobinPartitioning" in out._jdf.queryExecution().toString() or \
+        "Repartition" in str(out._jdf.queryExecution().logical())
+    n = spark.sparkContext.defaultParallelism
+    assert fanout(df, 5).rdd.getNumPartitions() == 5
+    assert out.rdd.getNumPartitions() == n
+    # values survive the rebalance untouched
+    assert out.agg(F.sum("count")).first()[0] == 1000
 
 
 def test_hll_registers_never_move_raw_rows(spark, sf_dir):

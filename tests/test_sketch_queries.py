@@ -40,6 +40,29 @@ def test_hll_estimate_within_error_bound(rows):
         assert 0 < r.n_registers <= 256
 
 
+def test_hll_merge_equals_whole_stream_sketch(rows):
+    """Union-of-maxes == sketch-of-union: hll_merge_daily's '(merged)'
+    row is built ONLY from the per-day register vectors, while
+    hll_distinct_users' 'purchase' row sketches the same stream in one
+    pass — HLL mergeability says they must agree EXACTLY (same
+    registers, same estimate, bit for bit), and the exact comparators
+    must match too."""
+    merged = rows("hll_merge_daily")
+    merged_row = merged[merged.day == "(merged)"]
+    assert len(merged_row) == 1
+    whole = rows("hll_distinct_users")
+    whole_row = whole[whole.event_type == "purchase"]
+    assert len(whole_row) == 1
+    assert float(merged_row.hll_est.iloc[0]) == float(whole_row.hll_est.iloc[0])
+    assert int(merged_row.n_exact.iloc[0]) == int(whole_row.n_exact.iloc[0])
+    # daily sketches themselves stay inside the HLL error envelope
+    days = merged[merged.day != "(merged)"]
+    assert len(days) > 0
+    for _, r in days.iterrows():
+        rel = abs(r.hll_est - r.n_exact) / max(r.n_exact, 1)
+        assert rel < 4 * 1.04 / math.sqrt(256), dict(r)
+
+
 def test_cms_never_underestimates(rows):
     """Count-Min point estimates are one-sided: est >= truth, always."""
     df = rows("countmin_frequency_topk")

@@ -3005,7 +3005,9 @@ ORACLES.update(_SKETCH_ORACLES)
 #             events_before_purchase (interval_join now compares
 #             microseconds, not truncated seconds),
 #             purchase_moving_avg (integer-space half-up rounding —
-#             Spark/DuckDB disagree on true half-way doubles)
+#             Spark/DuckDB disagree on true half-way doubles),
+#             supplier_triangle_count (pre-agg spread removed — the
+#             basket agg's own shuffle redistributes the scan)
 _DRIVER_CERTIFIED = frozenset({
     # ---- certified green in CORRECTNESS_r01 / r02 ----
     "ann_cosine_topk",
@@ -3098,7 +3100,6 @@ _DRIVER_CERTIFIED = frozenset({
     "q9_product_profit",
     "retention_cohorts",
     "sliding_event_counts",
-    "supplier_triangle_count",
     "user_activity_streaks",
     "user_decayed_value",
     "weighted_median_price",

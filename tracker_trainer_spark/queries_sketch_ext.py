@@ -194,6 +194,128 @@ FROM x JOIN s USING (event_type)
 """
 
 
+def _hll_estimate(present_col, n_registers_col):
+    """Shared HLL estimator over a scaled-denominator rollup: raw
+    harmonic estimate with the Flajolet linear-counting small-range
+    branch, exactly the spelling certified in hll_distinct_users."""
+    s_scaled = present_col + (F.lit(_HLL_M) - n_registers_col) * F.lit(_POW53)
+    raw = F.lit(_HLL_NUMER) / s_scaled.cast("double")
+    zeros = F.lit(_HLL_M) - n_registers_col
+    lc = F.element_at(F.array(*[F.lit(x) for x in _HLL_LC]), zeros.cast("int"))
+    return F.when((raw <= F.lit(_HLL_SMALL)) & (zeros > 0), lc).otherwise(raw)
+
+
+def hll_merge_daily(spark, sf_dir):
+    """HLL MERGEABILITY audit: per-day distinct-user sketches over the
+    purchase stream, plus the whole-period estimate produced by
+    per-index MAX-merging the daily register vectors — next to the
+    exact distinct counts both approximate.
+
+    Mergeability is THE property that makes a sketch worth shipping at
+    100 TB: executors (or days, or partitions) build register vectors
+    independently and any union of scopes is a 256-value max — no raw
+    ids ever recross the wire, and re-aggregating a year from daily
+    sketches costs 365×256 rows.  The '(merged)' row here is computed
+    ONLY from the daily sketches, never from the raw stream, so the
+    driver certifies the union algebra itself (union-of-maxes ==
+    sketch-of-union is also pinned as a property test).
+
+    Plan: ONE (day, idx) register agg off the scan, cached at
+    |days|×256 rows; the per-day rollup and the merged per-idx rollup
+    both read it.  Exact comparators are the only other scans."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rho = F.lit(53) - F.length(F.conv(F.shiftright(h, 8).cast("string"), 10, 2))
+    day = F.to_date("ts").cast("string")
+    regs = (
+        ev.select(
+            day.alias("day"),
+            h.bitwiseAND(F.lit(255)).alias("idx"),
+            rho.alias("rho"),
+        )
+        .groupBy("day", "idx")
+        .agg(F.max("rho").alias("reg"))
+    )
+    regs.cache()
+    _denoms = [
+        F.sum(F.expr("shiftleft(1L, 53 - reg)")).alias("_present"),
+        F.count(F.lit(1)).alias("n_registers"),
+    ]
+    day_est = regs.groupBy("day").agg(*_denoms).select(
+        "day",
+        _hll_estimate(F.col("_present"), F.col("n_registers")).alias("hll_est"),
+    )
+    merged_est = (
+        regs.groupBy("idx").agg(F.max("reg").alias("reg"))
+        .agg(*_denoms)
+        .select(
+            _hll_estimate(F.col("_present"), F.col("n_registers")).alias(
+                "hll_est"
+            )
+        )
+    )
+    exact_day = ev.groupBy(day.alias("day")).agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    exact_all = ev.agg(F.count_distinct("user_id").alias("n_exact"))
+    per_day = exact_day.join(F.broadcast(day_est), "day").select(
+        "day", "n_exact", "hll_est"
+    )
+    merged = exact_all.crossJoin(F.broadcast(merged_est)).select(
+        F.lit("(merged)").alias("day"), "n_exact", "hll_est"
+    )
+    return per_day.unionByName(merged)
+
+
+def _hll_est_case_sql(src: str) -> str:
+    """DuckDB spelling of _hll_estimate over a rollup named ``src``
+    exposing s_scaled and n_registers (same literals as HLL_SQL)."""
+    return f"""CASE WHEN {_HLL_NUMER!r} / CAST({src}.s_scaled AS DOUBLE) <= {_HLL_SMALL!r}
+                 AND {_HLL_M} - {src}.n_registers > 0
+            THEN ({_HLL_LC_SQL})[CAST({_HLL_M} - {src}.n_registers AS INT)]
+            ELSE {_HLL_NUMER!r} / CAST({src}.s_scaled AS DOUBLE) END"""
+
+
+HLL_MERGE_SQL = f"""
+WITH h AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS hv
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT day, hv & 255 AS idx, max(53 - length(bin(hv >> 8))) AS reg
+  FROM h GROUP BY 1, 2
+), sd AS (
+  SELECT day,
+         CAST(sum(1::BIGINT << (53 - reg)) AS BIGINT)
+           + ({_HLL_M} - count(*)) * {_POW53} AS s_scaled,
+         CAST(count(*) AS BIGINT) AS n_registers
+  FROM r GROUP BY 1
+), m AS (
+  SELECT idx, max(reg) AS reg FROM r GROUP BY 1
+), sm AS (
+  SELECT CAST(sum(1::BIGINT << (53 - reg)) AS BIGINT)
+           + ({_HLL_M} - count(*)) * {_POW53} AS s_scaled,
+         CAST(count(*) AS BIGINT) AS n_registers
+  FROM m
+), xd AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), xa AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT xd.day, xd.n_exact, {{est_sd}} AS hll_est
+FROM xd JOIN sd USING (day)
+UNION ALL
+SELECT '(merged)' AS day, xa.n_exact, {{est_sm}} AS hll_est
+FROM xa, sm
+""".format(est_sd=_hll_est_case_sql("sd"), est_sm=_hll_est_case_sql("sm"))
+
+
 # --------------------------------------------------------------------------
 # Count-Min frequency sketch (d = 4 rows × w = 1024 buckets)
 # --------------------------------------------------------------------------
@@ -1330,6 +1452,7 @@ FROM iso
 
 SKETCH_QUERIES = {
     "hll_distinct_users": hll_distinct_users,
+    "hll_merge_daily": hll_merge_daily,
     "countmin_frequency_topk": countmin_frequency_topk,
     "bloom_filter_audit": bloom_filter_audit,
     "customer_hierarchy_rollup": customer_hierarchy_rollup,
@@ -1347,6 +1470,7 @@ SKETCH_QUERIES = {
 
 SKETCH_ORACLES = {
     "hll_distinct_users": HLL_SQL,
+    "hll_merge_daily": HLL_MERGE_SQL,
     "countmin_frequency_topk": CMS_SQL,
     "bloom_filter_audit": BLOOM_SQL,
     "customer_hierarchy_rollup": HIERARCHY_SQL,
