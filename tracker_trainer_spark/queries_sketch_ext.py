@@ -131,29 +131,18 @@ def hll_distinct_users(spark, sf_dir):
         .groupBy("event_type", "idx")
         .agg(F.max("rho").alias("reg"))
     )
-    denom = regs.groupBy("event_type").agg(
-        # pyspark's shiftleft() only takes a literal shift — spell the
-        # column-shift in SQL (1L << (53 - reg), max 2^52 per register)
-        F.sum(F.expr("shiftleft(1L, 53 - reg)")).alias("_present"),
-        F.count(F.lit(1)).alias("n_registers"),
-    )
-    s_scaled = F.col("_present") + (F.lit(_HLL_M) - F.col("n_registers")) * F.lit(
-        _POW53
-    )
+    denom = regs.groupBy("event_type").agg(*_hll_denoms())
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_exact")
     )
-    raw = F.lit(_HLL_NUMER) / s_scaled.cast("double")
-    zeros = F.lit(_HLL_M) - F.col("n_registers")
-    lc = F.element_at(F.array(*[F.lit(x) for x in _HLL_LC]), zeros.cast("int"))
     return (
         exact.join(F.broadcast(denom), "event_type")
         .select(
             "event_type",
             "n_exact",
-            F.when((raw <= F.lit(_HLL_SMALL)) & (zeros > 0), lc)
-            .otherwise(raw)
-            .alias("hll_est"),
+            _hll_estimate(F.col("_present"), F.col("n_registers")).alias(
+                "hll_est"
+            ),
             "n_registers",
         )
     )
@@ -164,6 +153,17 @@ def hll_distinct_users(spark, sf_dir):
 # decimal scale wide enough for the largest element, silently rounding
 # the small ones a ulp off the Python doubles Spark gets via F.lit
 _HLL_LC_SQL = "[" + ", ".join(f"{x!r}e0" for x in _HLL_LC) + "]"
+
+
+def _hll_est_case_sql(src: str) -> str:
+    """THE DuckDB spelling of _hll_estimate (single copy — HLL_SQL and
+    HLL_MERGE_SQL both render it) over a rollup named ``src`` exposing
+    s_scaled and n_registers."""
+    return f"""CASE WHEN {_HLL_NUMER!r} / CAST({src}.s_scaled AS DOUBLE) <= {_HLL_SMALL!r}
+                 AND {_HLL_M} - {src}.n_registers > 0
+            THEN ({_HLL_LC_SQL})[CAST({_HLL_M} - {src}.n_registers AS INT)]
+            ELSE {_HLL_NUMER!r} / CAST({src}.s_scaled AS DOUBLE) END"""
+
 
 HLL_SQL = f"""
 WITH h AS (
@@ -185,19 +185,28 @@ WITH h AS (
   SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
 )
 SELECT x.event_type, x.n_exact,
-       CASE WHEN {_HLL_NUMER!r} / CAST(s.s_scaled AS DOUBLE) <= {_HLL_SMALL!r}
-                 AND {_HLL_M} - s.n_registers > 0
-            THEN ({_HLL_LC_SQL})[CAST({_HLL_M} - s.n_registers AS INT)]
-            ELSE {_HLL_NUMER!r} / CAST(s.s_scaled AS DOUBLE) END AS hll_est,
+       {_hll_est_case_sql("s")} AS hll_est,
        s.n_registers
 FROM x JOIN s USING (event_type)
 """
 
 
+def _hll_denoms():
+    """The register-rollup aggregates every HLL consumer shares:
+    exact-integer harmonic denominator (pyspark's shiftleft() only
+    takes a literal shift — the column shift is spelled in SQL,
+    1L << (53 - reg), max 2^52 per register) plus the touched-register
+    count."""
+    return [
+        F.sum(F.expr("shiftleft(1L, 53 - reg)")).alias("_present"),
+        F.count(F.lit(1)).alias("n_registers"),
+    ]
+
+
 def _hll_estimate(present_col, n_registers_col):
-    """Shared HLL estimator over a scaled-denominator rollup: raw
-    harmonic estimate with the Flajolet linear-counting small-range
-    branch, exactly the spelling certified in hll_distinct_users."""
+    """THE HLL estimator spelling (single copy — hll_distinct_users and
+    hll_merge_daily both call it): raw harmonic estimate with the
+    Flajolet linear-counting small-range branch."""
     s_scaled = present_col + (F.lit(_HLL_M) - n_registers_col) * F.lit(_POW53)
     raw = F.lit(_HLL_NUMER) / s_scaled.cast("double")
     zeros = F.lit(_HLL_M) - n_registers_col
@@ -239,43 +248,38 @@ def hll_merge_daily(spark, sf_dir):
         .agg(F.max("rho").alias("reg"))
     )
     regs.cache()
-    _denoms = [
-        F.sum(F.expr("shiftleft(1L, 53 - reg)")).alias("_present"),
-        F.count(F.lit(1)).alias("n_registers"),
-    ]
-    day_est = regs.groupBy("day").agg(*_denoms).select(
+    day_est = regs.groupBy("day").agg(*_hll_denoms()).select(
         "day",
         _hll_estimate(F.col("_present"), F.col("n_registers")).alias("hll_est"),
     )
     merged_est = (
         regs.groupBy("idx").agg(F.max("reg").alias("reg"))
-        .agg(*_denoms)
+        .agg(*_hll_denoms())
         .select(
             _hll_estimate(F.col("_present"), F.col("n_registers")).alias(
                 "hll_est"
             )
         )
     )
-    exact_day = ev.groupBy(day.alias("day")).agg(
+    # ONE rollup scan yields every exact comparator (per-day + the
+    # grand total, day = NULL) instead of two separate distinct aggs
+    # over the fact table; cached because the day/total split below
+    # consumes it twice and the relation is |days|+1 rows
+    exact = ev.rollup(day.alias("day")).agg(
         F.count_distinct("user_id").alias("n_exact")
     )
-    exact_all = ev.agg(F.count_distinct("user_id").alias("n_exact"))
-    per_day = exact_day.join(F.broadcast(day_est), "day").select(
-        "day", "n_exact", "hll_est"
+    exact.cache()
+    per_day = (
+        exact.where(F.col("day").isNotNull())
+        .join(F.broadcast(day_est), "day")
+        .select("day", "n_exact", "hll_est")
     )
-    merged = exact_all.crossJoin(F.broadcast(merged_est)).select(
-        F.lit("(merged)").alias("day"), "n_exact", "hll_est"
+    merged = (
+        exact.where(F.col("day").isNull())
+        .crossJoin(F.broadcast(merged_est))
+        .select(F.lit("(merged)").alias("day"), "n_exact", "hll_est")
     )
     return per_day.unionByName(merged)
-
-
-def _hll_est_case_sql(src: str) -> str:
-    """DuckDB spelling of _hll_estimate over a rollup named ``src``
-    exposing s_scaled and n_registers (same literals as HLL_SQL)."""
-    return f"""CASE WHEN {_HLL_NUMER!r} / CAST({src}.s_scaled AS DOUBLE) <= {_HLL_SMALL!r}
-                 AND {_HLL_M} - {src}.n_registers > 0
-            THEN ({_HLL_LC_SQL})[CAST({_HLL_M} - {src}.n_registers AS INT)]
-            ELSE {_HLL_NUMER!r} / CAST({src}.s_scaled AS DOUBLE) END"""
 
 
 HLL_MERGE_SQL = f"""
@@ -308,12 +312,12 @@ WITH h AS (
   SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
   FROM events WHERE event_type = 'purchase'
 )
-SELECT xd.day, xd.n_exact, {{est_sd}} AS hll_est
+SELECT xd.day, xd.n_exact, {_hll_est_case_sql("sd")} AS hll_est
 FROM xd JOIN sd USING (day)
 UNION ALL
-SELECT '(merged)' AS day, xa.n_exact, {{est_sm}} AS hll_est
+SELECT '(merged)' AS day, xa.n_exact, {_hll_est_case_sql("sm")} AS hll_est
 FROM xa, sm
-""".format(est_sd=_hll_est_case_sql("sd"), est_sm=_hll_est_case_sql("sm"))
+"""
 
 
 # --------------------------------------------------------------------------
