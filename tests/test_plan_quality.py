@@ -715,3 +715,58 @@ def test_hll_registers_never_move_raw_rows(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final × (regs, rollup)
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    ("daily_value_ewma", 2),          # day rollup + 1-row fold collect
+    ("revenue_cusum_shift", 2),       # same calendar-bounded shape
+    ("variant_ucb_ranking", 4),       # variant agg + 1-row N + rank window
+    ("ridge_price_fit", 1),           # ONE single-pass moment sketch
+    ("frequent_brand_triples", 3),    # basket agg + support agg + top-k
+    ("supplier_cosupply_bfs", 4),     # basket + weight aggs + top-M merge
+])
+def test_stats_ext_shuffle_budgets(spark, sf_dir, name, max_shuffles):
+    assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles
+
+
+def test_ridge_is_single_pass_codegen(spark, sf_dir):
+    """The 9-moment sketch must be ONE partial/final hash-agg pair over
+    a 3-column scan — no join, no Python, no second pass."""
+    from tracker_trainer_spark.plans import physical_plan
+    df = QUERIES["ridge_price_fit"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for cols in scan_columns(df):
+        assert cols <= {"l_quantity", "l_discount", "l_extendedprice"}
+
+
+def test_triples_expand_scan_side_not_self_join(spark, sf_dir):
+    """The C(b,3) expansion must be an array HOF above the basket
+    aggregate — never the oracle's 3-way self-join."""
+    from tracker_trainer_spark.plans import physical_plan
+    plan = physical_plan(QUERIES["frequent_brand_triples"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan      # the one join broadcasts part
+    tree = plan.split("\n\n")[0]
+    gen = tree.find("Generate")
+    scan = tree.find("Scan parquet", gen)
+    assert gen != -1 and scan != -1
+    assert "HashAggregate" in tree[gen:scan], (
+        "triple explode consumes raw scan rows:\n" + tree)
+
+
+def test_bfs_sparsifies_with_take_ordered(spark, sf_dir):
+    """Edge sparsification must plan as distributed TakeOrdered — a
+    global row_number window (single-task sort over every candidate
+    pair) is the 1000×-scale failure mode this pin guards against.
+    Pinned on the pre-checkpoint edge relation (the query's
+    localCheckpoint hides the build plan from the final DataFrame)."""
+    from tracker_trainer_spark.plans import physical_plan
+    from tracker_trainer_spark.queries_stats_ext import _bfs_sparsified_edges
+    plan = physical_plan(_bfs_sparsified_edges(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    final = physical_plan(QUERIES["supplier_cosupply_bfs"](spark, sf_dir))
+    assert "CartesianProduct" not in final

@@ -3128,3 +3128,13 @@ from tracker_trainer_spark.queries_analytics_ext import (  # noqa: E402
 
 QUERIES.update(_AN_DEF_QUERIES)
 ORACLES.update(_AN_DEF_ORACLES)
+
+# Sequential-statistics / traversal families added once the r4 window
+# was already exactly full — tail-registered for r5 certification.
+from tracker_trainer_spark.queries_stats_ext import (  # noqa: E402
+    STATS_DEFERRED_ORACLES as _ST_DEF_ORACLES,
+    STATS_DEFERRED_QUERIES as _ST_DEF_QUERIES,
+)
+
+QUERIES.update(_ST_DEF_QUERIES)
+ORACLES.update(_ST_DEF_ORACLES)

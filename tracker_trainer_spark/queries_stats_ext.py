@@ -1,0 +1,675 @@
+"""Sequential-statistics and graph-traversal queries (deferred channel).
+
+Families added here, each a distinct operator class the registry did not
+yet certify:
+
+- EWMA smoothing (``daily_value_ewma``): the exponential recurrence
+  ewma_t = α·x_t + (1−α)·ewma_{t−1} as an ORDERED left fold — the same
+  portable product/fold spelling Kaplan-Meier survival uses (Spark
+  ``aggregate`` over a sorted array vs DuckDB ``list_reduce`` over an
+  ORDER BY list, identical IEEE op sequence → bit-identical doubles).
+- CUSUM change-point (``revenue_cusum_shift``): the one-sided cumulative
+  sum S_t = max(0, S_{t−1} + (x_t − μ)) — a non-linear fold no window
+  frame can express; detects level shifts in a daily KPI.
+- Bandit UCB ranking (``variant_ucb_ranking``): UCB1 scores and Beta
+  posterior means per variant — the serving-side ranking arithmetic of
+  the decision engine this repo's trainer feeds (reference domain:
+  improve-ai rewarded decisions; the trainer's counterpart query).
+- Closed-form ridge regression (``ridge_price_fit``): 2-feature + inter-
+  cept normal equations solved by Cramer's rule from one pass of exact
+  integer moment sums — multi-feature regression without MLlib, fully
+  oracle-checkable.
+- Frequent itemset triples (``frequent_brand_triples``): the k=3 step of
+  apriori support counting, generated scan-side with array HOFs (the
+  same no-self-join posture as basket_pair_lift / shared_parts).
+- BFS reachability histogram (``supplier_cosupply_bfs``): min-hop
+  distances over a deterministically sparsified co-supply graph via
+  recursive CTE — the graph-traversal operator class beyond the
+  fixpoint rollup (hierarchy) and spectral/counting (pagerank,
+  triangles) families already certified.
+
+Scale notes (why each shape survives 100 TB):
+- EWMA / CUSUM: the fact table contributes ONE hash agg to a calendar-
+  bounded day relation; folds run on ≤|days| element arrays, data
+  volume never touches them.
+- UCB: one hash agg to |variants| rows; N rides a broadcast scalar.
+- Ridge: a single-pass mergeable moment sketch (9 sums) — the same
+  partial-agg shape as regr_*; the 3×3 solve is driver-free scalar
+  algebra on one row.
+- Triples: per-order distinct-brand arrays are bounded by the brand
+  domain (≤25); C(b,3) expansion is scan-side, support filter prunes
+  before any wide exchange.
+- BFS: edge sparsification is top-M by weight (M = 5×|nodes|) so the
+  frontier join touches a degree-bounded edge relation; each recursion
+  step is one equi-join + DISTINCT, depth-capped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark, sf_dir, name):
+    from tracker_trainer_spark.queries import _t as _load
+
+    return _load(spark, sf_dir, name)
+
+
+def r4(c):
+    return F.round(c, 4)
+
+
+# --------------------------------------------------------------------------
+# EWMA — exponential smoothing of the daily purchase value
+# --------------------------------------------------------------------------
+
+_EWMA_ALPHA = "0.2"  # embedded as a literal in both engines
+
+
+def daily_value_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average of daily purchase value,
+    seeded with the first day's value (ewma_1 = x_1, then
+    ewma_t = 0.2·x_t + 0.8·ewma_{t−1}).
+
+    Cross-engine exactness: daily values are exact integer cents; the
+    recurrence is evaluated as an ordered left fold whose seed is the
+    first element (Spark: ``aggregate(slice(arr, 2, n), arr[0], …)``;
+    DuckDB: ``list_reduce``'s natural first-element seed) — the same
+    double sequence through the same IEEE ops on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long").alias("cents")
+        )
+    )
+    folded = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("arr")
+    )
+    out = folded.select(
+        F.explode(
+            F.expr(
+                f"""transform(arr, s -> struct(
+                  s.day AS day, s.cents AS day_cents,
+                  CASE WHEN s.day = arr[0].day
+                       THEN CAST(arr[0].cents AS DOUBLE)
+                       ELSE aggregate(
+                         filter(slice(arr, 2, size(arr) - 1),
+                                x -> x.day <= s.day),
+                         CAST(arr[0].cents AS DOUBLE),
+                         (acc, x) -> {_EWMA_ALPHA} * CAST(x.cents AS DOUBLE)
+                                     + (1.0 - {_EWMA_ALPHA}) * acc)
+                  END AS ewma_cents))"""
+            )
+        ).alias("s")
+    )
+    return out.select(
+        "s.day",
+        F.col("s.day_cents").alias("day_cents"),
+        r4(F.col("s.ewma_cents")).alias("ewma_cents"),
+    )
+
+
+EWMA_SQL = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), folded AS (
+  SELECT list(struct_pack(day := day, cents := cents) ORDER BY day) AS arr
+  FROM daily
+)
+SELECT s.day AS day, s.cents AS day_cents,
+       round(CASE WHEN s.day = arr[1].day THEN CAST(arr[1].cents AS DOUBLE)
+             ELSE list_reduce(
+               list_prepend(CAST(arr[1].cents AS DOUBLE),
+                 list_transform(
+                   list_filter(arr[2:], x -> x.day <= s.day),
+                   x -> CAST(x.cents AS DOUBLE))),
+               (acc, x) -> {_EWMA_ALPHA} * x + (1.0 - {_EWMA_ALPHA}) * acc)
+             END, 4) AS ewma_cents
+FROM folded, unnest(arr) AS t(s)
+"""
+
+
+# --------------------------------------------------------------------------
+# CUSUM — one-sided change-point statistic over daily purchase value
+# --------------------------------------------------------------------------
+
+def revenue_cusum_shift(spark, sf_dir):
+    """One-sided CUSUM over daily purchase value:
+    S_t = max(0, S_{t−1} + (x_t − μ)) with μ the whole-period daily
+    mean — the level-shift detector a plain moving average smears out.
+    S is a genuinely non-linear fold (no SQL window frame computes it);
+    both engines run it as an ordered left fold with seed 0.
+
+    μ is one division of exact BIGINTs (total cents / n days), so every
+    fold input is the identical double on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long").alias("cents")
+        )
+    )
+    folded = daily.agg(
+        F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("arr")
+    )
+    out = folded.select(
+        F.explode(
+            F.expr(
+                """transform(arr, s -> struct(
+                  s.day AS day, s.cents AS day_cents,
+                  aggregate(
+                    filter(arr, x -> x.day <= s.day),
+                    CAST(0.0 AS DOUBLE),
+                    (acc, x) -> greatest(
+                      CAST(0.0 AS DOUBLE),
+                      acc + (CAST(x.cents AS DOUBLE)
+                             - CAST(aggregate(arr, 0L,
+                                              (a, y) -> a + y.cents)
+                                    AS DOUBLE)
+                               / CAST(size(arr) AS DOUBLE)))
+                  ) AS cusum))"""
+            )
+        ).alias("s")
+    )
+    return out.select(
+        "s.day",
+        F.col("s.day_cents").alias("day_cents"),
+        r4(F.col("s.cusum")).alias("cusum_cents"),
+    )
+
+
+CUSUM_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), folded AS (
+  SELECT list(struct_pack(day := day, cents := cents) ORDER BY day) AS arr
+  FROM daily
+)
+SELECT s.day AS day, s.cents AS day_cents,
+       round(list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(
+             list_filter(arr, x -> x.day <= s.day),
+             x -> CAST(x.cents AS DOUBLE))),
+         (acc, x) -> greatest(
+           CAST(0.0 AS DOUBLE),
+           acc + (x - CAST(list_reduce(
+                            list_transform(arr, y -> y.cents),
+                            (a, b) -> a + b) AS DOUBLE)
+                      / CAST(len(arr) AS DOUBLE)))), 4) AS cusum_cents
+FROM folded, unnest(arr) AS t(s)
+"""
+
+
+# --------------------------------------------------------------------------
+# Bandit UCB ranking — the serving-side score of the decision engine
+# --------------------------------------------------------------------------
+
+def variant_ucb_ranking(spark, sf_dir):
+    """UCB1 ranking of event-type variants by high-value rate — the
+    explore/exploit score a bandit serving layer computes over exactly
+    the reward statistics this repo's trainer aggregates (reference
+    domain: improve-ai rewarded decisions; cf. the trainer's reward
+    merge A1 and propensity weighting M2).
+
+    Per variant: trials n, successes (value ≥ 50), exact mean
+    (BIGINT/BIGINT single division), Beta(1,1) posterior mean
+    (s+1)/(n+2), and ucb = mean + sqrt(2·ln(N)/n).  Ranking uses the
+    UNROUNDED ucb with the variant name as tiebreak (parity
+    convention); ln/sqrt last-ulp divergence is absorbed by r4."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("value") >= 50.0).cast("long")).cast("long")
+        .alias("succ"),
+    )
+    tot = per.agg(F.sum("n").cast("long").alias("_big_n"))
+    scored = per.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        "succ",
+        (F.col("succ").cast("double") / F.col("n").cast("double"))
+        .alias("_mean"),
+        (
+            F.col("succ").cast("double") / F.col("n").cast("double")
+            + F.sqrt(
+                2.0 * F.log(F.col("_big_n").cast("double"))
+                / F.col("n").cast("double")
+            )
+        ).alias("_ucb"),
+        (
+            (F.col("succ").cast("double") + 1.0)
+            / (F.col("n").cast("double") + 2.0)
+        ).alias("_post"),
+    )
+    wr = Window.orderBy(F.desc("_ucb"), "event_type")
+    return scored.select(
+        F.row_number().over(wr).alias("rank"),
+        "event_type",
+        "n",
+        "succ",
+        r4(F.col("_mean")).alias("mean_reward"),
+        r4(F.col("_ucb")).alias("ucb_score"),
+        r4(F.col("_post")).alias("posterior_mean"),
+    )
+
+
+UCB_SQL = """
+WITH per AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS succ
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS big_n FROM per
+), scored AS (
+  SELECT event_type, n, succ,
+         CAST(succ AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         CAST(succ AS DOUBLE) / CAST(n AS DOUBLE)
+           + sqrt(2.0 * ln(CAST(big_n AS DOUBLE)) / CAST(n AS DOUBLE))
+           AS u,
+         (CAST(succ AS DOUBLE) + 1.0) / (CAST(n AS DOUBLE) + 2.0) AS p
+  FROM per, tot
+)
+SELECT CAST(row_number() OVER (ORDER BY u DESC, event_type) AS INT) AS rank,
+       event_type, n, succ,
+       round(m, 4) AS mean_reward,
+       round(u, 4) AS ucb_score,
+       round(p, 4) AS posterior_mean
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# Closed-form ridge regression — 2 features + intercept via Cramer
+# --------------------------------------------------------------------------
+
+_RIDGE_LAMBDA = "1.0"
+
+# The 3x3 normal-equation solve, written ONCE and injected verbatim into
+# BOTH engines so every double op runs in the identical textual order.
+# Inputs: n, s1, s2 (Σx1, Σx2), s11, s22, s12, sy, s1y, s2y — exact
+# BIGINT sums pre-divided to dollar/fraction units — and syy (double).
+_RIDGE_EXPRS = {
+    "a11": "CAST(n AS DOUBLE)",
+    "a12": "s1d", "a13": "s2d",
+    "a22": f"s11d + {_RIDGE_LAMBDA}", "a23": "s12d",
+    "a33": f"s22d + {_RIDGE_LAMBDA}",
+}
+
+_RIDGE_DET = (
+    "({a11}) * (({a22}) * ({a33}) - ({a23}) * ({a23}))"
+    " - ({a12}) * (({a12}) * ({a33}) - ({a23}) * ({a13}))"
+    " + ({a13}) * (({a12}) * ({a23}) - ({a22}) * ({a13}))"
+).format(**_RIDGE_EXPRS)
+
+_RIDGE_DET0 = (
+    "(syd) * (({a22}) * ({a33}) - ({a23}) * ({a23}))"
+    " - ({a12}) * ((s1yd) * ({a33}) - ({a23}) * (s2yd))"
+    " + ({a13}) * ((s1yd) * ({a23}) - ({a22}) * (s2yd))"
+).format(**_RIDGE_EXPRS)
+
+_RIDGE_DET1 = (
+    "({a11}) * ((s1yd) * ({a33}) - ({a23}) * (s2yd))"
+    " - (syd) * (({a12}) * ({a33}) - ({a23}) * ({a13}))"
+    " + ({a13}) * (({a12}) * (s2yd) - (s1yd) * ({a13}))"
+).format(**_RIDGE_EXPRS)
+
+_RIDGE_DET2 = (
+    "({a11}) * (({a22}) * (s2yd) - (s1yd) * ({a23}))"
+    " - ({a12}) * (({a12}) * (s2yd) - (s1yd) * ({a13}))"
+    " + (syd) * (({a12}) * ({a23}) - ({a22}) * ({a13}))"
+).format(**_RIDGE_EXPRS)
+
+# residual sum of squares from moments:
+# SSE = Σy² − 2(b0·Sy + b1·S1y + b2·S2y)
+#       + (b0²n + b1²S11 + b2²S22 + 2b0b1S1 + 2b0b2S2 + 2b1b2S12)
+_RIDGE_SSE = (
+    "syy - 2.0 * (b0 * syd + b1 * s1yd + b2 * s2yd)"
+    " + (b0 * b0 * CAST(n AS DOUBLE) + b1 * b1 * s11d + b2 * b2 * s22d"
+    "    + 2.0 * b0 * b1 * s1d + 2.0 * b0 * b2 * s2d"
+    "    + 2.0 * b1 * b2 * s12d)"
+)
+
+_RIDGE_SST = "syy - syd * syd / CAST(n AS DOUBLE)"
+
+
+def ridge_price_fit(spark, sf_dir):
+    """Ridge regression (λ=1 on the slope diagonal, intercept
+    unpenalized) of extended price (dollars) on quantity and discount,
+    solved in closed form: one single-pass moment sketch (9 sums) and a
+    3×3 Cramer solve — multi-feature linear modelling without MLlib,
+    value-for-value checkable in SQL.
+
+    Exactness: every moment except Σy² is an exact BIGINT sum of
+    integer-unit inputs (quantity integral, discount in bps, price in
+    cents), converted to dollar units by ONE division each; the Cramer
+    expressions are a single shared text evaluated by both engines in
+    the identical op order.  Σy² sums exact-per-term doubles (cents² <
+    2⁵³) so only the reduction order can differ — absorbed by r4, the
+    regr_r2 precedent."""
+    li = _t(spark, sf_dir, "lineitem")
+    mom = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("s1"),
+        F.sum(F.round(F.col("l_discount") * 100).cast("long"))
+        .cast("long").alias("s2b"),
+        F.sum(
+            F.col("l_quantity").cast("long")
+            * F.col("l_quantity").cast("long")
+        ).cast("long").alias("s11"),
+        F.sum(
+            F.round(F.col("l_discount") * 100).cast("long")
+            * F.round(F.col("l_discount") * 100).cast("long")
+        ).cast("long").alias("s22b"),
+        F.sum(
+            F.col("l_quantity").cast("long")
+            * F.round(F.col("l_discount") * 100).cast("long")
+        ).cast("long").alias("s12b"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long").alias("syc"),
+        F.sum(
+            F.col("l_quantity").cast("long")
+            * F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).cast("long").alias("s1yc"),
+        F.sum(
+            F.round(F.col("l_discount") * 100).cast("long")
+            * F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).cast("long").alias("s2ycb"),
+        F.sum(
+            (F.round(F.col("l_extendedprice") * 100).cast("long")
+             .cast("double") / 100.0)
+            * (F.round(F.col("l_extendedprice") * 100).cast("long")
+               .cast("double") / 100.0)
+        ).alias("syy"),
+    )
+    units = mom.selectExpr(
+        "n", "syy",
+        "CAST(s1 AS DOUBLE) AS s1d",
+        "CAST(s2b AS DOUBLE) / 100.0 AS s2d",
+        "CAST(s11 AS DOUBLE) AS s11d",
+        "CAST(s22b AS DOUBLE) / 10000.0 AS s22d",
+        "CAST(s12b AS DOUBLE) / 100.0 AS s12d",
+        "CAST(syc AS DOUBLE) / 100.0 AS syd",
+        "CAST(s1yc AS DOUBLE) / 100.0 AS s1yd",
+        "CAST(s2ycb AS DOUBLE) / 10000.0 AS s2yd",
+    )
+    solved = units.selectExpr(
+        "*",
+        f"({_RIDGE_DET0}) / ({_RIDGE_DET}) AS b0",
+        f"({_RIDGE_DET1}) / ({_RIDGE_DET}) AS b1",
+        f"({_RIDGE_DET2}) / ({_RIDGE_DET}) AS b2",
+    )
+    return solved.selectExpr(
+        "n",
+        "round(b0, 4) AS b0",
+        "round(b1, 4) AS b1",
+        "round(b2, 4) AS b2",
+        f"round(1.0 - ({_RIDGE_SSE}) / ({_RIDGE_SST}), 4) AS r2",
+    )
+
+
+RIDGE_SQL = f"""
+WITH mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS s2b,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s11,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+           AS s22b,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+           AS s12b,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS syc,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS s1yc,
+         CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS s2ycb,
+         sum((CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+              / 100.0)
+             * (CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+                / 100.0)) AS syy
+  FROM lineitem
+), units AS (
+  SELECT n, syy,
+         CAST(s1 AS DOUBLE) AS s1d,
+         CAST(s2b AS DOUBLE) / 100.0 AS s2d,
+         CAST(s11 AS DOUBLE) AS s11d,
+         CAST(s22b AS DOUBLE) / 10000.0 AS s22d,
+         CAST(s12b AS DOUBLE) / 100.0 AS s12d,
+         CAST(syc AS DOUBLE) / 100.0 AS syd,
+         CAST(s1yc AS DOUBLE) / 100.0 AS s1yd,
+         CAST(s2ycb AS DOUBLE) / 10000.0 AS s2yd
+  FROM mom
+), solved AS (
+  SELECT *,
+         ({_RIDGE_DET0}) / ({_RIDGE_DET}) AS b0,
+         ({_RIDGE_DET1}) / ({_RIDGE_DET}) AS b1,
+         ({_RIDGE_DET2}) / ({_RIDGE_DET}) AS b2
+  FROM units
+)
+SELECT n,
+       round(b0, 4) AS b0,
+       round(b1, 4) AS b1,
+       round(b2, 4) AS b2,
+       round(1.0 - ({_RIDGE_SSE}) / ({_RIDGE_SST}), 4) AS r2
+FROM solved
+"""
+
+
+# --------------------------------------------------------------------------
+# Frequent brand triples — the k=3 apriori support count
+# --------------------------------------------------------------------------
+
+_TRIPLES_TOPN = 20
+
+
+def frequent_brand_triples(spark, sf_dir):
+    """Top frequent brand TRIPLES across order baskets — the k=3 step
+    of apriori/frequent-itemset mining (basket_pair_lift is k=2).
+
+    The C(b,3) expansion runs scan-side with nested array HOFs over the
+    per-order sorted distinct-brand array (bounded by the 25-brand
+    domain, so ≤2300 triples per order worst-case and ~1-35 in
+    practice) — no self-join ever touches the fact table.  The oracle
+    counts the same triples with the naive 3-way id-ordered self-join
+    (exact parity, different plan), mirroring the triangle-count
+    oracle's posture.  Ties broken by the brand triple itself."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
+        .where(F.size("brands") >= 3)
+    )
+    triples = baskets.select(
+        F.explode(
+            F.expr(
+                """flatten(transform(
+                     sequence(0, size(brands) - 3),
+                     i -> flatten(transform(
+                       sequence(i + 1, size(brands) - 2),
+                       j -> transform(
+                         sequence(j + 1, size(brands) - 1),
+                         k -> struct(brands[i] AS b1, brands[j] AS b2,
+                                     brands[k] AS b3))))))"""
+            )
+        ).alias("t")
+    )
+    counts = (
+        triples.groupBy("t.b1", "t.b2", "t.b3")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        counts.orderBy(F.desc("support"), "b1", "b2", "b3")
+        .limit(_TRIPLES_TOPN)
+    )
+
+
+TRIPLES_SQL = f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT a.p_brand AS b1, b.p_brand AS b2, c.p_brand AS b3,
+       CAST(count(*) AS BIGINT) AS support
+FROM ob a
+JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+JOIN ob c ON b.l_orderkey = c.l_orderkey AND b.p_brand < c.p_brand
+GROUP BY 1, 2, 3
+ORDER BY support DESC, b1, b2, b3
+LIMIT {_TRIPLES_TOPN}
+"""
+
+
+# --------------------------------------------------------------------------
+# BFS min-hop histogram over the sparsified co-supply graph
+# --------------------------------------------------------------------------
+
+_BFS_MAX_HOP = 3
+_BFS_EDGES_PER_NODE = 5
+
+
+def _bfs_sparsified_edges(spark, sf_dir):
+    """Undirected top-M co-supply edge relation (pre-materialization) —
+    factored out so the plan suite can pin the TakeOrdered shape that
+    the query's localCheckpoint otherwise hides."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ss"))
+        .where(F.size("ss") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                """flatten(transform(
+                     sequence(0, size(ss) - 2),
+                     i -> transform(
+                       sequence(i + 1, size(ss) - 1),
+                       j -> struct(ss[i] AS s1, ss[j] AS s2))))"""
+            )
+        ).alias("p")
+    )
+    weights = pairs.groupBy("p.s1", "p.s2").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    # top-M as TakeOrderedAndProject (distributed per-partition partial
+    # top-M + merge), NOT a global row_number window — a single-task
+    # sort over every candidate pair is exactly the kind of plan that
+    # dies at 1000× the pair count.  |suppliers| is bounded driver
+    # metadata (same class as centroid collects).  (w desc, s1, s2) is
+    # a total order over pairs, so the kept set is deterministic and
+    # identical to the oracle's row_number spelling.
+    top_m = _BFS_EDGES_PER_NODE * _t(spark, sf_dir, "supplier").count()
+    kept = (
+        weights.orderBy(F.desc("w"), "s1", "s2")
+        .limit(int(top_m))
+        .select("s1", "s2")
+    )
+    return kept.union(kept.select(F.col("s2").alias("s1"),
+                                  F.col("s1").alias("s2")))
+
+
+def supplier_cosupply_bfs(spark, sf_dir):
+    """Min-hop BFS distance histogram from the lowest-keyed supplier
+    over the co-supply graph, edges deterministically sparsified to the
+    top 5·|suppliers| strongest ties (shared-order count, pair-id
+    tiebreak) — small-world reachability analysis (how much of the
+    supplier network is within k ties of a seed).
+
+    Traversal is a recursive CTE: each step joins the frontier against
+    the degree-bounded edge relation and DISTINCTs the (node, hop)
+    level, capped at 3 hops; min-hop per node is taken outside the
+    recursion.  Both engines run the identical recursion text.  The
+    pair explosion reuses the basket-HOF posture (orders hold ≤7
+    suppliers), and the top-M sparsification plans as distributed
+    TakeOrdered (``_bfs_sparsified_edges``, plan-pinned)."""
+    edges = _bfs_sparsified_edges(spark, sf_dir)
+    # A temp view is a LOGICAL plan: without materialization every
+    # recursion step would rebuild the basket explode + global rank
+    # (pagerank's localCheckpoint precedent — sf0.1: 13s -> ~2s).
+    edges = edges.localCheckpoint(eager=True)
+    edges.createOrReplaceTempView("bfs_edges_src")
+    seed = "(SELECT min(s_suppkey) FROM bfs_supplier_src)"
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "bfs_supplier_src")
+    reach = spark.sql(
+        f"""
+WITH RECURSIVE reach AS (
+  SELECT {seed} AS node, CAST(0 AS INT) AS hop
+  UNION ALL
+  SELECT DISTINCT e.s2 AS node, reach.hop + 1 AS hop
+  FROM reach JOIN bfs_edges_src e ON e.s1 = reach.node
+  WHERE reach.hop < {_BFS_MAX_HOP}
+)
+SELECT CAST(hop AS INT) AS hop, CAST(count(*) AS BIGINT) AS n_suppliers
+FROM (SELECT node, min(hop) AS hop FROM reach GROUP BY node)
+GROUP BY 1 ORDER BY 1
+"""
+    )
+    return reach
+
+
+BFS_SQL = f"""
+WITH RECURSIVE ob AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), pw AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS w
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+), kept AS (
+  SELECT s1, s2 FROM (
+    SELECT s1, s2, row_number() OVER (ORDER BY w DESC, s1, s2) AS rn
+    FROM pw
+  ) WHERE rn <= {_BFS_EDGES_PER_NODE} * (SELECT count(*) FROM supplier)
+), edges AS (
+  SELECT s1, s2 FROM kept UNION ALL SELECT s2 AS s1, s1 AS s2 FROM kept
+), reach AS (
+  SELECT (SELECT min(s_suppkey) FROM supplier) AS node, CAST(0 AS INT) AS hop
+  UNION ALL
+  SELECT DISTINCT e.s2 AS node, reach.hop + 1 AS hop
+  FROM reach JOIN edges e ON e.s1 = reach.node
+  WHERE reach.hop < {_BFS_MAX_HOP}
+)
+SELECT CAST(hop AS INT) AS hop, CAST(count(*) AS BIGINT) AS n_suppliers
+FROM (SELECT node, min(hop) AS hop FROM reach GROUP BY node)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+STATS_DEFERRED_QUERIES = {
+    "daily_value_ewma": daily_value_ewma,
+    "revenue_cusum_shift": revenue_cusum_shift,
+    "variant_ucb_ranking": variant_ucb_ranking,
+    "ridge_price_fit": ridge_price_fit,
+    "frequent_brand_triples": frequent_brand_triples,
+    "supplier_cosupply_bfs": supplier_cosupply_bfs,
+}
+
+STATS_DEFERRED_ORACLES = {
+    "daily_value_ewma": EWMA_SQL,
+    "revenue_cusum_shift": CUSUM_SQL,
+    "variant_ucb_ranking": UCB_SQL,
+    "ridge_price_fit": RIDGE_SQL,
+    "frequent_brand_triples": TRIPLES_SQL,
+    "supplier_cosupply_bfs": BFS_SQL,
+}
