@@ -770,3 +770,35 @@ def test_bfs_sparsifies_with_take_ordered(spark, sf_dir):
     assert "CartesianProduct" not in plan
     final = physical_plan(QUERIES["supplier_cosupply_bfs"](spark, sf_dir))
     assert "CartesianProduct" not in final
+
+
+def test_lit_vec_bit_identity(spark, sf_dir):
+    """F.lit([..]) (one ArrayType Literal) must be bit-identical to
+    F.array(*[F.lit(x) ..]) (CreateArray over children) through the
+    zip_with/aggregate distance fold — the representation change that
+    de-chattered the ANN/KMeans trainers (kmeans_embedding_clusters was
+    evicted from _DRIVER_CERTIFIED on this diff; this test is the
+    bit-identity evidence backing its re-certification)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    rng = np.random.RandomState(3)
+    c = [float(x) for x in rng.randn(64)]
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.transform("embedding", lambda x: x.cast("double"))
+                .alias("emb"))
+        .limit(500)
+    )
+
+    def dist(vec_lit):
+        return F.aggregate(
+            F.zip_with(F.col("emb"), vec_lit,
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    a = [r[0] for r in emb.select(
+        dist(F.array(*[F.lit(v) for v in c]))).collect()]
+    b = [r[0] for r in emb.select(dist(F.lit(c))).collect()]
+    assert len(a) == 500
+    assert all(repr(x) == repr(y) for x, y in zip(a, b))

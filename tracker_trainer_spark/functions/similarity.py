@@ -48,7 +48,12 @@ def l2_norm(a) -> Column:
 
 
 def _lit_vec(vals: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vals])
+    # ONE Literal node (ArrayType), not CreateArray over len(vals)
+    # children: bit-identical values, but one py4j call instead of
+    # len(vals) and a constant ArrayData in codegen instead of
+    # element-wise construction (tests/test_plan_quality.py pins the
+    # bit-identity).
+    return F.lit([float(x) for x in vals])
 
 
 def cosine_to_literal(vec_col, probe: list[float]) -> Column:
@@ -634,7 +639,7 @@ def lloyd_pq_codebooks(df: DataFrame, m: int = 4, k: int = 4,
                     F.aggregate(
                         F.zip_with(
                             F.col("sv"),
-                            F.array(*[F.lit(float(v)) for v in c]),
+                            _lit_vec(c),
                             lambda x, y: (x - y) * (x - y),
                         ),
                         F.lit(0.0),
@@ -693,7 +698,10 @@ def lloyd_pq_codebooks(df: DataFrame, m: int = 4, k: int = 4,
         if len(seen) != m * k:
             raise ValueError(
                 f"PQ training emptied a code: {m * k - len(seen)} missing")
-        assigned = sv.withColumn("cid", assign_expr(books))
+        if rnd + 1 < iters:
+            # the post-final-round assignment is never aggregated —
+            # building its m×k candidate expression is pure driver cost
+            assigned = sv.withColumn("cid", assign_expr(books))
     return (books, probe) if probe_id is not None else books
 
 

@@ -3007,7 +3007,11 @@ ORACLES.update(_SKETCH_ORACLES)
 #             purchase_moving_avg (integer-space half-up rounding —
 #             Spark/DuckDB disagree on true half-way doubles),
 #             supplier_triangle_count (pre-agg spread removed — the
-#             basket agg's own shuffle redistributes the scan)
+#             basket agg's own shuffle redistributes the scan),
+#             kmeans_embedding_clusters (centroid literals became a
+#             single ArrayType Literal — bit-identical values, pinned
+#             by tests/test_plan_quality.py::test_lit_vec_bit_identity,
+#             but the rule is representation-agnostic by design)
 _DRIVER_CERTIFIED = frozenset({
     # ---- certified green in CORRECTNESS_r01 / r02 ----
     "ann_cosine_topk",
@@ -3084,7 +3088,6 @@ _DRIVER_CERTIFIED = frozenset({
     "events_json_value_stats",
     "ipw_weight_diagnostics",
     "jaccard_prefix_join",
-    "kmeans_embedding_clusters",
     "knn_join_topk",
     "lineitem_measures_unpivot",
     "lineitem_stats_profile",

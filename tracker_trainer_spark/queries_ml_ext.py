@@ -77,7 +77,11 @@ def _assign_expr(centroids):
             F.aggregate(
                 F.zip_with(
                     F.col("emb"),
-                    F.array(*[F.lit(float(v)) for v in c]),
+                    # one ArrayType Literal, not CreateArray over dim
+                    # children — bit-identical values, ~dim fewer py4j
+                    # calls per centroid (the driver-side cost of every
+                    # training round at small data)
+                    F.lit([float(v) for v in c]),
                     lambda x, y: (x - y) * (x - y),
                 ),
                 F.lit(0.0),
@@ -164,10 +168,8 @@ def kmeans_embedding_clusters(spark, sf_dir, k: int = KMEANS_K,
     # previous centroids as a k×dim literal: an emptied cluster keeps
     # its previous centroid (the oracle's LEFT JOIN COALESCE), resolved
     # per element by the coalesce below — no extra join relation
-    prevs = F.array(*[
-        F.array(*[F.lit(float(v)) for v in vec])
-        for _, vec in sorted(centroids.items())
-    ])
+    prevs = F.lit([[float(v) for v in vec]
+                   for _, vec in sorted(centroids.items())])
     flat_row = (
         last.select("cid", F.posexplode("emb").alias("pos", "v"))
         .groupBy("cid", "pos")
@@ -1504,7 +1506,7 @@ def _fused_ivfpq_training(emb, n_cells, m, k, iters, probe_id=None):
                     F.aggregate(
                         F.zip_with(
                             F.slice("emb", s * d + 1, d),
-                            F.array(*[F.lit(float(v)) for v in books[s][j]]),
+                            F.lit([float(v) for v in books[s][j]]),
                             lambda x, y: (x - y) * (x - y),
                         ),
                         F.lit(0.0), lambda acc, x: acc + x,
@@ -1525,7 +1527,7 @@ def _fused_ivfpq_training(emb, n_cells, m, k, iters, probe_id=None):
                  - 2.0 * F.aggregate(
                      F.zip_with(
                          F.col("emb"),
-                         F.array(*[F.lit(float(v)) for v in c]),
+                         F.lit([float(v) for v in c]),
                          lambda x, y: x * y,
                      ),
                      F.lit(0.0), lambda acc, x: acc + x,
@@ -1609,8 +1611,11 @@ def _fused_ivfpq_training(emb, n_cells, m, k, iters, probe_id=None):
             raise ValueError(
                 f"IVF training emptied a cell: {n_cells - len(cmap)} missing")
         books = [[bmap[(s, j)] for j in range(k)] for s in range(m)]
-        cell_col = cells_expr(cmap)
-        code_col = codes_expr(books)
+        if rnd + 1 < iters:
+            # the post-final-round assignment columns are never
+            # aggregated — building them is pure driver-side cost
+            cell_col = cells_expr(cmap)
+            code_col = codes_expr(books)
     cents = [cmap[c] for c in sorted(cmap)]
     probe = ([probe_vals[i] for i in range(len(probe_vals))]
              if probe_id is not None else None)
