@@ -802,3 +802,38 @@ def test_lit_vec_bit_identity(spark, sf_dir):
     b = [r[0] for r in emb.select(dist(F.lit(c))).collect()]
     assert len(a) == 500
     assert all(repr(x) == repr(y) for x, y in zip(a, b))
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    ("feature_pit_join", 5),      # 2 feature aggs + 2 asof key windows
+    ("weekday_seasonality", 4),   # day rollup (×2 branches) + weekday agg
+    ("k_anonymity_audit", 6),     # decile sort + sizes + total + ladder
+])
+def test_feature_ext_shuffle_budgets(spark, sf_dir, name, max_shuffles):
+    assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles
+
+
+def test_pit_join_no_theta_join(spark, sf_dir):
+    """Both PIT lookups must plan as the union + running-window asof
+    composition — never an inequality theta-join (BroadcastNestedLoop /
+    cartesian expansion is the scale failure mode of naive
+    point-in-time joins)."""
+    from tracker_trainer_spark.plans import physical_plan
+    plan = physical_plan(QUERIES["feature_pit_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 2  # one running last-non-null per table
+
+
+def test_kanon_ladder_runs_on_class_relation(spark, sf_dir):
+    """The k-ladder fan-out must expand the tiny class-size relation,
+    never the customer fact scan: the Generate (explode) sits above a
+    HashAggregate in the tree."""
+    from tracker_trainer_spark.plans import physical_plan
+    plan = physical_plan(QUERIES["k_anonymity_audit"](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    gen = tree.find("Generate")
+    scan = tree.find("Scan parquet", gen)
+    assert gen != -1 and scan != -1
+    assert "HashAggregate" in tree[gen:scan], (
+        "k-ladder explode consumes raw customer rows:\n" + tree)

@@ -3141,3 +3141,13 @@ from tracker_trainer_spark.queries_stats_ext import (  # noqa: E402
 
 QUERIES.update(_ST_DEF_QUERIES)
 ORACLES.update(_ST_DEF_ORACLES)
+
+# Feature-store / privacy / third-streaming-path families — same
+# deferred channel (r5 certification window).
+from tracker_trainer_spark.queries_feature_ext import (  # noqa: E402
+    FEATURE_DEFERRED_ORACLES as _FT_DEF_ORACLES,
+    FEATURE_DEFERRED_QUERIES as _FT_DEF_QUERIES,
+)
+
+QUERIES.update(_FT_DEF_QUERIES)
+ORACLES.update(_FT_DEF_ORACLES)

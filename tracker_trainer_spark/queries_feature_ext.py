@@ -1,0 +1,403 @@
+"""Feature-store / data-quality query families (deferred channel).
+
+Four operator classes the registry did not yet certify:
+
+- ``feature_pit_join`` — point-in-time-correct MULTI-TABLE feature
+  join, the feature-store serving/training primitive (each feature
+  table refreshes at its own cadence; every spine row must see the
+  latest snapshot of EACH table as of its own timestamp, never a later
+  one — the leakage rule). Reference analogue: the trainer's
+  decision←reward attribution is the 1-table special case
+  (SURVEY §2.11 orphan rule); this is the N-table generalization every
+  production training pipeline runs.
+- ``weekday_seasonality`` — seasonal-naive decomposition of the daily
+  revenue series (per-weekday seasonal index + residual), the
+  monitoring twin of ``daily_anomaly_zscore`` that separates structural
+  day-of-week shape from genuine anomalies.
+- ``k_anonymity_audit`` — privacy readiness: the k-anonymity profile of
+  a quasi-identifier tuple (how many rows sit in equivalence classes
+  smaller than k, for the standard k ladder), the pre-release check on
+  any training extract containing user attributes.
+- ``stream_session_stats`` — the THIRD driver-visible streaming
+  certification: gap-based ``session_window`` aggregation drained
+  through the real micro-batch engine (state-merging session path —
+  distinct from the tumbling-window state of ``stream_windowed_counts``
+  and the dedup state of ``stream_distinct_users``), required to equal
+  the batch lag+running-sum oracle byte for byte.
+
+Parity spellings follow the repo conventions (exact integer-cent
+arithmetic, integer-space half-up rounding for ratios that can land on
+decimal midpoints, epoch-µs integers instead of raw timestamps in
+outputs, CAST(... AS BIGINT) on every integer aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _t(spark, sf_dir, name):
+    from tracker_trainer_spark.queries import _t as _load
+
+    return _load(spark, sf_dir, name)
+
+
+def r4(c):
+    return F.round(c, 4)
+
+
+# --------------------------------------------------------------------------
+# Point-in-time multi-table feature join — the feature-store primitive
+# --------------------------------------------------------------------------
+
+def feature_pit_join(spark, sf_dir):
+    """Point-in-time-correct training join of a purchase spine against
+    TWO feature tables refreshing at different cadences:
+
+    - ``fa`` (daily cadence): per-user daily activity (event count,
+      value cents), published at the NEXT midnight (features about day
+      d become visible at d+1 00:00 — the batch-ETL availability rule);
+    - ``fb`` (weekly cadence): per-user weekly event count, published
+      at the next Monday 00:00.
+
+    Each purchase joins the LATEST snapshot of each table with
+    publish_ts <= purchase_ts — never a later one (leakage-free by
+    construction). Missing history coalesces to 0 (the cold-start
+    default), keeping the output integer-exact. Both PIT lookups ride
+    the repo's one-shuffle ``asof_join`` (union + running last-non-null
+    window — no inequality theta-join at any scale); the oracle is
+    DuckDB's native chained ``ASOF LEFT JOIN``.
+
+    Output is the first 200 purchases by event id (deterministic spine
+    sample; timestamps as epoch-µs integers per parity convention).
+    """
+    from tracker_trainer_spark.functions.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    fa = (
+        ev.groupBy(
+            "user_id",
+            (F.date_trunc("day", F.col("ts"))
+             + F.expr("INTERVAL 1 DAY")).alias("ts"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("d_events"),
+            F.sum(cents).cast("long").alias("d_value_cents"),
+        )
+    )
+    fb = (
+        ev.groupBy(
+            "user_id",
+            (F.date_trunc("week", F.col("ts"))
+             + F.expr("INTERVAL 7 DAYS")).alias("ts"),
+        )
+        .agg(F.count(F.lit(1)).alias("w_events"))
+    )
+    spine = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    j = asof_join(spine, fa, on="ts", by="user_id",
+                  right_cols=["d_events", "d_value_cents"], prefix="a_")
+    j = asof_join(j, fb, on="ts", by="user_id",
+                  right_cols=["w_events"], prefix="b_")
+    return (
+        j.select(
+            "purchase_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.coalesce(F.col("a_d_events"), F.lit(0).cast("long"))
+            .alias("d_events"),
+            F.coalesce(F.col("a_d_value_cents"), F.lit(0).cast("long"))
+            .alias("d_value_cents"),
+            F.coalesce(F.col("b_w_events"), F.lit(0).cast("long"))
+            .alias("w_events"),
+        )
+        .orderBy("purchase_id")
+        .limit(200)
+    )
+
+
+PIT_SQL = """
+WITH fa AS (
+  SELECT user_id,
+         date_trunc('day', ts) + INTERVAL 1 DAY AS fts,
+         CAST(count(*) AS BIGINT) AS d_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS d_value_cents
+  FROM events GROUP BY 1, 2
+), fb AS (
+  SELECT user_id,
+         date_trunc('week', ts) + INTERVAL 7 DAY AS fts,
+         CAST(count(*) AS BIGINT) AS w_events
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT s.purchase_id, s.user_id, epoch_us(s.ts) AS ts_us,
+       COALESCE(fa.d_events, 0) AS d_events,
+       COALESCE(fa.d_value_cents, 0) AS d_value_cents,
+       COALESCE(fb.w_events, 0) AS w_events
+FROM spine s
+ASOF LEFT JOIN fa ON s.user_id = fa.user_id AND fa.fts <= s.ts
+ASOF LEFT JOIN fb ON s.user_id = fb.user_id AND fb.fts <= s.ts
+ORDER BY purchase_id
+LIMIT 200
+"""
+
+
+# --------------------------------------------------------------------------
+# Weekday seasonal decomposition of daily revenue
+# --------------------------------------------------------------------------
+
+def weekday_seasonality(spark, sf_dir):
+    """Seasonal-naive decomposition of the daily purchase-revenue
+    series: per-weekday mean (the seasonal component), per-day seasonal
+    index, and the de-seasonalized residual — the monitoring view that
+    separates structural day-of-week shape from genuine level shifts
+    (``daily_anomaly_zscore`` flags both; this separates them).
+
+    Exactness: day revenue is an exact BIGINT cent sum. The seasonal
+    index is published in BASIS POINTS as an exact integer —
+    round(10000·c_d·n_w / s_w) computed half-up in INTEGER space
+    ((2·c_d·n_w·10000 + s_w) div (2·s_w)): the ratio of integer sums
+    CAN land exactly on a decimal midpoint where Spark (decimal
+    HALF_UP) and DuckDB (binary nearest) disagree. The residual is
+    c_d − s_w/n_w: with n_w ≤ 5 weeks its fractional part is a
+    multiple of 1/20, never a 5th-decimal midpoint, so round(·, 4) is
+    engine-safe (the +0.0 normalizes a potential -0.0 at exactly
+    zero)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+             .cast("long").alias("day_cents"))
+    )
+    wk = daily.withColumn(
+        "weekday", (F.dayofweek("day") - F.lit(1)).cast("int"))
+    per_w = wk.groupBy("weekday").agg(
+        F.sum("day_cents").cast("long").alias("s_w"),
+        F.count(F.lit(1)).cast("long").alias("n_w"),
+    )
+    out = wk.join(per_w, "weekday")
+    return out.select(
+        "day",
+        "weekday",
+        "day_cents",
+        F.expr("(2 * day_cents * n_w * 10000 + s_w) div (2 * s_w)")
+        .alias("index_bp"),
+        (r4(F.col("day_cents").cast("double")
+            - F.col("s_w").cast("double") / F.col("n_w").cast("double"))
+         + F.lit(0.0)).alias("resid_cents"),
+    ).orderBy("day")
+
+
+SEASONALITY_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS day_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), wk AS (
+  SELECT day, CAST(dayofweek(day) AS INT) AS weekday, day_cents
+  FROM daily
+), per_w AS (
+  SELECT weekday,
+         CAST(sum(day_cents) AS BIGINT) AS s_w,
+         CAST(count(*) AS BIGINT) AS n_w
+  FROM wk GROUP BY 1
+)
+SELECT wk.day, wk.weekday, wk.day_cents,
+       CAST((2 * wk.day_cents * per_w.n_w * 10000 + per_w.s_w)
+            // (2 * per_w.s_w) AS BIGINT) AS index_bp,
+       round(CAST(wk.day_cents AS DOUBLE)
+             - CAST(per_w.s_w AS DOUBLE) / CAST(per_w.n_w AS DOUBLE), 4)
+         + 0.0 AS resid_cents
+FROM wk JOIN per_w USING (weekday)
+ORDER BY day
+"""
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit over a quasi-identifier tuple
+# --------------------------------------------------------------------------
+
+_KANON_KS = [2, 5, 10, 25]
+
+
+def k_anonymity_audit(spark, sf_dir):
+    """k-anonymity profile of the quasi-identifier tuple
+    (nation, market segment, account-balance decile) over customers:
+    for each k in the standard ladder, how many ROWS sit in an
+    equivalence class smaller than k (re-identifiable at that k), how
+    many classes violate, and the violating-row share in basis points
+    — the pre-release privacy check on any training extract carrying
+    user attributes.
+
+    The balance decile uses ntile with the custkey tiebreak (identical
+    total order both engines — the feature_quantile_bins convention).
+    The class-size relation is one exchange; the k-ladder fan-out runs
+    over the tiny class relation, never the fact table. The share is
+    integer half-up basis points ((2·v·10000 + t) div (2·t)) — a ratio
+    of exact integers can land on a decimal midpoint where the
+    engines' round() disagree."""
+    from pyspark.sql.window import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    qi = cust.select(
+        "c_nationkey", "c_mktsegment",
+        F.ntile(10).over(
+            Window.orderBy("c_acctbal", "c_custkey")).alias("bal_decile"),
+    )
+    sizes = (
+        qi.groupBy("c_nationkey", "c_mktsegment", "bal_decile")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    total = sizes.agg(
+        F.sum("sz").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+    )
+    ladder = sizes.crossJoin(F.broadcast(total)).select(
+        F.explode(F.lit(_KANON_KS)).alias("k"), "sz", "t", "n_classes"
+    )
+    return (
+        ladder.groupBy("k", "t", "n_classes")
+        .agg(
+            F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz"))
+                  .otherwise(F.lit(0))).cast("long").alias("rows_violating"),
+            F.sum(F.when(F.col("sz") < F.col("k"), F.lit(1))
+                  .otherwise(F.lit(0))).cast("long")
+            .alias("classes_violating"),
+        )
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "rows_violating",
+            "classes_violating",
+            F.col("n_classes"),
+            F.expr("(2 * rows_violating * 10000 + t) div (2 * t)")
+            .alias("violating_bp"),
+        )
+        .orderBy("k")
+    )
+
+
+KANON_SQL = f"""
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS bal_decile
+  FROM customer
+), sizes AS (
+  SELECT c_nationkey, c_mktsegment, bal_decile,
+         CAST(count(*) AS BIGINT) AS sz
+  FROM qi GROUP BY 1, 2, 3
+), tot AS (
+  SELECT CAST(sum(sz) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS n_classes
+  FROM sizes
+), ladder AS (
+  SELECT k.k, s.sz, tot.t, tot.n_classes
+  FROM sizes s
+  CROSS JOIN (VALUES {", ".join(f"({k})" for k in _KANON_KS)}) AS k(k)
+  CROSS JOIN tot
+)
+SELECT CAST(k AS INT) AS k,
+       CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+         AS rows_violating,
+       CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_violating,
+       n_classes,
+       CAST((2 * sum(CASE WHEN sz < k THEN sz ELSE 0 END) * 10000 + t)
+            // (2 * t) AS BIGINT) AS violating_bp
+FROM ladder
+GROUP BY k, t, n_classes
+ORDER BY k
+"""
+
+
+# --------------------------------------------------------------------------
+# Streaming session-window certification (third streaming state path)
+# --------------------------------------------------------------------------
+
+def stream_session_stats(spark, sf_dir):
+    """§2.11 gap-based sessionization through the REAL streaming
+    engine: the events table plays as a file-source stream and the
+    SAME ``session_window`` operator the ingest stream exposes
+    (streaming/ingest_stream.py::session_window_stats) drains via
+    availableNow to a memory sink — and must equal the batch
+    lag+running-sum oracle byte for byte.
+
+    This is the third distinct streaming STATE path the driver
+    certifies: session state MERGES windows as events arrive (vs the
+    keyed tumbling-window state of ``stream_windowed_counts`` and the
+    dedup state store of ``stream_distinct_users``). Complete-mode
+    state is the per-(user, session) aggregate — bounded; the
+    production variant runs append-mode with the watermark expiring
+    sessions (tests/test_streaming_window.py late-data cases)."""
+    import uuid
+
+    from tracker_trainer_spark.streaming.ingest_stream import (
+        session_window_stats,
+    )
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if batch_schema["ts"].dataType.simpleString() == "bigint":
+        src = src.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    agg = session_window_stats(src.select("user_id", "ts", "value"))
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        r4(F.col("session_value")).alias("session_value"),
+    ).orderBy("user_id", "session_start_us")
+
+
+STREAM_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM numbered GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+"""
+
+
+FEATURE_DEFERRED_QUERIES = {
+    "feature_pit_join": feature_pit_join,
+    "weekday_seasonality": weekday_seasonality,
+    "k_anonymity_audit": k_anonymity_audit,
+    "stream_session_stats": stream_session_stats,
+}
+
+FEATURE_DEFERRED_ORACLES = {
+    "feature_pit_join": PIT_SQL,
+    "weekday_seasonality": SEASONALITY_SQL,
+    "k_anonymity_audit": KANON_SQL,
+    "stream_session_stats": STREAM_SESSION_SQL,
+}
