@@ -837,3 +837,51 @@ def test_kanon_ladder_runs_on_class_relation(spark, sf_dir):
     assert gen != -1 and scan != -1
     assert "HashAggregate" in tree[gen:scan], (
         "k-ladder explode consumes raw customer rows:\n" + tree)
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    ("holt_linear_forecast", 2),     # day rollup + 1-row fold collect
+    ("user_state_cdc_merge", 6),     # cutoff scalar + 2 side aggs + merge join
+    ("doc_bigram_perplexity", 6),    # pair agg + ctx agg + score join + doc agg
+])
+def test_seq_ext_shuffle_budgets(spark, sf_dir, name, max_shuffles):
+    assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles
+
+
+def test_cdc_merge_is_hash_join(spark, sf_dir):
+    """The SCD1 merge must plan as a keyed full-outer hash/sort-merge
+    join — the shuffle a real MERGE INTO does. The two
+    BroadcastNestedLoopJoins in the plan are the 1-row broadcast-scalar
+    cutoff (the repo's standard scalar-crossJoin shape), not row×row
+    nested loops — assert they only ever build a 1-row side by pinning
+    the count."""
+    from tracker_trainer_spark.plans import physical_plan
+    plan = physical_plan(QUERIES["user_state_cdc_merge"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 2  # scalar cutoff ×2 sides
+
+
+def test_bigram_generation_is_scan_side(spark, sf_dir):
+    """Bigrams must come from the zip-with-tail array expression over
+    the token array — no positional self-join of the token stream."""
+    from tracker_trainer_spark.plans import physical_plan
+    from tracker_trainer_spark.queries import _t
+    docs = _t(spark, sf_dir, "documents")
+    big = docs.select(
+        "doc_id",
+        F.explode(F.arrays_zip(
+            F.slice(F.split(F.lower("text"), r"\s+"), 1,
+                    F.size(F.split(F.lower("text"), r"\s+")) - 1),
+            F.expr("slice(split(lower(text), '\\\\s+'), 2,"
+                   " size(split(lower(text), '\\\\s+')) - 1)"),
+        )).alias("bg"),
+    )
+    assert count_shuffles(big) == 0
+
+
+def test_cheapest_paths_no_cartesian(spark, sf_dir):
+    from tracker_trainer_spark.plans import physical_plan
+    plan = physical_plan(QUERIES["supplier_cheapest_paths"](spark, sf_dir))
+    assert "CartesianProduct" not in plan

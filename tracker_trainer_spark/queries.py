@@ -3151,3 +3151,13 @@ from tracker_trainer_spark.queries_feature_ext import (  # noqa: E402
 
 QUERIES.update(_FT_DEF_QUERIES)
 ORACLES.update(_FT_DEF_ORACLES)
+
+# Forecasting / CDC / weighted-traversal / LM-scoring families — same
+# deferred channel (r5 certification window).
+from tracker_trainer_spark.queries_seq_ext import (  # noqa: E402
+    SEQ_DEFERRED_ORACLES as _SQ_DEF_ORACLES,
+    SEQ_DEFERRED_QUERIES as _SQ_DEF_QUERIES,
+)
+
+QUERIES.update(_SQ_DEF_QUERIES)
+ORACLES.update(_SQ_DEF_ORACLES)

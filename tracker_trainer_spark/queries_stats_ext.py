@@ -551,6 +551,13 @@ def _bfs_sparsified_edges(spark, sf_dir):
     """Undirected top-M co-supply edge relation (pre-materialization) —
     factored out so the plan suite can pin the TakeOrdered shape that
     the query's localCheckpoint otherwise hides."""
+    return _bfs_sparsified_weighted_edges(spark, sf_dir).select("s1", "s2")
+
+
+def _bfs_sparsified_weighted_edges(spark, sf_dir):
+    """Same sparsified relation with the tie-strength weight kept —
+    shared by the hop BFS (weight dropped) and the weighted
+    shortest-path query (queries_seq_ext.supplier_cheapest_paths)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     baskets = (
         li.groupBy("l_orderkey")
@@ -582,10 +589,10 @@ def _bfs_sparsified_edges(spark, sf_dir):
     kept = (
         weights.orderBy(F.desc("w"), "s1", "s2")
         .limit(int(top_m))
-        .select("s1", "s2")
+        .select("s1", "s2", "w")
     )
     return kept.union(kept.select(F.col("s2").alias("s1"),
-                                  F.col("s1").alias("s2")))
+                                  F.col("s1").alias("s2"), "w"))
 
 
 def supplier_cosupply_bfs(spark, sf_dir):
