@@ -773,16 +773,24 @@ def test_bfs_sparsifies_with_take_ordered(spark, sf_dir):
 
 
 def test_lit_vec_bit_identity(spark, sf_dir):
-    """F.lit([..]) (one ArrayType Literal) must be bit-identical to
-    F.array(*[F.lit(x) ..]) (CreateArray over children) through the
-    zip_with/aggregate distance fold — the representation change that
-    de-chattered the ANN/KMeans trainers (kmeans_embedding_clusters was
-    evicted from _DRIVER_CERTIFIED on this diff; this test is the
-    bit-identity evidence backing its re-certification)."""
+    """similarity._lit_vec's numpy-Literal spelling (ONE py4j call, a
+    true ArrayType Literal) must be bit-identical to the unrolled
+    F.array(*[F.lit(x) ..]) spelling through the zip_with/aggregate
+    distance fold — the representation change that de-chattered the
+    ANN/KMeans trainers (kmeans_embedding_clusters was evicted from
+    _DRIVER_CERTIFIED on this diff; this test is the bit-identity
+    evidence backing its re-certification). NOTE: F.lit(list) would be
+    a tautology here — classic PySpark unrolls it into exactly
+    array(*[lit(x)..]); only the ndarray path builds a real Literal."""
     import numpy as np
     from pyspark.sql import functions as F
+    from tracker_trainer_spark.functions.similarity import _lit_vec
     rng = np.random.RandomState(3)
     c = [float(x) for x in rng.randn(64)]
+    # the two trees must actually differ (Literal vs CreateArray) for
+    # this comparison to mean anything
+    assert "array(" not in str(_lit_vec(c))
+    assert "array(" in str(F.array(*[F.lit(v) for v in c]))
     emb = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .select(F.transform("embedding", lambda x: x.cast("double"))
@@ -799,7 +807,7 @@ def test_lit_vec_bit_identity(spark, sf_dir):
 
     a = [r[0] for r in emb.select(
         dist(F.array(*[F.lit(v) for v in c]))).collect()]
-    b = [r[0] for r in emb.select(dist(F.lit(c))).collect()]
+    b = [r[0] for r in emb.select(dist(_lit_vec(c))).collect()]
     assert len(a) == 500
     assert all(repr(x) == repr(y) for x, y in zip(a, b))
 

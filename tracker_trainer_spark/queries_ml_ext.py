@@ -36,6 +36,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from tracker_trainer_spark.functions.similarity import (
+    _lit_vec as _sim_lit_vec,
+)
+
 
 def _t(spark, sf_dir, name):
     from tracker_trainer_spark.queries import _t as _load
@@ -77,11 +81,12 @@ def _assign_expr(centroids):
             F.aggregate(
                 F.zip_with(
                     F.col("emb"),
-                    # one ArrayType Literal, not CreateArray over dim
-                    # children — bit-identical values, ~dim fewer py4j
-                    # calls per centroid (the driver-side cost of every
-                    # training round at small data)
-                    F.lit([float(v) for v in c]),
+                    # one true ArrayType Literal (numpy py4j path) —
+                    # bit-identical to the unrolled lit-per-element
+                    # spelling, ~dim fewer py4j calls per centroid (the
+                    # driver-side cost of every training round at small
+                    # data); see similarity._lit_vec
+                    _sim_lit_vec(c),
                     lambda x, y: (x - y) * (x - y),
                 ),
                 F.lit(0.0),
@@ -168,8 +173,8 @@ def kmeans_embedding_clusters(spark, sf_dir, k: int = KMEANS_K,
     # previous centroids as a k×dim literal: an emptied cluster keeps
     # its previous centroid (the oracle's LEFT JOIN COALESCE), resolved
     # per element by the coalesce below — no extra join relation
-    prevs = F.lit([[float(v) for v in vec]
-                   for _, vec in sorted(centroids.items())])
+    prevs = F.array(*[_sim_lit_vec(vec)
+                      for _, vec in sorted(centroids.items())])
     flat_row = (
         last.select("cid", F.posexplode("emb").alias("pos", "v"))
         .groupBy("cid", "pos")
@@ -1506,7 +1511,7 @@ def _fused_ivfpq_training(emb, n_cells, m, k, iters, probe_id=None):
                     F.aggregate(
                         F.zip_with(
                             F.slice("emb", s * d + 1, d),
-                            F.lit([float(v) for v in books[s][j]]),
+                            _sim_lit_vec(books[s][j]),
                             lambda x, y: (x - y) * (x - y),
                         ),
                         F.lit(0.0), lambda acc, x: acc + x,
@@ -1527,7 +1532,7 @@ def _fused_ivfpq_training(emb, n_cells, m, k, iters, probe_id=None):
                  - 2.0 * F.aggregate(
                      F.zip_with(
                          F.col("emb"),
-                         F.lit([float(v) for v in c]),
+                         _sim_lit_vec(c),
                          lambda x, y: x * y,
                      ),
                      F.lit(0.0), lambda acc, x: acc + x,

@@ -26,12 +26,12 @@ Four more operator classes for the registry:
 
 Parity notes: Holt uses DYADIC smoothing constants (0.5 / 0.25 —
 exactly representable, parse identically in both engines) and
-evaluates the identical IEEE op sequence as an ordered left fold
-(Spark ``aggregate`` with a named-struct accumulator; DuckDB
-``list_reduce`` with the seed prepended, elements lifted to the
-accumulator's struct type). LM scores follow the
-``doc_unigram_logprob`` posture: keyed by doc_id, r4 at the output,
-never ranked by the float.
+evaluates the identical IEEE op sequence per step (Spark: ordered
+``aggregate`` fold with a named-struct accumulator; DuckDB: a linear
+recursive CTE — its ``list_reduce`` corrupts struct accumulators, see
+the note at HOLT_SQL). LM scores follow the ``doc_unigram_logprob``
+posture: keyed by doc_id, r4 at the output, never ranked by the
+float.
 """
 
 from __future__ import annotations
@@ -43,6 +43,11 @@ def _t(spark, sf_dir, name):
     from tracker_trainer_spark.queries import _t as _load
 
     return _load(spark, sf_dir, name)
+
+
+from tracker_trainer_spark.queries_stats_ext import (  # noqa: E402
+    DAILY_PURCHASE_CENTS_SQL as _DAILY_CENTS_SQL,
+)
 
 
 def r4(c):
@@ -59,9 +64,9 @@ _HOLT_FC_H = 7
 def holt_linear_forecast(spark, sf_dir):
     """Holt's linear-trend (double exponential) smoothing of daily
     purchase revenue: l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}),
-    b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, initialized l_2 = x_1 → no:
-    l = x_1, b = x_2 − x_1 at t = 2 (the standard two-point init), with
-    the 1-step and 7-step-ahead forecasts ŷ = l + h·b per day.
+    b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, initialized at t = 2 with
+    l = x_1, b = x_2 − x_1 (the standard two-point init), with the
+    1-step and 7-step-ahead forecasts ŷ = l + h·b per day.
 
     α = 0.5, β = 0.25 — dyadic on purpose: both engines parse them to
     exactly the same doubles, and the fold below runs the identical
@@ -70,13 +75,9 @@ def holt_linear_forecast(spark, sf_dir):
     Output rows start at day 2 (the init point). Days are
     calendar-bounded, so the per-day O(d²) refold is a ≤31-element
     array program — one shuffle total."""
-    ev = _t(spark, sf_dir, "events")
-    daily = (
-        ev.where(F.col("event_type") == "purchase")
-        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
-        .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
-             .cast("long").alias("cents"))
-    )
+    from tracker_trainer_spark.queries_stats_ext import daily_purchase_cents
+
+    daily = daily_purchase_cents(spark, sf_dir)
     folded = daily.agg(
         F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("arr")
     )
@@ -84,7 +85,7 @@ def holt_linear_forecast(spark, sf_dir):
         F.explode(
             F.expr(
                 """transform(
-                  filter(arr, s -> s.day >= arr[1].day),
+                  filter(arr, s -> s.day >= get(arr, 1).day),
                   s -> named_struct(
                     'day', s.day, 'cents', s.cents,
                     'st', aggregate(
@@ -125,9 +126,7 @@ def holt_linear_forecast(spark, sf_dir):
 # aggregate lambda repeats it textually too).
 HOLT_SQL = f"""
 WITH RECURSIVE daily AS (
-  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM events WHERE event_type = 'purchase' GROUP BY 1
+  {_DAILY_CENTS_SQL}
 ), seq AS (
   SELECT row_number() OVER (ORDER BY day) AS rn, day, cents FROM daily
 ), st AS (

@@ -60,6 +60,30 @@ def r4(c):
     return F.round(c, 4)
 
 
+
+def daily_purchase_cents(spark, sf_dir):
+    """Exact daily purchase revenue in integer cents — the shared base
+    series of every daily-sequence query (EWMA, CUSUM, Holt, weekday
+    seasonality). ONE spelling on each engine: a divergence here is a
+    divergence in four oracle-certified queries at once (the repo
+    already burned a round on exactly this class — see
+    purchase_moving_avg's half-up note)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+             .cast("long").alias("cents"))
+    )
+
+
+# the oracle-side twin of daily_purchase_cents — interpolate as the
+# body of a CTE named `daily`
+DAILY_PURCHASE_CENTS_SQL = """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1"""
+
+
 # --------------------------------------------------------------------------
 # EWMA — exponential smoothing of the daily purchase value
 # --------------------------------------------------------------------------
@@ -77,15 +101,7 @@ def daily_value_ewma(spark, sf_dir):
     first element (Spark: ``aggregate(slice(arr, 2, n), arr[0], …)``;
     DuckDB: ``list_reduce``'s natural first-element seed) — the same
     double sequence through the same IEEE ops on both engines."""
-    ev = _t(spark, sf_dir, "events")
-    daily = (
-        ev.where(F.col("event_type") == "purchase")
-        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
-        .agg(
-            F.sum(F.round(F.col("value") * 100).cast("long"))
-            .cast("long").alias("cents")
-        )
-    )
+    daily = daily_purchase_cents(spark, sf_dir)
     folded = daily.agg(
         F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("arr")
     )
@@ -115,9 +131,7 @@ def daily_value_ewma(spark, sf_dir):
 
 EWMA_SQL = f"""
 WITH daily AS (
-  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM events WHERE event_type = 'purchase' GROUP BY 1
+  {DAILY_PURCHASE_CENTS_SQL}
 ), folded AS (
   SELECT list(struct_pack(day := day, cents := cents) ORDER BY day) AS arr
   FROM daily
@@ -148,17 +162,18 @@ def revenue_cusum_shift(spark, sf_dir):
 
     μ is one division of exact BIGINTs (total cents / n days), so every
     fold input is the identical double on both engines."""
-    ev = _t(spark, sf_dir, "events")
-    daily = (
-        ev.where(F.col("event_type") == "purchase")
-        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
-        .agg(
-            F.sum(F.round(F.col("value") * 100).cast("long"))
-            .cast("long").alias("cents")
-        )
-    )
+    daily = daily_purchase_cents(spark, sf_dir)
     folded = daily.agg(
         F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("arr")
+    )
+    # mu is loop-invariant: ONE exact BIGINT sum and one division,
+    # projected to a column — referenced inside the lambda it would be
+    # INLINED and recomputed per fold step per day (the O(d^3) trap;
+    # same gotcha as embedding_isotropy's transform-lambda inlining)
+    folded = folded.select(
+        "arr",
+        (F.expr("CAST(aggregate(arr, 0L, (a, y) -> a + y.cents) AS DOUBLE)")
+         / F.expr("CAST(size(arr) AS DOUBLE)")).alias("mu"),
     )
     out = folded.select(
         F.explode(
@@ -170,11 +185,7 @@ def revenue_cusum_shift(spark, sf_dir):
                     CAST(0.0 AS DOUBLE),
                     (acc, x) -> greatest(
                       CAST(0.0 AS DOUBLE),
-                      acc + (CAST(x.cents AS DOUBLE)
-                             - CAST(aggregate(arr, 0L,
-                                              (a, y) -> a + y.cents)
-                                    AS DOUBLE)
-                               / CAST(size(arr) AS DOUBLE)))
+                      acc + (CAST(x.cents AS DOUBLE) - mu))
                   ) AS cusum))"""
             )
         ).alias("s")
@@ -186,14 +197,18 @@ def revenue_cusum_shift(spark, sf_dir):
     )
 
 
-CUSUM_SQL = """
+CUSUM_SQL = f"""
 WITH daily AS (
-  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM events WHERE event_type = 'purchase' GROUP BY 1
+  {DAILY_PURCHASE_CENTS_SQL}
 ), folded AS (
   SELECT list(struct_pack(day := day, cents := cents) ORDER BY day) AS arr
   FROM daily
+), based AS (
+  SELECT arr,
+         CAST(list_reduce(list_transform(arr, y -> y.cents),
+                          (a, b) -> a + b) AS DOUBLE)
+           / CAST(len(arr) AS DOUBLE) AS mu
+  FROM folded
 )
 SELECT s.day AS day, s.cents AS day_cents,
        round(list_reduce(
@@ -203,11 +218,8 @@ SELECT s.day AS day, s.cents AS day_cents,
              x -> CAST(x.cents AS DOUBLE))),
          (acc, x) -> greatest(
            CAST(0.0 AS DOUBLE),
-           acc + (x - CAST(list_reduce(
-                            list_transform(arr, y -> y.cents),
-                            (a, b) -> a + b) AS DOUBLE)
-                      / CAST(len(arr) AS DOUBLE)))), 4) AS cusum_cents
-FROM folded, unnest(arr) AS t(s)
+           acc + (x - mu))), 4) AS cusum_cents
+FROM based, unnest(arr) AS t(s)
 """
 
 
@@ -230,8 +242,10 @@ def variant_ucb_ranking(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     per = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("value") >= 50.0).cast("long")).cast("long")
-        .alias("succ"),
+        # when/otherwise, NOT sum(bool.cast): an all-NULL variant must
+        # yield succ = 0 exactly like the oracle's CASE ... ELSE 0
+        F.sum(F.when(F.col("value") >= 50.0, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long").alias("succ"),
     )
     tot = per.agg(F.sum("n").cast("long").alias("_big_n"))
     scored = per.crossJoin(F.broadcast(tot)).select(
