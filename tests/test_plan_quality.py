@@ -893,3 +893,20 @@ def test_cheapest_paths_no_cartesian(spark, sf_dir):
     from tracker_trainer_spark.plans import physical_plan
     plan = physical_plan(QUERIES["supplier_cheapest_paths"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_top_pc_iterates_off_corpus(spark, sf_dir):
+    """Power-iteration rounds must run entirely on the localCheckpoint'd
+    d²-row covariance relation: the RETURNED plan may not contain a
+    single parquet scan (re-deriving the covariance per round would
+    re-scan the corpus 3×), nor any cartesian expansion."""
+    from tracker_trainer_spark.plans import physical_plan
+    plan = physical_plan(QUERIES["embedding_top_pc"](spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pattern_match_single_user_exchange(spark, sf_dir):
+    """The CEP scan is one user-keyed aggregate + a scan-side regex:
+    sequence build and both pattern counts must not add exchanges."""
+    assert count_shuffles(QUERIES["event_pattern_match"](spark, sf_dir)) <= 2

@@ -3168,3 +3168,12 @@ from tracker_trainer_spark.queries_seq_ext import (  # noqa: E402
 
 QUERIES.update(_SQ_DEF_QUERIES)
 ORACLES.update(_SQ_DEF_ORACLES)
+
+# Iterative linear algebra / CEP families — same deferred channel.
+from tracker_trainer_spark.queries_linalg_ext import (  # noqa: E402
+    LINALG_DEFERRED_ORACLES as _LA_DEF_ORACLES,
+    LINALG_DEFERRED_QUERIES as _LA_DEF_QUERIES,
+)
+
+QUERIES.update(_LA_DEF_QUERIES)
+ORACLES.update(_LA_DEF_ORACLES)

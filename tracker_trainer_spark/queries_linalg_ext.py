@@ -1,0 +1,229 @@
+"""Iterative linear algebra / CEP pattern queries (deferred channel).
+
+- ``embedding_top_pc`` — the leading principal component of the
+  embedding corpus by IN-ENGINE power iteration: center, build the
+  d×d covariance as a relation, then three unrolled matvec+normalize
+  rounds — the iterative-linear-algebra operator class (distributed
+  PCA) with every round oracle-reproducible. The same round-6
+  quantization guard as the Lloyd trainers keeps each round's INPUTS
+  bit-equal across engines, so only within-round sum order can differ
+  and the post-normalization round absorbs it.
+- ``event_pattern_match`` — MATCH_RECOGNIZE-style complex-event
+  detection: each user's time-ordered event-type sequence is rendered
+  as an initials string and scanned for funnel patterns with a regex
+  (strict contiguous ``v+c+p`` and a noise-tolerant variant) —
+  the CEP operator class, with exact integer outputs (regex match
+  counting has no FP surface at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _t(spark, sf_dir, name):
+    from tracker_trainer_spark.queries import _t as _load
+
+    return _load(spark, sf_dir, name)
+
+
+def r4(c):
+    return F.round(c, 4)
+
+
+# --------------------------------------------------------------------------
+# Leading principal component via unrolled power iteration
+# --------------------------------------------------------------------------
+
+_PC_ROUNDS = 3
+_PC_DIM = 64  # embeddings are fixed 64-dim; iteration init = 1/(2^3)
+
+
+def _pc_normalize(w):
+    """round(w / w_pivot, 6) where pivot = the component with max |w|
+    (ties to the lowest pos). Dividing by the SIGNED pivot pins the
+    eigenvector's sign (pivot component becomes exactly 1.0); the
+    round-6 re-quantizes so the next round's input vector is bit-equal
+    across engines (the Lloyd-means guard)."""
+    pivot = w.agg(
+        F.max(F.struct(F.abs(F.col("w")).alias("a"),
+                       (-F.col("pos")).alias("np"),
+                       F.col("w").alias("wv"))).alias("p")
+    ).select(F.col("p.wv").alias("pivot"))
+    return (
+        w.crossJoin(F.broadcast(pivot))
+        .select("pos", F.round(F.col("w") / F.col("pivot"), 6).alias("v"))
+    )
+
+
+def embedding_top_pc(spark, sf_dir):
+    """Top principal component of the embedding corpus — centered
+    covariance + ``_PC_ROUNDS`` power-iteration rounds, entirely
+    in-engine (the covariance never reaches the driver; each matvec is
+    one broadcast join + one hash agg over the d² relation).
+
+    Quantization contract (both engines, identical literals): the mean
+    vector, every covariance entry, and every round's normalized
+    vector round to 6 decimals, so iteration inputs are bit-equal by
+    construction; within-round sums (2000-term covariance sums,
+    64-term matvecs) may differ in the last ulp between engines and
+    the post-division round-6 absorbs that. Scale: the corpus
+    contributes one exploded pair agg (n·d² rows map-side combined);
+    rounds touch only the d²-row covariance relation."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda c: c.cast("double")))
+        .alias("pos", "v"),
+    )
+    mu = x.groupBy("pos").agg(F.round(F.avg("v"), 6).alias("m"))
+    n_df = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    centered = (
+        x.join(F.broadcast(mu), "pos")
+        .select("vec_id", "pos", (F.col("v") - F.col("m")).alias("vc"))
+    )
+    # d×d covariance as a relation: scan-side pair generation via a
+    # self-join on vec_id (64 rows per key — co-partitioned equi-join,
+    # never a cartesian at any scale)
+    a = centered.select("vec_id", F.col("pos").alias("i"),
+                        F.col("vc").alias("va"))
+    b = centered.select("vec_id", F.col("pos").alias("j"),
+                        F.col("vc").alias("vb"))
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("s"))
+        .crossJoin(F.broadcast(n_df))
+        .select("i", "j",
+                F.round(F.col("s") / (F.col("n") - 1).cast("double"), 6)
+                .alias("c"))
+    )
+    cov = cov.localCheckpoint(eager=True)  # rounds reuse it, never rebuild
+    v = spark.range(_PC_DIM).select(
+        F.col("id").cast("int").alias("pos"), F.lit(0.125).alias("v"))
+    for _ in range(_PC_ROUNDS):
+        vj = v.select(F.col("pos").alias("vpos"), "v")
+        w = (
+            cov.join(F.broadcast(vj), cov["j"] == vj["vpos"])
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+            .select(F.col("i").alias("pos"), "w")
+        )
+        v = _pc_normalize(w)
+    return v.select(
+        "pos", (r4(F.col("v")) + F.lit(0.0)).alias("loading")
+    ).orderBy("pos")
+
+
+def _pc_sql():
+    rounds = []
+    prev = "v0"
+    for r in range(1, _PC_ROUNDS + 1):
+        rounds.append(f"""w{r} AS (
+  SELECT cov.i AS pos, sum(cov.c * {prev}.v) AS w
+  FROM cov JOIN {prev} ON cov.j = {prev}.pos
+  GROUP BY 1
+), p{r} AS (
+  SELECT (max(struct_pack(a := abs(w), np := -pos, wv := w))).wv AS pv
+  FROM w{r}
+), v{r} AS (
+  SELECT pos, round(w / pv, 6) AS v FROM w{r}, p{r}
+)""")
+        prev = f"v{r}"
+    return f"""
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), mu AS (
+  SELECT pos, round(avg(v), 6) AS m FROM x GROUP BY 1
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+), centered AS (
+  SELECT x.vec_id, x.pos, x.v - mu.m AS vc
+  FROM x JOIN mu ON x.pos = mu.pos
+), cov AS (
+  SELECT a.pos AS i, b.pos AS j,
+         round(sum(a.vc * b.vc) / CAST(nn.n - 1 AS DOUBLE), 6) AS c
+  FROM centered a JOIN centered b ON a.vec_id = b.vec_id
+  CROSS JOIN nn
+  GROUP BY a.pos, b.pos, nn.n
+), v0 AS (
+  SELECT CAST(range AS INT) AS pos, 0.125e0 AS v FROM range({_PC_DIM})
+), {", ".join(rounds)}
+SELECT pos, round(v, 4) + 0.0 AS loading
+FROM {prev}
+ORDER BY pos
+"""
+
+
+# --------------------------------------------------------------------------
+# CEP funnel-pattern matching over per-user event sequences
+# --------------------------------------------------------------------------
+
+_PAT_STRICT = "v+c+p"          # contiguous view(s) -> click(s) -> purchase
+_PAT_RELAXED = "v[se]*c[se]*p"  # same funnel tolerating signup/error noise
+
+
+def event_pattern_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-style pattern detection: each user's
+    time-ordered event-type sequence (rendered as an initials string —
+    the 5 types have distinct initials) is scanned for the strict
+    contiguous view→click→purchase funnel and a noise-tolerant variant
+    that lets signup/error events sit inside the funnel. Both engines
+    count non-overlapping leftmost regex matches — exact integer
+    outputs, no FP surface.
+
+    One shuffle: the per-user sequence string folds out of a single
+    (user) hash agg; the regex scan is a scan-side expression over the
+    150-row (at any SF: |users|-row) sequence relation."""
+    ev = _t(spark, sf_dir, "events")
+    seqs = (
+        ev.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(
+            F.struct("ts", "event_id", "event_type"))).alias("arr"))
+        .select(
+            "user_id",
+            F.expr(
+                "array_join(transform(arr,"
+                " x -> substring(x.event_type, 1, 1)), '')"
+            ).alias("seq"),
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("long").alias("n_events"),
+        F.regexp_count("seq", F.lit(_PAT_STRICT)).cast("long")
+        .alias("n_strict_funnels"),
+        F.regexp_count("seq", F.lit(_PAT_RELAXED)).cast("long")
+        .alias("n_relaxed_funnels"),
+    ).orderBy("user_id")
+
+
+PATTERN_SQL = f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS seq
+  FROM events GROUP BY 1
+)
+SELECT user_id,
+       CAST(length(seq) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(seq, '{_PAT_STRICT}')) AS BIGINT)
+         AS n_strict_funnels,
+       CAST(len(regexp_extract_all(seq, '{_PAT_RELAXED}')) AS BIGINT)
+         AS n_relaxed_funnels
+FROM seqs
+ORDER BY user_id
+"""
+
+
+LINALG_DEFERRED_QUERIES = {
+    "embedding_top_pc": embedding_top_pc,
+    "event_pattern_match": event_pattern_match,
+}
+
+LINALG_DEFERRED_ORACLES = {
+    "embedding_top_pc": _pc_sql(),
+    "event_pattern_match": PATTERN_SQL,
+}
