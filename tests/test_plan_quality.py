@@ -910,3 +910,24 @@ def test_pattern_match_single_user_exchange(spark, sf_dir):
     """The CEP scan is one user-keyed aggregate + a scan-side regex:
     sequence build and both pattern counts must not add exchanges."""
     assert count_shuffles(QUERIES["event_pattern_match"](spark, sf_dir)) <= 2
+
+
+def test_mta_window_is_equi_join(spark, sf_dir):
+    """The 7-day lookback must plan as the bin-bucketed interval
+    equi-join, never a theta join (the naive BETWEEN self-join is a
+    per-user cross product)."""
+    from tracker_trainer_spark.plans import physical_plan
+    plan = physical_plan(QUERIES["multitouch_attribution"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_audit_never_sorts_keys(spark, sf_dir):
+    """Order statistics must come from the frequency histogram's
+    cumulative counts: the plan may sort the (tiny) histogram but must
+    never rank the key relation — no Window over a key-cardinality
+    relation (window partitions are empty ORDER BY f over the
+    distinct-frequency rows only), and at most 2 shuffles per audited
+    key (freq agg + histogram agg) plus the scalar/window tails."""
+    df = QUERIES["key_skew_audit"](spark, sf_dir)
+    assert count_shuffles(df) <= 3 * 4  # 3 keys x (freq, hist, window, tot)

@@ -3177,3 +3177,12 @@ from tracker_trainer_spark.queries_linalg_ext import (  # noqa: E402
 
 QUERIES.update(_LA_DEF_QUERIES)
 ORACLES.update(_LA_DEF_ORACLES)
+
+# Attribution / engine-operations families — same deferred channel.
+from tracker_trainer_spark.queries_attrib_ext import (  # noqa: E402
+    ATTRIB_DEFERRED_ORACLES as _AT_DEF_ORACLES,
+    ATTRIB_DEFERRED_QUERIES as _AT_DEF_QUERIES,
+)
+
+QUERIES.update(_AT_DEF_QUERIES)
+ORACLES.update(_AT_DEF_ORACLES)

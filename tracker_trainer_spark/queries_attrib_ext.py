@@ -1,0 +1,251 @@
+"""Marketing attribution / engine-operations queries (deferred channel).
+
+- ``multitouch_attribution`` — multi-touch credit assignment: every
+  purchase distributes credit over the same user's touchpoints in the
+  preceding 7 days under TWO industry models at once — linear (1/k
+  each) and U-shaped / position-based (40% first touch, 40% last, 20%
+  split over the middle) — then credit rolls up per touch channel
+  (event type). The window membership rides the repo's bin-bucketed
+  ``interval_join`` (equi-join + exact µs residual, never a theta
+  join).
+- ``key_skew_audit`` — the partition-skew diagnostic an engine
+  operator runs BEFORE choosing salting/AQE thresholds: per join key
+  (supplier, part, customer), the key-frequency distribution's
+  top-1 share and p99/median ratio in exact integer basis points. All
+  order statistics come from the frequency HISTOGRAM (distinct
+  frequency values — bounded), never from a global sort of the key
+  relation, so the audit itself is skew-proof at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark, sf_dir, name):
+    from tracker_trainer_spark.queries import _t as _load
+
+    return _load(spark, sf_dir, name)
+
+
+def r4(c):
+    return F.round(c, 4)
+
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution (linear + U-shaped position credits)
+# --------------------------------------------------------------------------
+
+_MTA_WINDOW_DAYS = 7
+
+
+def multitouch_attribution(spark, sf_dir):
+    """Linear and U-shaped multi-touch attribution over a 7-day
+    lookback: per purchase, rank the user's preceding non-purchase
+    touches by time (event-id tiebreak), give each 1/k linear credit
+    and the 40/20/40 position credit (k=1 → 1.0, k=2 → 0.5/0.5), then
+    aggregate credit per channel.
+
+    Parity: credits are single divisions of exact integers evaluated
+    through the identical CASE text on both engines; channel sums
+    differ only in summation order and the r4 output absorbs that
+    (the per-row credits themselves are bit-equal). Scale: window
+    membership is the bin-bucketed interval equi-join; ranking adds
+    ONE purchase-keyed exchange."""
+    from tracker_trainer_spark.functions.range_join import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    intervals = purchases.withColumn(
+        "w_start",
+        F.col("p_ts") - F.expr(f"INTERVAL {_MTA_WINDOW_DAYS} DAYS"),
+    )
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    matched = interval_join(
+        touches, intervals, "ts", "w_start", "p_ts",
+        on=["user_id"], bin_seconds=_MTA_WINDOW_DAYS * 86400,
+    )
+    wp = Window.partitionBy("purchase_id")
+    wr = wp.orderBy("ts", "event_id")
+    ranked = matched.select(
+        "purchase_id", "event_type",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wp).alias("k"),
+    )
+    credited = ranked.select(
+        "event_type",
+        (F.lit(1.0) / F.col("k").cast("double")).alias("lin"),
+        F.expr(
+            """CASE WHEN k = 1 THEN 1.0
+                    WHEN k = 2 THEN 0.5
+                    WHEN r = 1 OR r = k THEN 0.4
+                    ELSE 0.2 / CAST(k - 2 AS DOUBLE) END"""
+        ).alias("pos"),
+    )
+    return (
+        credited.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            (r4(F.sum("lin")) + F.lit(0.0)).alias("linear_credit"),
+            (r4(F.sum("pos")) + F.lit(0.0)).alias("position_credit"),
+        )
+        .orderBy("channel")
+    )
+
+
+MTA_SQL = f"""
+WITH matched AS (
+  SELECT p.event_id AS purchase_id, t.event_type, t.ts, t.event_id
+  FROM events p
+  JOIN events t
+    ON t.user_id = p.user_id
+   AND t.event_type <> 'purchase'
+   AND t.ts >= p.ts - INTERVAL {_MTA_WINDOW_DAYS} DAY
+   AND t.ts <= p.ts
+  WHERE p.event_type = 'purchase'
+), ranked AS (
+  SELECT purchase_id, event_type,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY ts, event_id) AS r,
+         count(*) OVER (PARTITION BY purchase_id) AS k
+  FROM matched
+), credited AS (
+  SELECT event_type,
+         1.0 / CAST(k AS DOUBLE) AS lin,
+         CASE WHEN k = 1 THEN 1.0
+              WHEN k = 2 THEN 0.5
+              WHEN r = 1 OR r = k THEN 0.4
+              ELSE 0.2 / CAST(k - 2 AS DOUBLE) END AS pos
+  FROM ranked
+)
+SELECT event_type AS channel,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       round(sum(lin), 4) + 0.0 AS linear_credit,
+       round(sum(pos), 4) + 0.0 AS position_credit
+FROM credited
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Join-key skew audit from the frequency histogram
+# --------------------------------------------------------------------------
+
+_SKEW_KEYS = [
+    ("lineitem", "l_suppkey"),
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+]
+
+
+def _skew_one(spark, sf_dir, table, key):
+    freq = (
+        _t(spark, sf_dir, table)
+        .groupBy(F.col(key).cast("long").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    hist = freq.groupBy("f").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = Window.orderBy("f").rowsBetween(Window.unboundedPreceding, 0)
+    # totals ride the SAME single-row-group window exchange as the
+    # cumulative sum (full-frame siblings) — a separate agg would
+    # re-evaluate the freq+hist subtree: one extra fact scan and two
+    # extra shuffles per audited key
+    wall = Window.orderBy("f").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = hist.select(
+        "f", "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).cast("long").alias("n_keys"),
+        F.sum(F.col("f") * F.col("c")).over(wall).cast("long")
+        .alias("n_rows"),
+        F.max("f").over(wall).cast("long").alias("max_freq"),
+    )
+    # lower-median / ceil-p99 as first histogram bucket whose cumulative
+    # count reaches the order-statistic rank (exact integers end to end)
+    stats = cum.agg(
+        F.min(F.when(
+            F.col("cum") >= F.expr("(n_keys + 1) div 2"),
+            F.col("f"))).alias("med"),
+        F.min(F.when(
+            F.col("cum") * 100 >= F.col("n_keys") * 99,
+            F.col("f"))).alias("p99"),
+        F.min("n_keys").alias("n_keys"),
+        F.min("n_rows").alias("n_rows"),
+        F.min("max_freq").alias("max_freq"),
+    )
+    return stats.select(
+        F.lit(f"{table}.{key}").alias("key_col"),
+        "n_keys", "n_rows", "max_freq",
+        F.expr("(2 * max_freq * 10000 + n_rows) div (2 * n_rows)")
+        .alias("top1_share_bp"),
+        F.expr("(2 * p99 * 10000 + med) div (2 * med)")
+        .alias("p99_med_ratio_bp"),
+    )
+
+
+def key_skew_audit(spark, sf_dir):
+    """Join-key skew diagnostics for the three hot join keys: key
+    cardinality, heaviest-key row share, and the p99/median key
+    frequency ratio (exact integer basis points) — the numbers that
+    decide salting factors and AQE skew-join thresholds before a big
+    run. Order statistics come from the frequency histogram's
+    cumulative counts (distinct-frequency relation — tiny at any
+    scale), never a global sort of keys."""
+    out = None
+    for table, key in _SKEW_KEYS:
+        part = _skew_one(spark, sf_dir, table, key)
+        out = part if out is None else out.unionAll(part)
+    return out.orderBy("key_col")
+
+
+def _skew_sql():
+    parts = []
+    for table, key in _SKEW_KEYS:
+        parts.append(f"""(
+  WITH freq AS (
+    SELECT CAST({key} AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS f
+    FROM {table} GROUP BY 1
+  ), hist AS (
+    SELECT f, CAST(count(*) AS BIGINT) AS c FROM freq GROUP BY 1
+  ), cum AS (
+    SELECT f, c,
+           CAST(sum(c) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum,
+           CAST(sum(c) OVER () AS BIGINT) AS n_keys,
+           CAST(sum(f * c) OVER () AS BIGINT) AS n_rows,
+           CAST(max(f) OVER () AS BIGINT) AS max_freq
+    FROM hist
+  ), stats AS (
+    SELECT min(CASE WHEN cum >= (n_keys + 1) // 2 THEN f END) AS med,
+           min(CASE WHEN cum * 100 >= n_keys * 99 THEN f END) AS p99,
+           min(n_keys) AS n_keys, min(n_rows) AS n_rows,
+           min(max_freq) AS max_freq
+    FROM cum
+  )
+  SELECT '{table}.{key}' AS key_col, n_keys, n_rows, max_freq,
+         CAST((2 * max_freq * 10000 + n_rows) // (2 * n_rows) AS BIGINT)
+           AS top1_share_bp,
+         CAST((2 * p99 * 10000 + med) // (2 * med) AS BIGINT)
+           AS p99_med_ratio_bp
+  FROM stats
+)""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY key_col"
+
+
+ATTRIB_DEFERRED_QUERIES = {
+    "multitouch_attribution": multitouch_attribution,
+    "key_skew_audit": key_skew_audit,
+}
+
+ATTRIB_DEFERRED_ORACLES = {
+    "multitouch_attribution": MTA_SQL,
+    "key_skew_audit": _skew_sql(),
+}
