@@ -44,16 +44,19 @@ def _pc_normalize(w):
     (ties to the lowest pos). Dividing by the SIGNED pivot pins the
     eigenvector's sign (pivot component becomes exactly 1.0); the
     round-6 re-quantizes so the next round's input vector is bit-equal
-    across engines (the Lloyd-means guard)."""
-    pivot = w.agg(
-        F.max(F.struct(F.abs(F.col("w")).alias("a"),
-                       (-F.col("pos")).alias("np"),
-                       F.col("w").alias("wv"))).alias("p")
-    ).select(F.col("p.wv").alias("pivot"))
-    return (
-        w.crossJoin(F.broadcast(pivot))
-        .select("pos", F.round(F.col("w") / F.col("pivot"), 6).alias("v"))
-    )
+    across engines (the Lloyd-means guard). The pivot rides a
+    full-frame window over the same 64-row relation — a broadcast
+    crossJoin here would add one eager broadcast subtree PER ROUND,
+    each re-materializing the whole earlier-round chain."""
+    from pyspark.sql.window import Window
+
+    wall = Window.orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    pivot = F.max(F.struct(F.abs(F.col("w")).alias("a"),
+                           (-F.col("pos")).alias("np"),
+                           F.col("w").alias("wv"))).over(wall)["wv"]
+    return w.select(
+        "pos", F.round(F.col("w") / pivot, 6).alias("v"))
 
 
 def embedding_top_pc(spark, sf_dir):
@@ -70,33 +73,67 @@ def embedding_top_pc(spark, sf_dir):
     the post-division round-6 absorbs that. Scale: the corpus
     contributes one exploded pair agg (n·d² rows map-side combined);
     rounds touch only the d²-row covariance relation."""
+    import numpy as np
+    import pandas as pd
+
+    dim = _PC_DIM
     emb = _t(spark, sf_dir, "embeddings")
-    x = emb.select(
-        "vec_id",
-        F.posexplode(F.transform("embedding", lambda c: c.cast("double")))
-        .alias("pos", "v"),
+
+    def gram(batches):
+        """Per-partition UNCENTERED Gram + column-sum accumulation: ONE
+        BLAS matmul per Arrow batch, d² + d + 1 partial rows per
+        PARTITION — the 100 TB shape (a relational pair explode ships
+        n·d² rows into the aggregate; this ships partitions·d²).
+        Sentinels: i = -1 rows carry the column sums T_j, the
+        (-1, -1) row the partition row count."""
+        acc = np.zeros((dim, dim))
+        tvec = np.zeros(dim)
+        cnt = 0
+        for pdf in batches:
+            X = np.asarray(pdf["emb"].tolist(), dtype=np.float64)
+            acc += X.T @ X
+            tvec += X.sum(axis=0)
+            cnt += len(pdf)
+        ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+        yield pd.DataFrame({
+            "i": np.concatenate(
+                [ii.ravel(), -np.ones(dim), [-1]]).astype("int32"),
+            "j": np.concatenate(
+                [jj.ravel(), np.arange(dim), [-1]]).astype("int32"),
+            "s": np.concatenate([acc.ravel(), tvec, [float(cnt)]]),
+        })
+
+    partials = emb.select(
+        F.transform("embedding", lambda c: c.cast("double")).alias("emb")
+    ).mapInPandas(gram, "i int, j int, s double")
+    sums = partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
+    n_df = (
+        sums.where((F.col("i") == -1) & (F.col("j") == -1))
+        .select(F.col("s").cast("long").alias("n"))
     )
-    mu = x.groupBy("pos").agg(F.round(F.avg("v"), 6).alias("m"))
-    n_df = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    centered = (
-        x.join(F.broadcast(mu), "pos")
-        .select("vec_id", "pos", (F.col("v") - F.col("m")).alias("vc"))
+    t_df = (
+        sums.where((F.col("i") == -1) & (F.col("j") >= 0))
+        .select(F.col("j").alias("tj"), F.col("s").alias("t"))
     )
-    # d×d covariance as a relation: scan-side pair generation via a
-    # self-join on vec_id (64 rows per key — co-partitioned equi-join,
-    # never a cartesian at any scale)
-    a = centered.select("vec_id", F.col("pos").alias("i"),
-                        F.col("vc").alias("va"))
-    b = centered.select("vec_id", F.col("pos").alias("j"),
-                        F.col("vc").alias("vb"))
+    # centered covariance by the rank-1 identity
+    # c_ij = (S_ij − T_i·T_j/n) / (n−1): no separate mean pass, no
+    # cancellation hazard for near-zero-mean embedding columns. The
+    # oracle computes the identical formula from relational SUMs.
     cov = (
-        a.join(b, "vec_id")
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("va") * F.col("vb")).alias("s"))
+        sums.where(F.col("i") >= 0)
+        .join(F.broadcast(t_df.select(F.col("tj").alias("i_k"),
+                                      F.col("t").alias("ti"))),
+              F.col("i") == F.col("i_k"))
+        .join(F.broadcast(t_df.select(F.col("tj").alias("j_k"),
+                                      F.col("t").alias("tj_"))),
+              F.col("j") == F.col("j_k"))
         .crossJoin(F.broadcast(n_df))
-        .select("i", "j",
-                F.round(F.col("s") / (F.col("n") - 1).cast("double"), 6)
-                .alias("c"))
+        .select(
+            "i", "j",
+            F.round(
+                (F.col("s")
+                 - F.col("ti") * F.col("tj_") / F.col("n").cast("double"))
+                / (F.col("n") - 1).cast("double"), 6).alias("c"))
     )
     cov = cov.localCheckpoint(eager=True)  # rounds reuse it, never rebuild
     v = spark.range(_PC_DIM).select(
@@ -104,7 +141,7 @@ def embedding_top_pc(spark, sf_dir):
     for _ in range(_PC_ROUNDS):
         vj = v.select(F.col("pos").alias("vpos"), "v")
         w = (
-            cov.join(F.broadcast(vj), cov["j"] == vj["vpos"])
+            cov.join(vj, cov["j"] == vj["vpos"])
             .groupBy("i")
             .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
             .select(F.col("i").alias("pos"), "w")
@@ -135,19 +172,22 @@ WITH x AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
          CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings
-), mu AS (
-  SELECT pos, round(avg(v), 6) AS m FROM x GROUP BY 1
 ), nn AS (
   SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
-), centered AS (
-  SELECT x.vec_id, x.pos, x.v - mu.m AS vc
-  FROM x JOIN mu ON x.pos = mu.pos
+), tv AS (
+  SELECT pos, sum(v) AS t FROM x GROUP BY 1
+), gr AS (
+  SELECT a.pos AS i, b.pos AS j, sum(a.v * b.v) AS s
+  FROM x a JOIN x b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
 ), cov AS (
-  SELECT a.pos AS i, b.pos AS j,
-         round(sum(a.vc * b.vc) / CAST(nn.n - 1 AS DOUBLE), 6) AS c
-  FROM centered a JOIN centered b ON a.vec_id = b.vec_id
+  SELECT gr.i, gr.j,
+         round((gr.s - ti.t * tj.t / CAST(nn.n AS DOUBLE))
+               / CAST(nn.n - 1 AS DOUBLE), 6) AS c
+  FROM gr
+  JOIN tv ti ON gr.i = ti.pos
+  JOIN tv tj ON gr.j = tj.pos
   CROSS JOIN nn
-  GROUP BY a.pos, b.pos, nn.n
 ), v0 AS (
   SELECT CAST(range AS INT) AS pos, 0.125e0 AS v FROM range({_PC_DIM})
 ), {", ".join(rounds)}
