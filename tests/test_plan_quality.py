@@ -922,12 +922,15 @@ def test_mta_window_is_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_skew_audit_never_sorts_keys(spark, sf_dir):
-    """Order statistics must come from the frequency histogram's
-    cumulative counts: the plan may sort the (tiny) histogram but must
-    never rank the key relation — no Window over a key-cardinality
-    relation (window partitions are empty ORDER BY f over the
-    distinct-frequency rows only), and at most 2 shuffles per audited
-    key (freq agg + histogram agg) plus the scalar/window tails."""
+def test_skew_audit_one_scan_per_table(spark, sf_dir):
+    """All three key audits must share ONE melted pipeline: one scan
+    per fact table (both lineitem keys explode out of the same scan),
+    one freq agg, one histogram agg, one key_col-partitioned window,
+    one stats agg — ≤5 shuffles total, and order statistics never rank
+    the key relation (only the distinct-frequency histogram sorts)."""
+    from tracker_trainer_spark.plans import physical_plan
     df = QUERIES["key_skew_audit"](spark, sf_dir)
-    assert count_shuffles(df) <= 3 * 4  # 3 keys x (freq, hist, window, tot)
+    assert count_shuffles(df) <= 5
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1

@@ -146,22 +146,45 @@ _SKEW_KEYS = [
 ]
 
 
-def _skew_one(spark, sf_dir, table, key):
-    freq = (
-        _t(spark, sf_dir, table)
-        .groupBy(F.col(key).cast("long").alias("k"))
-        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+def key_skew_audit(spark, sf_dir):
+    """Join-key skew diagnostics for the three hot join keys: key
+    cardinality, heaviest-key row share, and the p99/median key
+    frequency ratio (exact integer basis points) — the numbers that
+    decide salting factors and AQE skew-join thresholds before a big
+    run. Order statistics come from the frequency histogram's
+    cumulative counts (distinct-frequency relation — tiny at any
+    scale), never a global sort of keys.
+
+    Both lineitem keys MELT out of ONE fact scan (scan-side explode to
+    (key_col, k) rows), so the whole audit costs one scan per table;
+    every downstream window partitions by key_col, so all three audits
+    share each exchange. Totals ride the same per-key-column window as
+    the cumulative sum (full-frame siblings) — a separate agg would
+    re-evaluate the freq+hist subtree."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    melted = li.select(
+        F.explode(F.array(
+            F.struct(F.lit("lineitem.l_suppkey").alias("key_col"),
+                     F.col("l_suppkey").cast("long").alias("k")),
+            F.struct(F.lit("lineitem.l_partkey").alias("key_col"),
+                     F.col("l_partkey").cast("long").alias("k")),
+        )).alias("m")
+    ).select("m.key_col", "m.k").unionAll(
+        orders.select(F.lit("orders.o_custkey").alias("key_col"),
+                      F.col("o_custkey").cast("long").alias("k"))
     )
-    hist = freq.groupBy("f").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    wcum = Window.orderBy("f").rowsBetween(Window.unboundedPreceding, 0)
-    # totals ride the SAME single-row-group window exchange as the
-    # cumulative sum (full-frame siblings) — a separate agg would
-    # re-evaluate the freq+hist subtree: one extra fact scan and two
-    # extra shuffles per audited key
-    wall = Window.orderBy("f").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
+    freq = melted.groupBy("key_col", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("f"))
+    hist = freq.groupBy("key_col", "f").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = (Window.partitionBy("key_col").orderBy("f")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = (Window.partitionBy("key_col").orderBy("f")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
     cum = hist.select(
-        "f", "c",
+        "key_col", "f", "c",
         F.sum("c").over(wcum).alias("cum"),
         F.sum("c").over(wall).cast("long").alias("n_keys"),
         F.sum(F.col("f") * F.col("c")).over(wall).cast("long")
@@ -170,7 +193,7 @@ def _skew_one(spark, sf_dir, table, key):
     )
     # lower-median / ceil-p99 as first histogram bucket whose cumulative
     # count reaches the order-statistic rank (exact integers end to end)
-    stats = cum.agg(
+    stats = cum.groupBy("key_col").agg(
         F.min(F.when(
             F.col("cum") >= F.expr("(n_keys + 1) div 2"),
             F.col("f"))).alias("med"),
@@ -182,28 +205,12 @@ def _skew_one(spark, sf_dir, table, key):
         F.min("max_freq").alias("max_freq"),
     )
     return stats.select(
-        F.lit(f"{table}.{key}").alias("key_col"),
-        "n_keys", "n_rows", "max_freq",
+        "key_col", "n_keys", "n_rows", "max_freq",
         F.expr("(2 * max_freq * 10000 + n_rows) div (2 * n_rows)")
         .alias("top1_share_bp"),
         F.expr("(2 * p99 * 10000 + med) div (2 * med)")
         .alias("p99_med_ratio_bp"),
-    )
-
-
-def key_skew_audit(spark, sf_dir):
-    """Join-key skew diagnostics for the three hot join keys: key
-    cardinality, heaviest-key row share, and the p99/median key
-    frequency ratio (exact integer basis points) — the numbers that
-    decide salting factors and AQE skew-join thresholds before a big
-    run. Order statistics come from the frequency histogram's
-    cumulative counts (distinct-frequency relation — tiny at any
-    scale), never a global sort of keys."""
-    out = None
-    for table, key in _SKEW_KEYS:
-        part = _skew_one(spark, sf_dir, table, key)
-        out = part if out is None else out.unionAll(part)
-    return out.orderBy("key_col")
+    ).orderBy("key_col")
 
 
 def _skew_sql():

@@ -94,6 +94,11 @@ def embedding_top_pc(spark, sf_dir):
             acc += X.T @ X
             tvec += X.sum(axis=0)
             cnt += len(pdf)
+        if cnt == 0:
+            # empty partition/corpus: zero contribution either way, and
+            # an all-empty corpus must yield ZERO rows (the oracle's
+            # empty CTEs), not 64 NaN loadings from n = 0 sentinels
+            return
         ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
         yield pd.DataFrame({
             "i": np.concatenate(
@@ -147,8 +152,12 @@ def embedding_top_pc(spark, sf_dir):
             .select(F.col("i").alias("pos"), "w")
         )
         v = _pc_normalize(w)
+    # NO second rounding: v is already round-6-quantized identically on
+    # both engines; round(round6, 4) re-rounds a decimal that CAN sit
+    # exactly on a 4-dp midpoint where Spark (decimal HALF_UP) and
+    # DuckDB (binary) disagree. +0.0 normalizes -0.0 loadings.
     return v.select(
-        "pos", (r4(F.col("v")) + F.lit(0.0)).alias("loading")
+        "pos", (F.col("v") + F.lit(0.0)).alias("loading")
     ).orderBy("pos")
 
 
@@ -191,7 +200,7 @@ WITH x AS (
 ), v0 AS (
   SELECT CAST(range AS INT) AS pos, 0.125e0 AS v FROM range({_PC_DIM})
 ), {", ".join(rounds)}
-SELECT pos, round(v, 4) + 0.0 AS loading
+SELECT pos, v + 0.0 AS loading
 FROM {prev}
 ORDER BY pos
 """
@@ -202,7 +211,7 @@ ORDER BY pos
 # --------------------------------------------------------------------------
 
 _PAT_STRICT = "v+c+p"          # contiguous view(s) -> click(s) -> purchase
-_PAT_RELAXED = "v[se]*c[se]*p"  # same funnel tolerating signup/error noise
+_PAT_RELAXED = "v+[se]*c+[se]*p"  # strict + signup/error noise inside
 
 
 def event_pattern_match(spark, sf_dir):
