@@ -934,3 +934,26 @@ def test_skew_audit_one_scan_per_table(spark, sf_dir):
     plan = physical_plan(df)
     assert plan.count("lineitem.parquet") == 1
     assert plan.count("orders.parquet") == 1
+
+
+def test_recs_pairs_are_scan_side(spark, sf_dir):
+    """Co-purchase pairs must explode from the basket aggregate's
+    sorted arrays — never a fact self-join; the norm lookups broadcast
+    (the pair relation outweighs the per-part counts at any scale)."""
+    from tracker_trainer_spark.plans import physical_plan
+    plan = physical_plan(QUERIES["part_affinity_recs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    gen = tree.find("Generate")
+    scan = tree.find("Scan parquet", gen)
+    assert gen != -1 and scan != -1
+    assert "HashAggregate" in tree[gen:scan], (
+        "pair explode consumes raw scan rows:\n" + tree)
+
+
+def test_ltv_curve_shuffle_budget(spark, sf_dir):
+    """cohorting agg (planned twice: join branch + sizes branch, fused
+    by runtime exchange reuse) + weekly (cohort, age) agg + cohort
+    window + the broadcast size join: ≤6 planned exchanges, none over
+    an n-sized relation after the first user agg."""
+    assert count_shuffles(QUERIES["cohort_ltv_curve"](spark, sf_dir)) <= 6

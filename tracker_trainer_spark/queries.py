@@ -3186,3 +3186,12 @@ from tracker_trainer_spark.queries_attrib_ext import (  # noqa: E402
 
 QUERIES.update(_AT_DEF_QUERIES)
 ORACLES.update(_AT_DEF_ORACLES)
+
+# Recommender / growth-analytics families — same deferred channel.
+from tracker_trainer_spark.queries_recs_ext import (  # noqa: E402
+    RECS_DEFERRED_ORACLES as _RC_DEF_ORACLES,
+    RECS_DEFERRED_QUERIES as _RC_DEF_QUERIES,
+)
+
+QUERIES.update(_RC_DEF_QUERIES)
+ORACLES.update(_RC_DEF_ORACLES)

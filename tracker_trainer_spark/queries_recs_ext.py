@@ -1,0 +1,230 @@
+"""Recommender / growth-analytics queries (deferred channel).
+
+- ``part_affinity_recs`` — item-item collaborative filtering: top
+  recommendations per seed part by co-purchase cosine
+  (co / sqrt(n_a·n_b)), the classic "customers who bought X also
+  bought Y" operator. Co-occurrence pairs generate scan-side from
+  per-order sorted part arrays (the basket-HOF posture — no fact
+  self-join); cosine ranks are cross-engine safe because every input
+  is an exact integer and sqrt/division are correctly-rounded IEEE
+  ops evaluated in the same order.
+- ``cohort_ltv_curve`` — cumulative lifetime-value curves per signup
+  cohort: users cohorted by first-seen week, cumulative purchase
+  cents per cohort through each week-age k, and LTV per user in exact
+  integer cents (integer half-up division) — the growth-analytics twin
+  of ``retention_cohorts`` (that one counts actives; this follows the
+  money).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark, sf_dir, name):
+    from tracker_trainer_spark.queries import _t as _load
+
+    return _load(spark, sf_dir, name)
+
+
+def r4(c):
+    return F.round(c, 4)
+
+
+# --------------------------------------------------------------------------
+# Item-item collaborative filtering over co-purchase baskets
+# --------------------------------------------------------------------------
+
+_RECS_PER_SEED = 3
+_RECS_TOPN = 30
+_RECS_MIN_CO = 3
+
+
+def part_affinity_recs(spark, sf_dir):
+    """Top-N item-item recommendations by co-purchase cosine: for each
+    seed part, the strongest co-purchased parts with
+    cos = co / sqrt(n_seed · n_rec), co ≥ 3 (support floor). Pairs
+    come from per-order sorted distinct-part arrays exploded scan-side;
+    per-part order counts join back broadcast-style; ranks take the
+    top 3 per seed (cosine desc, rec id) and the global top 30 rows
+    (cosine desc, seed, rec) — every ranking key is either an exact
+    integer or a correctly-rounded IEEE expression over exact integers
+    (identical doubles in both engines, so no rounded-tie hazard)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                """flatten(transform(
+                     sequence(0, size(ps) - 2),
+                     i -> transform(
+                       sequence(i + 1, size(ps) - 1),
+                       j -> struct(ps[i] AS a, ps[j] AS b))))"""
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    co = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+        .where(F.col("co") >= _RECS_MIN_CO)
+    )
+    # per-part distinct-order counts (the cosine norms)
+    n_part = (
+        li.select("l_orderkey", "l_partkey").distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    # undirected pair -> both directions so every part can be a seed
+    sym = co.unionAll(co.select(F.col("b").alias("a"),
+                                F.col("a").alias("b"), "co"))
+    scored = (
+        sym.join(F.broadcast(n_part.select(F.col("l_partkey").alias("a"),
+                                           F.col("n").alias("na"))), "a")
+        .join(F.broadcast(n_part.select(F.col("l_partkey").alias("b"),
+                                        F.col("n").alias("nb"))), "b")
+        .select(
+            F.col("a").alias("seed"), F.col("b").alias("rec"), "co",
+            (F.col("co").cast("double")
+             / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+             ).alias("_cos"),
+        )
+    )
+    wr = Window.partitionBy("seed").orderBy(F.desc("_cos"), "rec")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= _RECS_PER_SEED)
+        .select("seed", "rec", "co",
+                F.col("rnk").cast("int").alias("rnk"),
+                r4(F.col("_cos")).alias("cosine"))
+        .orderBy(F.desc("_cos"), "seed", "rec")
+        .limit(_RECS_TOPN)
+    )
+
+
+RECS_SQL = f"""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), co AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b,
+         CAST(count(*) AS BIGINT) AS co
+  FROM ob x JOIN ob y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_RECS_MIN_CO}
+), n_part AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM ob GROUP BY 1
+), sym AS (
+  SELECT a, b, co FROM co
+  UNION ALL
+  SELECT b AS a, a AS b, co FROM co
+), scored AS (
+  SELECT sym.a AS seed, sym.b AS rec, sym.co,
+         CAST(sym.co AS DOUBLE)
+           / sqrt(CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)) AS _cos
+  FROM sym
+  JOIN n_part na ON sym.a = na.l_partkey
+  JOIN n_part nb ON sym.b = nb.l_partkey
+), ranked AS (
+  SELECT seed, rec, co, _cos,
+         row_number() OVER (PARTITION BY seed
+                            ORDER BY _cos DESC, rec) AS rnk
+  FROM scored
+)
+SELECT seed, rec, co, CAST(rnk AS INT) AS rnk, round(_cos, 4) AS cosine
+FROM ranked
+WHERE rnk <= {_RECS_PER_SEED}
+ORDER BY _cos DESC, seed, rec
+LIMIT {_RECS_TOPN}
+"""
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV curves (cumulative revenue per signup cohort by week age)
+# --------------------------------------------------------------------------
+
+def cohort_ltv_curve(spark, sf_dir):
+    """Cumulative lifetime value per signup cohort: users cohort by
+    first-seen week; for each week-age k since cohort start, the
+    cohort's cumulative purchase revenue and the per-user LTV in exact
+    integer cents (half-up integer division) — the revenue twin of
+    ``retention_cohorts``. One user-keyed agg for cohorting, one
+    (cohort, age) agg for weekly revenue, one calendar-bounded window
+    for the running sum; no n-sized relation ever re-shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort"))
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users"))
+    weekly = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.date_trunc("week", "ts").cast("date"),
+                        F.col("cohort")) / 7).cast("int").alias("age_weeks"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+             .cast("long").alias("week_cents"))
+    )
+    wcum = (Window.partitionBy("cohort").orderBy("age_weeks")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        weekly.withColumn(
+            "cum_cents", F.sum("week_cents").over(wcum).cast("long"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort", "age_weeks", "cohort_users", "week_cents",
+            "cum_cents",
+            F.expr("(2 * cum_cents + cohort_users)"
+                   " div (2 * cohort_users)").alias("ltv_cents_per_user"),
+        )
+        .orderBy("cohort", "age_weeks")
+    )
+
+
+LTV_SQL = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+  FROM events GROUP BY 1
+), sizes AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+  FROM firsts GROUP BY 1
+), weekly AS (
+  SELECT f.cohort,
+         CAST(date_diff('day', f.cohort,
+                        CAST(date_trunc('week', e.ts) AS DATE)) / 7
+              AS INT) AS age_weeks,
+         CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+           AS week_cents
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+), cum AS (
+  SELECT cohort, age_weeks, week_cents,
+         CAST(sum(week_cents) OVER (PARTITION BY cohort ORDER BY age_weeks
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_cents
+  FROM weekly
+)
+SELECT c.cohort, c.age_weeks, s.cohort_users, c.week_cents, c.cum_cents,
+       CAST((2 * c.cum_cents + s.cohort_users)
+            // (2 * s.cohort_users) AS BIGINT) AS ltv_cents_per_user
+FROM cum c JOIN sizes s ON c.cohort = s.cohort
+ORDER BY c.cohort, c.age_weeks
+"""
+
+
+RECS_DEFERRED_QUERIES = {
+    "part_affinity_recs": part_affinity_recs,
+    "cohort_ltv_curve": cohort_ltv_curve,
+}
+
+RECS_DEFERRED_ORACLES = {
+    "part_affinity_recs": RECS_SQL,
+    "cohort_ltv_curve": LTV_SQL,
+}
