@@ -957,3 +957,11 @@ def test_ltv_curve_shuffle_budget(spark, sf_dir):
     window + the broadcast size join: ≤6 planned exchanges, none over
     an n-sized relation after the first user agg."""
     assert count_shuffles(QUERIES["cohort_ltv_curve"](spark, sf_dir)) <= 6
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    ("ab_test_lift", 2),      # per-user agg + single-row scalar agg
+    ("holt_backtest", 3),     # day rollup + 1-row fold + scalar agg
+])
+def test_exp_ext_shuffle_budgets(spark, sf_dir, name, max_shuffles):
+    assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles

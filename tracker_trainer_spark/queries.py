@@ -3195,3 +3195,12 @@ from tracker_trainer_spark.queries_recs_ext import (  # noqa: E402
 
 QUERIES.update(_RC_DEF_QUERIES)
 ORACLES.update(_RC_DEF_ORACLES)
+
+# Experimentation / forecast-evaluation families — same deferred channel.
+from tracker_trainer_spark.queries_exp_ext import (  # noqa: E402
+    EXP_DEFERRED_ORACLES as _EX_DEF_ORACLES,
+    EXP_DEFERRED_QUERIES as _EX_DEF_QUERIES,
+)
+
+QUERIES.update(_EX_DEF_QUERIES)
+ORACLES.update(_EX_DEF_ORACLES)

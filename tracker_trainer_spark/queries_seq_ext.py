@@ -61,27 +61,17 @@ def r4(c):
 _HOLT_FC_H = 7
 
 
-def holt_linear_forecast(spark, sf_dir):
-    """Holt's linear-trend (double exponential) smoothing of daily
-    purchase revenue: l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}),
-    b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, initialized at t = 2 with
-    l = x_1, b = x_2 − x_1 (the standard two-point init), with the
-    1-step and 7-step-ahead forecasts ŷ = l + h·b per day.
-
-    α = 0.5, β = 0.25 — dyadic on purpose: both engines parse them to
-    exactly the same doubles, and the fold below runs the identical
-    IEEE sequence (l_t is recomputed textually inside the b_t update on
-    BOTH engines, so there is no hidden extra rounding on either side).
-    Output rows start at day 2 (the init point). Days are
-    calendar-bounded, so the per-day O(d²) refold is a ≤31-element
-    array program — one shuffle total."""
+def _holt_states(spark, sf_dir):
+    """UNROUNDED per-day Holt (level, trend) states from day 2 onward —
+    the shared fold behind holt_linear_forecast (output rounding) and
+    holt_backtest (error evaluation needs the unrounded l + b)."""
     from tracker_trainer_spark.queries_stats_ext import daily_purchase_cents
 
     daily = daily_purchase_cents(spark, sf_dir)
     folded = daily.agg(
         F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("arr")
     )
-    out = folded.select(
+    return folded.select(
         F.explode(
             F.expr(
                 """transform(
@@ -104,7 +94,24 @@ def holt_linear_forecast(spark, sf_dir):
             )
         ).alias("s")
     )
-    return out.select(
+
+
+def holt_linear_forecast(spark, sf_dir):
+    """Holt's linear-trend (double exponential) smoothing of daily
+    purchase revenue: l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}),
+    b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, initialized at t = 2 with
+    l = x_1, b = x_2 − x_1 (the standard two-point init), with the
+    1-step and 7-step-ahead forecasts ŷ = l + h·b per day.
+
+    α = 0.5, β = 0.25 — dyadic on purpose: both engines parse them to
+    exactly the same doubles, and the fold below runs the identical
+    IEEE sequence (l_t is recomputed textually inside the b_t update on
+    BOTH engines, so there is no hidden extra rounding on either side).
+    Output rows start at day 2 (the init point). Days are
+    calendar-bounded, so the per-day O(d²) refold is a ≤31-element
+    array program — one shuffle total."""
+    st = _holt_states(spark, sf_dir)
+    return st.select(
         F.col("s.day").alias("day"),
         F.col("s.cents").alias("day_cents"),
         (r4(F.col("s.st.l")) + F.lit(0.0)).alias("level"),
@@ -124,8 +131,7 @@ def holt_linear_forecast(spark, sf_dir):
 # LINEAR RECURSIVE CTE — one projection per step, where repeating the
 # l' subexpression inside b' is safe on both engines (Spark's
 # aggregate lambda repeats it textually too).
-HOLT_SQL = f"""
-WITH RECURSIVE daily AS (
+HOLT_CORE_SQL = f"""daily AS (
   {_DAILY_CENTS_SQL}
 ), seq AS (
   SELECT row_number() OVER (ORDER BY day) AS rn, day, cents FROM daily
@@ -141,7 +147,10 @@ WITH RECURSIVE daily AS (
                     + 0.5e0 * (st.l + st.b)) - st.l)
            + 0.75e0 * st.b AS b
   FROM st JOIN seq n ON n.rn = st.rn + 1
-)
+)"""
+
+HOLT_SQL = f"""
+WITH RECURSIVE {HOLT_CORE_SQL}
 SELECT day, cents AS day_cents,
        round(l, 4) + 0.0 AS level,
        round(b, 4) + 0.0 AS trend,
