@@ -39,10 +39,20 @@ def synth_edges(spark, n_nodes: int, avg_degree: int, seed: int):
     from a squared-uniform (low ids are hubs, like hot suppliers)."""
     n_edges = n_nodes * avg_degree
     e = spark.range(n_edges).select(
-        (F.pow(F.rand(seed), 2.0) * n_nodes).cast("long").alias("s1"),
-        (F.rand(seed + 1) * n_nodes).cast("long").alias("s2"),
-    ).where(F.col("s1") != F.col("s2"))
-    return e.groupBy("s1", "s2").agg(F.count(F.lit(1)).alias("w"))
+        (F.pow(F.rand(seed), 2.0) * n_nodes).cast("long").alias("a"),
+        (F.rand(seed + 1) * n_nodes).cast("long").alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    # canonical a<b BEFORE weighting — the production edge build
+    # (_bfs_sparsified_weighted_edges) emits canonical pairs from
+    # sorted arrays, so (x,y) and (y,x) can never both survive the
+    # top-M cut with different costs; mirror that here or the soak
+    # doubles fanout on duplicate directed edges the real queries
+    # cannot produce
+    return (
+        e.select(F.least("a", "b").alias("s1"),
+                 F.greatest("a", "b").alias("s2"))
+        .groupBy("s1", "s2").agg(F.count(F.lit(1)).alias("w"))
+    )
 
 
 def run_scenario(spark, n_nodes: int, avg_degree: int) -> dict:
@@ -110,11 +120,18 @@ def main():
     # claim 2: traversal cost is bounded by the top-M cut, not raw
     # density — 4x the raw edges must not even double the recursion
     # wall-clock (kept edges are capped at EDGES_PER_NODE x nodes)
+    ratio = results[-1]["recurse_s"] / max(results[0]["recurse_s"], 1e-9)
     if results[0]["recurse_s"] > 0.5:  # below that it's job-floor noise
-        ratio = results[-1]["recurse_s"] / results[0]["recurse_s"]
         print(json.dumps({
             "recurse_scaling_4x_density": round(ratio, 2),
             "bounded": ratio < 2.0,
+        }))
+    else:
+        # ALWAYS emit the line so verifiers never misread absence as
+        # failure: below the job floor the ratio only measures noise
+        print(json.dumps({
+            "recurse_scaling_4x_density": round(ratio, 2),
+            "bounded": "skipped_below_noise_floor",
         }))
     spark.stop()
 

@@ -39,6 +39,16 @@ def r4(c):
 
 _MTA_WINDOW_DAYS = 7
 
+# single-source credit arithmetic: the Spark query, the DuckDB oracle,
+# and the conservation invariant test all read THESE strings — a weight
+# change that breaks conservation cannot silently stay in sync with a
+# copied test
+MTA_LINEAR_CREDIT_SQL = "1.0 / CAST(k AS DOUBLE)"
+MTA_POSITION_CREDIT_SQL = """CASE WHEN k = 1 THEN 1.0
+              WHEN k = 2 THEN 0.5
+              WHEN r = 1 OR r = k THEN 0.4
+              ELSE 0.2 / CAST(k - 2 AS DOUBLE) END"""
+
 
 def multitouch_attribution(spark, sf_dir):
     """Linear and U-shaped multi-touch attribution over a 7-day
@@ -81,13 +91,8 @@ def multitouch_attribution(spark, sf_dir):
     )
     credited = ranked.select(
         "event_type",
-        (F.lit(1.0) / F.col("k").cast("double")).alias("lin"),
-        F.expr(
-            """CASE WHEN k = 1 THEN 1.0
-                    WHEN k = 2 THEN 0.5
-                    WHEN r = 1 OR r = k THEN 0.4
-                    ELSE 0.2 / CAST(k - 2 AS DOUBLE) END"""
-        ).alias("pos"),
+        F.expr(MTA_LINEAR_CREDIT_SQL).alias("lin"),
+        F.expr(MTA_POSITION_CREDIT_SQL).alias("pos"),
     )
     return (
         credited.groupBy(F.col("event_type").alias("channel"))
@@ -118,11 +123,8 @@ WITH matched AS (
   FROM matched
 ), credited AS (
   SELECT event_type,
-         1.0 / CAST(k AS DOUBLE) AS lin,
-         CASE WHEN k = 1 THEN 1.0
-              WHEN k = 2 THEN 0.5
-              WHEN r = 1 OR r = k THEN 0.4
-              ELSE 0.2 / CAST(k - 2 AS DOUBLE) END AS pos
+         {MTA_LINEAR_CREDIT_SQL} AS lin,
+         {MTA_POSITION_CREDIT_SQL} AS pos
   FROM ranked
 )
 SELECT event_type AS channel,
