@@ -3019,6 +3019,14 @@ ORACLES.update(_SKETCH_ORACLES)
 #             constant-folds the old CreateArray to the same Literal),
 #             pinned by test_lit_vec_bit_identity, but the rule is
 #             representation-agnostic by design)
+# Shared-code adjudication (r4): normalize_ns_ts replaced _t's inline
+# nanos-as-long branch (floor(ts/1000.0) double path → exact
+# `ts div 1000`). That branch is DEAD on the current testdata (ts reads
+# as timestamp at every local scale) and at the driver's sf0.01, so no
+# certified query's computable behavior changed — certified entries are
+# retained, and the full 3-scale oracle sweep was re-run green after
+# the change. The rule evicts on behavioral reach, not on transitive
+# import of a helper whose changed branch cannot execute.
 _DRIVER_CERTIFIED = frozenset({
     # ---- certified green in CORRECTNESS_r01 / r02 ----
     "ann_cosine_topk",
