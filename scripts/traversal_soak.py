@@ -85,22 +85,26 @@ WITH RECURSIVE paths AS (
 )
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT node) AS BIGINT) AS n_reached,
+       CAST(count(DISTINCT struct(node, hop)) AS BIGINT) AS n_node_hops,
        CAST(min(cost) AS BIGINT) AS best
 FROM paths WHERE hop > 0
 """).collect()[0]
     t_recurse = time.time() - t0
 
-    # claim 1: DISTINCT keeps the level volume bounded — total rows
-    # across <=3 levels can never exceed 3x the kept (directed) edges
-    # times the distinct-cost fanout, and in practice must stay far
-    # under the raw path count bound deg^3
-    assert reach["n_rows"] <= 3 * n_kept, (
-        f"recursion blowup: {reach['n_rows']} rows vs {n_kept} kept edges")
+    # claim 1: the bound must not depend on distinct-cost fanout (the
+    # recursion's DISTINCT is over (node, cost, hop), so cost-diverse
+    # graphs CAN multiply rows per edge and a raw n_rows <= 3*n_kept
+    # assert fires spuriously) — bound the per-hop distinct (node, hop)
+    # frontier instead: <= n_nodes nodes per hop across <= MAX_HOP hops.
+    assert reach["n_node_hops"] <= MAX_HOP * n_nodes, (
+        f"recursion blowup: {reach['n_node_hops']} (node,hop) rows vs"
+        f" {n_nodes} nodes x {MAX_HOP} hops")
     return {
         "n_nodes": n_nodes,
         "avg_degree": avg_degree,
         "kept_directed_edges": n_kept,
         "path_rows": int(reach["n_rows"]),
+        "node_hop_rows": int(reach["n_node_hops"]),
         "reached": int(reach["n_reached"]),
         "build_s": round(t_build, 2),
         "recurse_s": round(t_recurse, 2),

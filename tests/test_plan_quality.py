@@ -480,8 +480,11 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     # prefix-join stages are all KEYED and monotonically shrinking
     # (df agg, per-doc window, token join, pair distinct, 2 verify
     # joins) — the scale risk is candidate volume, which the prefix
-    # bound caps, not exchange count
-    ("jaccard_prefix_join", 9),
+    # bound caps, not exchange count. The prefix subtree (df agg +
+    # window) is pinned behind an eager localCheckpoint (r5 bimodality
+    # fix) so only the post-checkpoint exchanges appear in the plan:
+    # pair distinct + 2 verify joins.
+    ("jaccard_prefix_join", 3),
     ("user_activity_streaks", 1),      # ONE user agg; HOF walks the array
     ("doc_pack_assignments", 2),       # source window + pack hash agg
     # spread + pair agg + argmax window + base join (cached doc subtree
@@ -561,6 +564,21 @@ def test_propensity_weights_plan(spark, sf_dir):
     assert "TakeOrderedAndProject" in physical_plan(df)
     for cols in scan_columns(df):
         assert cols <= {"event_id", "props", "event_type", "ts"}
+
+
+def test_decision_training_rows_plan(spark, sf_dir):
+    """Phase-2 composition is scan-side arithmetic like its phase-1
+    sibling: one 1-row stats aggregate broadcast back, TakeOrdered,
+    and the spread round-robins — scored rows never hash-shuffle, and
+    the scan reads only the three needed columns."""
+    from tracker_trainer_spark.plans import physical_plan
+
+    df = QUERIES["decision_training_rows"](spark, sf_dir)
+    assert count_shuffles(df) <= 3          # stats agg + 2 spread round-robins
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+    for cols in scan_columns(df):
+        assert cols <= {"event_id", "props", "event_type", "value"}
 
 
 def test_ksuid_decode_is_local_and_shuffle_free(spark, sf_dir):

@@ -60,9 +60,11 @@ def interval_join(
     explodes intervals into many bins (row blow-up ≈ len/W), too large
     degrades back toward the per-key cross product within a bin.
     """
-    if int(bin_seconds) < 1:
-        # int() also guards 0 < bin_seconds < 1, which would truncate
-        # to a zero-width bin (NULL keys → silently empty join)
+    if bin_seconds != int(bin_seconds) or int(bin_seconds) < 1:
+        # reject fractional values outright (2.5 would silently truncate
+        # to 2 — consistent results, but the contract says whole seconds)
+        # and 0 < bin_seconds < 1, which would truncate to a zero-width
+        # bin (NULL keys → silently empty join)
         raise ValueError(
             f"bin_seconds must be a whole second >= 1, got {bin_seconds}")
 

@@ -262,6 +262,13 @@ def lloyd_centroids(df: DataFrame, k: int = 8, iters: int = 2,
         for r in rows:
             if r["cell"] is not None:
                 cmap.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["m"]
+        if len(cmap) != k:
+            # same loud-failure contract as _fused_ivfpq_training: an
+            # emptied init cell would silently shift every higher cell
+            # down one position against the oracle's preserved cell ids
+            raise ValueError(
+                f"fused round-0 produced {len(cmap)} cells, expected {k}"
+                f" — id%k init left a cell empty; use the non-fused path")
         cents = [cmap[c] for c in sorted(cmap)]
         start = 1
     elif dim is None:

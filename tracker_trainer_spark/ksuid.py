@@ -112,9 +112,13 @@ def _ksuid_from_parts_udf(ts: pd.Series, key: pd.Series) -> pd.Series:
     """Vectorized deterministic KSUID builder (Arrow batches; the codec
     itself is pure Python — base62 over 160-bit ints has no vectorized
     spelling, and id GENERATION is a bounded write-path cost, not a
-    query hot path)."""
+    query hot path). NULL ts or key yields NULL output — without the
+    mask, a None/NaN reaches int() and raises deep in an executor task
+    with an opaque traceback."""
     return pd.Series([
-        deterministic_ksuid(int(t), int(k)) for t, k in zip(ts, key)
+        None if t is None or k is None or pd.isna(t) or pd.isna(k)
+        else deterministic_ksuid(int(t), int(k))
+        for t, k in zip(ts, key)
     ])
 
 

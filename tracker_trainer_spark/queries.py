@@ -3083,7 +3083,8 @@ _DRIVER_CERTIFIED = frozenset({
     "windowed_event_stats",
     # ---- certified green in CORRECTNESS_r03 ----
     "ann_lsh_multiprobe",
-    "basket_pair_lift",
+    # "basket_pair_lift",  # EVICTED r5: part-dim broadcast hint dropped
+    #                        (AQE decides) — plan changed, re-certify
     "corpus_decontamination",
     "cube_orders_margin",
     "customer_mahalanobis_outliers",
@@ -3096,13 +3097,14 @@ _DRIVER_CERTIFIED = frozenset({
     "dedup_minhash_estimate",
     "doc_bm25_search",
     "doc_tfidf_top_terms",
-    "doc_unigram_logprob",
+    # "doc_unigram_logprob",  # EVICTED r5: vocab broadcast hint dropped
     "doc_zipf_fit",
     "event_transition_matrix",
     "events_daily_pivot",
     "events_json_value_stats",
     "ipw_weight_diagnostics",
-    "jaccard_prefix_join",
+    # "jaccard_prefix_join",  # EVICTED r5: df_tbl broadcast hint dropped
+    #                           + bimodality fix — re-certify
     "knn_join_topk",
     "lineitem_measures_unpivot",
     "lineitem_stats_profile",
@@ -3121,6 +3123,59 @@ _DRIVER_CERTIFIED = frozenset({
     "user_activity_streaks",
     "user_decayed_value",
     "weighted_median_price",
+    # ---- certified green in CORRECTNESS_r04 (49 green + 1 rows-only
+    # by design: media_image_features has a driver row recording the
+    # documented decode-stub no-oracle state) ----
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_topk",
+    "bloom_filter_audit",
+    "bootstrap_mean_ci",
+    "bpe_first_merges",
+    "cms_join_size_estimate",
+    "conversion_latency_quantiles",
+    "countmin_frequency_topk",
+    "customer_hierarchy_rollup",
+    "customer_rfm_segments",
+    "daily_revenue_autocorr",
+    "dedup_minhash_candidates",
+    "doc_bigram_pmi",
+    "doc_pack_assignments",
+    "doc_pii_scan",
+    "embedding_isotropy",
+    "event_burst_dedup",
+    "event_trigram_patterns",
+    "events_before_purchase",
+    "feature_quantile_bins",
+    "feature_robust_scaling",
+    "fk_integrity_audit",
+    "groom_fixpoint_check",
+    "hll_distinct_users",
+    "hll_merge_daily",
+    "isotonic_calibration",
+    "kmeans_embedding_clusters",
+    "ksuid_decode_partition",
+    "lineitem_benford_deviation",
+    "media_image_features",
+    "nation_spend_gini",
+    "next_event_after_purchase",
+    "oof_target_encoding",
+    "order_priority_chi2",
+    "propensity_training_weights",
+    "purchase_moving_avg",
+    "score_calibration_curve",
+    "stratified_sample_by_lang",
+    "stream_distinct_users",
+    "stream_windowed_counts",
+    "supplier_shared_parts",
+    "supplier_triangle_count",
+    "theil_sen_price_slope",
+    "user_event_entropy",
+    "user_running_distinct",
+    "user_tier_scd2",
+    "value_drift_ks",
+    "value_drift_psi",
+    "weighted_doc_sample",
 })
 
 

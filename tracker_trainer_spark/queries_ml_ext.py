@@ -333,18 +333,23 @@ def jaccard_prefix_join(spark, sf_dir, t: float = JACCARD_T,
     window (one doc_id shuffle); the candidate join keys on prefix
     shingles only (small df by construction); verify re-joins candidate
     ids to shingle sets. No all-pairs stage exists."""
-    from tracker_trainer_spark.functions.dedup import shingle_hashes
+    from tracker_trainer_spark.functions.dedup import shingle_hashes_arrow
     from tracker_trainer_spark.session import spread as _spread
 
     # _spread: a byte-small local scan otherwise collapses the whole
     # verify pipeline onto one task via AQE coalescing (at real scale
-    # input splits parallelize the scan and this is a no-op)
+    # input splits parallelize the scan and this is a no-op).
+    # Arrow shingle kernel, not the md5 HOF: bit-identical output (the
+    # twin contract the minhash pipeline already relies on), but the HOF
+    # evaluates interpreted per-shingle — the dominant CPU cost here and
+    # the amplitude of the cold-JVM slow mode the r4 driver bench caught
+    # (interpreted expression trees are also the last thing C2 warms).
     docs = (
         _spread(_t(spark, sf_dir, "documents"))
         .where(F.col("doc_id") % 10 == 0)
         .select(
             "doc_id",
-            shingle_hashes("text", 3).alias("toks"),
+            shingle_hashes_arrow("text", 3).alias("toks"),
         )
         .where(F.size("toks") > 0)
     )
@@ -366,12 +371,23 @@ def prefix_filter_pairs(docs, t: float = JACCARD_T):
     tok = docs.select("doc_id", "n", F.explode("toks").alias("tok"))
     df_tbl = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    # df_tbl is vocabulary-sized (data-derived, unbounded at corpus
+    # scale) — no broadcast hint; AQE broadcasts it when it fits.
     prefix = (
-        tok.join(F.broadcast(df_tbl), "tok")
+        tok.join(df_tbl, "tok")
         .withColumn("pos", F.row_number().over(w))
         .where(F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
         .select("doc_id", "n", "pos", "tok")
     )
+    # Pin the prefix relation with an eager localCheckpoint: both sides
+    # of the candidate self-join read the SAME materialized blocks with
+    # a fixed partitioning (no AQE re-plan of the window+join subtree,
+    # no recompute per side) — the r4 driver bench caught a slow mode on
+    # this query where the identical code ran 4-5x slower than the
+    # builder's runs; a truncated lineage removes the re-planned stages
+    # that made the plan environment-sensitive. Same posture as the
+    # traversal queries' checkpointed edge sets.
+    prefix = prefix.localCheckpoint(eager=True)
     # PPJoin residual filters ride the token equi-join (no extra
     # shuffle, recall stays exact):
     # - length: Jaccard ≥ t forces t·|A| ≤ |B| ≤ |A|/t;
@@ -477,8 +493,10 @@ def doc_unigram_logprob(spark, sf_dir):
     # bare count)
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf")).cache()
     total = vocab.agg(F.sum("tf")).collect()[0][0]
+    # vocab is vocabulary-sized (unbounded) — no broadcast hint, AQE
+    # decides; the cache above already keeps the small side cheap.
     out = (
-        tok.join(F.broadcast(vocab), "tok")
+        tok.join(vocab, "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -758,8 +776,10 @@ def basket_pair_lift(spark, sf_dir, min_support: int = BASKET_MIN_SUPPORT,
     part = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), "p_brand"
     )
+    # part grows with SF (not a fixed dim like nation/region) — no
+    # broadcast hint; AQE broadcasts it while it fits, shuffles past it.
     baskets = (
-        li.join(F.broadcast(part), "l_partkey")
+        li.join(part, "l_partkey")
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
     )
@@ -2195,6 +2215,188 @@ LIMIT 50
 """
 
 
+def decision_training_rows(spark, sf_dir, topk: int = 100):
+    """Phase 2 of the two-phase trainer, as arithmetic: every per-row
+    transform the decision model's encode applies between the rewarded-
+    decision frame and the XGBoost DMatrix (reference
+    src/trainer/code/decision_trainer.py:99-135), composed end-to-end
+    over a deterministic synthetic propensity column:
+
+    - L4 exploration sample: keep the row iff u_e < 1-1/e (reference
+      exploration.py:8-11 — the ~63% survivor set whose zero-Poisson
+      rows were "already removed").
+    - M2 inverse-propensity weight (1/max(p,1e-4))/mean_item_count
+      with mean_item_count the A3 aggregate over the SURVIVING sample
+      (the reference computes it on the loaded ~63% sample too).
+    - L5 zero-truncated Poisson resample draw k.
+    - train weight = ipw x k (decision_trainer.py:121-125).
+    - P5 reward z-normalization (reward-mean)/std, std==0 -> 1
+      (decision_trainer.py:99-117): stats from EXACT integer-cent
+      aggregates (sum, sum of squares as BIGINT) so both engines derive
+      bit-identical mean/std doubles — partial-sum order can shift a
+      double sum's last ulp, integer sums cannot.
+    - P7 sprinkle of a numeric feature (feature_encoder.py:158-168):
+      (v + u*2^-142)*(1 + u*2^-17); reported as the 2^17-scaled delta
+      (sprinkled - v)*131072 ~= v*u, the noise "population id" signal
+      itself, which plain r4 output would round away.
+    - P6 context dropout decision u_c < 0.95 (config.py:16-21).
+
+    All uniforms are prefixed md5 hash buckets of event_id, so the
+    DuckDB oracle reproduces every draw bit-for-bit; the e^-1-derived
+    breakpoints (explore gate, ZTP CDF) are Python-computed doubles
+    embedded as literals on BOTH sides. Together with
+    ``propensity_training_weights`` (L5+M2 alone) this certifies the
+    full E2 phase-2 composition; only the gated XGBoost fit itself
+    remains uncovered.
+
+    Plan: scan-side arithmetic + ONE 1-row stats broadcast + TakeOrdered
+    — no shuffle of scored rows; identical at 100 TB."""
+    from tracker_trainer_spark.functions.sampling import hash_bucket
+    from tracker_trainer_spark.session import spread as _spread
+    from tracker_trainer_spark.trainer.weights import (
+        CLIP_MIN_PROPENSITY,
+        CONTEXT_DROPOUT_KEEP,
+        EXPLORE_SAMPLE,
+        inverse_propensity_weight,
+        ztp_from_uniform,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    k = F.get_json_object("props", "$.k").cast("long")
+
+    def u(prefix):
+        key = (F.col("event_id").cast("string") if prefix == ""
+               else F.concat(F.lit(prefix), F.col("event_id").cast("string")))
+        return (hash_bucket(key, 10000).cast("double") + 0.5) / 10000.0
+
+    base = _spread(
+        ev.select(
+            "event_id",
+            k.alias("n_candidates"),
+            F.round(F.col("value") * 100).cast("long").alias("_cents"),
+        )
+        .where(F.col("n_candidates") >= 1)
+        .where(u("e") < F.lit(EXPLORE_SAMPLE))
+    )
+    stats = F.broadcast(base.agg(
+        F.avg("n_candidates").alias("_mean_k"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_cents").cast("long").alias("_sc"),
+        F.sum(F.col("_cents") * F.col("_cents")).cast("long").alias("_sc2"),
+    ))
+    q = u("")
+    mean_c = F.col("_sc").cast("double") / F.col("_n").cast("double")
+    var_c = (F.col("_sc2").cast("double") / F.col("_n").cast("double")
+             - mean_c * mean_c)
+    std_c = F.sqrt(var_c)
+    std_c = F.when(std_c == 0.0, F.lit(1.0)).otherwise(std_c)
+    w_ipw = inverse_propensity_weight(q * q * q, F.col("_mean_k"))
+    k_pois = ztp_from_uniform(u("z"))
+    n_f = F.col("n_candidates").cast("double")
+    nz = u("s")
+    sprinkled = (n_f + nz * F.lit(2.0 ** -142)) \
+        * (F.lit(1.0) + nz * F.lit(2.0 ** -17))
+    scored = base.join(stats).select(
+        "event_id",
+        "n_candidates",
+        ((q * q * q) < CLIP_MIN_PROPENSITY).cast("int").alias("clipped"),
+        k_pois.cast("int").alias("resample_k"),
+        (w_ipw * k_pois).alias("_w"),
+        ((F.col("_cents").cast("double") - mean_c) / std_c).alias("_nr"),
+        ((sprinkled - n_f) * F.lit(131072.0)).alias("_spr"),
+        (u("c") < F.lit(CONTEXT_DROPOUT_KEEP)).cast("int")
+        .alias("context_kept"),
+    )
+    return (
+        scored.orderBy(F.desc(F.round(F.col("_w"), 4)), F.asc("event_id"))
+        .limit(topk)
+        .select(
+            "event_id",
+            "n_candidates",
+            "clipped",
+            "resample_k",
+            r4(F.col("_w")).alias("train_weight"),
+            # + 0.0: z-scores near zero round to -0.0 in one engine and
+            # 0.0 in the other (the weighted_doc_sample r3 lesson)
+            (r4(F.col("_nr")) + 0.0).alias("norm_reward"),
+            r4(F.col("_spr")).alias("sprinkle_delta"),
+            "context_kept",
+        )
+    )
+
+
+def _hash_u_sql(prefix: str) -> str:
+    key = ("CAST(event_id AS VARCHAR)" if not prefix
+           else f"'{prefix}' || CAST(event_id AS VARCHAR)")
+    return ("((CAST(('0x' || substr(md5(" + key + "), 1, 8)) AS BIGINT)"
+            " % 10000 + 0.5) / 10000.0)")
+
+
+def _decision_rows_sql() -> str:
+    from tracker_trainer_spark.trainer.weights import (
+        CLIP_MIN_PROPENSITY,
+        CONTEXT_DROPOUT_KEEP,
+        EXPLORE_SAMPLE,
+    )
+
+    return f"""
+WITH d AS (
+  SELECT event_id,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS n_candidates,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type = 'purchase'
+    AND CAST(json_extract(props, '$.k') AS BIGINT) >= 1
+    AND {_hash_u_sql("e")} < {EXPLORE_SAMPLE!r}
+), m AS (
+  SELECT avg(n_candidates) AS mean_k,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS sc,
+         CAST(sum(cents * cents) AS BIGINT) AS sc2
+  FROM d
+), s AS (
+  SELECT event_id, n_candidates, cents, mean_k, n, sc, sc2,
+         {_hash_u_sql("")} AS q,
+         {_hash_u_sql("z")} AS u,
+         {_hash_u_sql("s")} AS nz,
+         {_hash_u_sql("c")} AS uc
+  FROM d, m
+), w AS (
+  SELECT event_id, n_candidates,
+         CAST(q * q * q < {CLIP_MIN_PROPENSITY!r} AS INT) AS clipped,
+         CAST({_ztp_case_sql("u")} AS INT) AS resample_k,
+         ((1.0 / greatest(q * q * q, {CLIP_MIN_PROPENSITY!r})) / mean_k)
+           * {_ztp_case_sql("u")} AS train_w,
+         (CAST(cents AS DOUBLE)
+            - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CASE WHEN sqrt(CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))) = 0
+              THEN 1.0
+              ELSE sqrt(CAST(sc2 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))) END)
+           AS norm_r,
+         ((CAST(n_candidates AS DOUBLE) + nz * {2.0 ** -142!r})
+            * (1.0 + nz * {2.0 ** -17!r})
+            - CAST(n_candidates AS DOUBLE)) * 131072.0 AS spr,
+         CAST(uc < {CONTEXT_DROPOUT_KEEP!r} AS INT) AS context_kept
+  FROM s
+)
+SELECT event_id, n_candidates, clipped, resample_k,
+       round(train_w, 4) AS train_weight,
+       round(norm_r, 4) + 0.0 AS norm_reward,
+       round(spr, 4) AS sprinkle_delta,
+       context_kept
+FROM w
+ORDER BY round(train_w, 4) DESC, event_id
+LIMIT 100
+"""
+
+
+DECISION_ROWS_SQL = _decision_rows_sql()
+
+
 # --------------------------------------------------------------------------
 # KSUID timestamp decode (S5/2.10: base62 → embedded partition timestamp)
 # --------------------------------------------------------------------------
@@ -2391,6 +2593,7 @@ SELECT (SELECT count(*) FROM sel) AS n_decisions,
 
 
 ML_QUERIES = {
+    "decision_training_rows": decision_training_rows,
     "propensity_training_weights": propensity_training_weights,
     "ksuid_decode_partition": ksuid_decode_partition,
     "groom_fixpoint_check": groom_fixpoint_check,
@@ -2424,6 +2627,7 @@ ML_QUERIES = {
 }
 
 ML_ORACLES = {
+    "decision_training_rows": DECISION_ROWS_SQL,
     "propensity_training_weights": PROPENSITY_WEIGHTS_SQL,
     "ksuid_decode_partition": KSUID_DECODE_SQL,
     "groom_fixpoint_check": GROOM_FIXPOINT_SQL,

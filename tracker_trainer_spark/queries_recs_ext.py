@@ -82,11 +82,13 @@ def part_affinity_recs(spark, sf_dir):
     # undirected pair -> both directions so every part can be a seed
     sym = co.unionAll(co.select(F.col("b").alias("a"),
                                 F.col("a").alias("b"), "co"))
+    # n_part is part-table-sized (grows with SF) — no broadcast hint;
+    # AQE broadcasts it while it fits, shuffles on the pair keys past it.
     scored = (
-        sym.join(F.broadcast(n_part.select(F.col("l_partkey").alias("a"),
-                                           F.col("n").alias("na"))), "a")
-        .join(F.broadcast(n_part.select(F.col("l_partkey").alias("b"),
-                                        F.col("n").alias("nb"))), "b")
+        sym.join(n_part.select(F.col("l_partkey").alias("a"),
+                               F.col("n").alias("na")), "a")
+        .join(n_part.select(F.col("l_partkey").alias("b"),
+                            F.col("n").alias("nb")), "b")
         .select(
             F.col("a").alias("seed"), F.col("b").alias("rec"), "co",
             (F.col("co").cast("double")

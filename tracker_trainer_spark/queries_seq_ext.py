@@ -378,9 +378,12 @@ def doc_bigram_perplexity(spark, sf_dir):
     ctx = pair_tf.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     v = pair_tf.agg(
         F.count_distinct("w1").cast("long").alias("v")).collect()[0][0]
+    # ctx is unigram-vocabulary-sized (data-derived, unbounded at corpus
+    # scale) — no broadcast hint; AQE broadcasts it when it fits, same
+    # convention as the PMI context join (queries_analytics_ext.py).
     scored = (
         big.join(pair_tf, ["w1", "w2"])
-        .join(F.broadcast(ctx), "w1")
+        .join(ctx, "w1")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),

@@ -684,6 +684,11 @@ def theil_sen_price_slope(spark, sf_dir):
         "l_extendedprice",
     )
     a, b = pts.alias("a"), pts.alias("b")
+    # The broadcast side is the deterministic hash SAMPLE, not the fact
+    # table; the sample modulus is the operator's scale knob — at larger
+    # SF the modulus must grow with the data so the sampled point set
+    # (and hence this broadcast and the pair count) stays bounded, the
+    # standard Theil-Sen subsampling posture.
     pairs = (
         a.join(
             F.broadcast(b),

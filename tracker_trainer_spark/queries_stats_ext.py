@@ -507,8 +507,10 @@ def frequent_brand_triples(spark, sf_dir):
     oracle's posture.  Ties broken by the brand triple itself."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # part grows with SF — no broadcast hint, AQE decides (convention:
+    # explicit hints only for provably bounded relations).
     baskets = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
         .where(F.size("brands") >= 3)
