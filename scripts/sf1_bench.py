@@ -1,0 +1,125 @@
+"""Engine-bound bench at sf1 (~6M lineitem): the 2x-methodology settler.
+
+At sf0.1, 91 of the registry's DuckDB baselines are under 50 ms, so the
+aggregate Spark/DuckDB ratio mostly measures Spark's fixed per-job floor
+(~0.1 s) rather than plans.  This script runs the registry on the
+replicated sf1 instance (scripts/make_sf_scale.py — 10x sf0.1 with
+consistent key offsets), where DuckDB baselines reach 0.5-10 s and the
+job floor amortizes, and reports the ENGINE-BOUND ratio the plans
+actually earn.
+
+Scope: queries whose oracle SQL touches only the scaled relational +
+events tables. documents/embeddings are not replicated (near-dup text
+copies would quadratically inflate the dedup family's workload, not
+scale it), so text/ANN/dedup queries are out of scope here — their
+engine-bound story is the sf0.1 bench plus the family soaks
+(ann_soak/cluster_soak), which scale the corpus without duplicating it.
+
+Usage: python scripts/sf1_bench.py [sf_dir] [min_duck_s]
+       (defaults: /tmp/sf1 0.05)
+Prints one JSON line; the full per-query map goes to BENCH_SF1.json
+next to this repo's other bench artifacts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tracker_trainer_spark.queries import ORACLES, QUERIES  # noqa: E402
+from tracker_trainer_spark.session import get_spark  # noqa: E402
+
+SCALED_TABLES = {"region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events"}
+UNSCALED = {"documents", "embeddings"}
+
+
+def eligible(name: str) -> bool:
+    sql = ORACLES.get(name)
+    if sql is None:                       # rows-only queries have no oracle
+        return False
+    words = set(re.findall(r"[a-z_]+", sql.lower()))
+    return not (words & UNSCALED)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    min_duck = float(sys.argv[2]) if len(sys.argv) > 2 else 0.05
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    names = [n for n in QUERIES if eligible(n)]
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {int(cpus)}")
+    for t in SCALED_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{sf_dir}/{t}.parquet')")
+    duck: dict[str, float] = {}
+    for n in names:
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.execute(ORACLES[n]).df()
+            runs.append(time.perf_counter() - t0)
+        duck[n] = min(runs)
+    con.close()
+
+    # sf1 files have multiple row groups; the 4 MB split override is the
+    # same scan-parallelism normalization the sf0.1 bench applies
+    spark = get_spark(app_name="tts-sf1-bench", master=f"local[{cpus}]",
+                      extra_conf={
+                          "spark.ui.enabled": "false",
+                          "spark.sql.files.maxPartitionBytes": "4194304",
+                      })
+    spark.sparkContext.setLogLevel("ERROR")
+    from tracker_trainer_spark.session import warm_python_workers
+
+    warm_python_workers(spark)
+    QUERIES["events_type_stats"](spark, sf_dir).toPandas()
+
+    timings: dict[str, float] = {}
+    for n in names:
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[n](spark, sf_dir).toPandas()
+            runs.append(time.perf_counter() - t0)
+        timings[n] = round(min(runs), 3)
+        spark.catalog.clearCache()
+
+    eb = [n for n in names if duck[n] >= min_duck]
+    spark_eb = sum(timings[n] for n in eb)
+    duck_eb = sum(duck[n] for n in eb)
+    out = {
+        "metric": "sf1_engine_bound_ratio",
+        "value": round(spark_eb / duck_eb, 3) if duck_eb else None,
+        "unit": "x",
+        "sf": 1.0,
+        "n_queries_run": len(names),
+        "engine_bound": {
+            "n_queries": len(eb),
+            "min_duckdb_s": min_duck,
+            "spark_total_s": round(spark_eb, 3),
+            "duckdb_total_s": round(duck_eb, 3),
+        },
+        "spark_total_s": round(sum(timings.values()), 3),
+        "duckdb_total_s": round(sum(duck.values()), 3),
+        "queries": {n: timings[n] for n in eb},
+        "duckdb": {n: round(duck[n], 4) for n in eb},
+    }
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_SF1.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps({k: v for k, v in out.items()
+                      if k not in ("queries", "duckdb")}))
+
+
+if __name__ == "__main__":
+    main()

@@ -983,3 +983,26 @@ def test_ltv_curve_shuffle_budget(spark, sf_dir):
 ])
 def test_exp_ext_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles
+
+
+@pytest.mark.parametrize("name,max_shuffles", [
+    # every post-fact relation in these is value-cardinality-, class-,
+    # language-, day- or cluster-sized — the fact table is touched once
+    # (twice for the MWU variant split, same scan)
+    ("mann_whitney_u", 9),           # vc agg + ECDF window + pv agg +
+                                     # rank join + sums agg + tie + a×b
+    ("spearman_price_corr", 5),      # 2 rank ECDFs + 2 joins + moments
+    ("tokenizer_oov_rate", 3),       # tf agg + vocab top-k + doc agg
+    ("l_diversity_audit", 2),        # one QI agg (count+distinct) + top-k
+    ("corpus_mixture_weights", 4),   # lang agg + 1-row total + 2 windows
+    ("zone_map_pruning_audit", 4),   # day zone agg + 3 tiny audit aggs
+    ("duplicate_cluster_histogram", 3),  # cluster agg + size histogram
+    ("decision_training_rows", 3),   # stats agg + spread round-robins
+])
+def test_r5_family_shuffle_budgets(spark, sf_dir, name, max_shuffles):
+    df = QUERIES[name](spark, sf_dir)
+    assert count_shuffles(df) <= max_shuffles
+    from tracker_trainer_spark.plans import physical_plan
+
+    assert "CartesianProduct" not in physical_plan(df)
+    spark.catalog.clearCache()

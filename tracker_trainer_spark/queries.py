@@ -3267,3 +3267,12 @@ from tracker_trainer_spark.queries_exp_ext import (  # noqa: E402
 
 QUERIES.update(_EX_DEF_QUERIES)
 ORACLES.update(_EX_DEF_ORACLES)
+
+# Final window ordering: re-apply the uncertified-first reorder AFTER the
+# deferred-channel merges so queries added to any family file (base or
+# deferred) land inside the driver's first-50 correctness window while
+# uncertified, and sink below it once certified. Without this, a query
+# registered through a deferred dict would sit at the tail BEHIND
+# already-certified entries and burn window slots on re-checks.
+QUERIES = _front_load_unverified(QUERIES)
+ORACLES = _front_load_unverified(ORACLES)

@@ -249,12 +249,123 @@ def _skew_sql():
     return "\nUNION ALL\n".join(parts) + "\nORDER BY key_col"
 
 
+# --------------------------------------------------------------------------
+# Zone-map / partition-pruning effectiveness audit
+# --------------------------------------------------------------------------
+
+# (label, lo, hi) — pinned predicate ranges on events.value; labels keep
+# the output self-describing and give the deterministic sort key
+_ZONE_PREDICATES = [
+    ("p1_low_0_10", 0.0, 10.0),
+    ("p2_mid_50_100", 50.0, 100.0),
+    ("p3_high_200_up", 200.0, 1e18),
+]
+
+
+def zone_map_pruning_audit(spark, sf_dir):
+    """How much a day-partitioned layout's zone maps (per-partition
+    min/max of ``value``) would prune for a set of pinned range
+    predicates — the data-layout diagnostic an engine operator runs
+    before choosing a partition/sort column: a predicate that prunes 0
+    of 30 partitions says the column is unsorted across partitions and
+    row-group skipping will do nothing for it.
+
+    Per predicate: partitions total / pruned (zone range disjoint from
+    the predicate), rows scanned in surviving partitions, rows actually
+    matching, and the scan efficiency (matching/scanned) — exact
+    integer counts, min/max comparisons on raw doubles (no arithmetic,
+    no parity surface), one r4 ratio.
+
+    Plan: ONE day-grouped aggregation computes the zone maps AND the
+    per-predicate conditional match counts (the predicate set is
+    pinned, so it widens the agg by 3 columns instead of re-scanning
+    per predicate); the |days|x|predicates| audit join runs on the
+    tiny zone relation."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.date_trunc("day", "ts").cast("date")
+    aggs = [
+        F.min("value").alias("zmin"),
+        F.max("value").alias("zmax"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    ] + [
+        F.sum(F.col("value").between(lo, hi).cast("int"))
+        .cast("long").alias(f"m_{label}")
+        for label, lo, hi in _ZONE_PREDICATES
+    ]
+    zones = ev.groupBy(day.alias("day")).agg(*aggs).cache()
+    preds = None
+    for label, lo, hi in _ZONE_PREDICATES:
+        survives = (F.col("zmax") >= lo) & (F.col("zmin") <= hi)
+        row = zones.agg(
+            F.lit(label).alias("predicate"),
+            F.count(F.lit(1)).cast("long").alias("n_partitions"),
+            F.sum((~survives).cast("int")).cast("long").alias("n_pruned"),
+            F.sum(F.when(survives, F.col("n_rows")).otherwise(0))
+            .cast("long").alias("rows_scanned"),
+            F.sum(f"m_{label}").cast("long").alias("rows_matching"),
+        )
+        preds = row if preds is None else preds.unionByName(row)
+    return preds.select(
+        "predicate", "n_partitions", "n_pruned", "rows_scanned",
+        "rows_matching",
+        # a fully-pruned predicate scans 0 rows: NULL efficiency, not a
+        # division-by-zero (ANSI) error
+        F.when(
+            F.col("rows_scanned") > 0,
+            r4(F.col("rows_matching").cast("double")
+               / F.col("rows_scanned").cast("double")),
+        ).alias("scan_efficiency"),
+    ).orderBy("predicate")
+
+
+def _zone_sql() -> str:
+    zones = """
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         min(value) AS zmin, max(value) AS zmax,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         {msums}
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+"""
+    msums = ",\n         ".join(
+        f"CAST(sum(CAST(value BETWEEN {lo!r} AND {hi!r} AS INT)) AS BIGINT)"
+        f" AS m_{label}"
+        for label, lo, hi in _ZONE_PREDICATES
+    )
+    branches = "\nUNION ALL\n".join(
+        f"""
+  SELECT '{label}' AS predicate,
+         CAST(count(*) AS BIGINT) AS n_partitions,
+         CAST(sum(CAST(NOT (zmax >= {lo!r} AND zmin <= {hi!r}) AS INT))
+              AS BIGINT) AS n_pruned,
+         CAST(sum(CASE WHEN zmax >= {lo!r} AND zmin <= {hi!r}
+                  THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+         CAST(sum(m_{label}) AS BIGINT) AS rows_matching
+  FROM zones
+"""
+        for label, lo, hi in _ZONE_PREDICATES
+    )
+    return f"""
+WITH zones AS ({zones.format(msums=msums)}),
+u AS ({branches})
+SELECT predicate, n_partitions, n_pruned, rows_scanned, rows_matching,
+       CASE WHEN rows_scanned > 0
+            THEN round(CAST(rows_matching AS DOUBLE)
+                       / CAST(rows_scanned AS DOUBLE), 4) END
+         AS scan_efficiency
+FROM u
+ORDER BY predicate
+"""
+
+
 ATTRIB_DEFERRED_QUERIES = {
     "multitouch_attribution": multitouch_attribution,
     "key_skew_audit": key_skew_audit,
+    "zone_map_pruning_audit": zone_map_pruning_audit,
 }
 
 ATTRIB_DEFERRED_ORACLES = {
     "multitouch_attribution": MTA_SQL,
     "key_skew_audit": _skew_sql(),
+    "zone_map_pruning_audit": _zone_sql(),
 }

@@ -202,12 +202,144 @@ FROM ev
 """
 
 
+# --------------------------------------------------------------------------
+# Mann-Whitney U (rank-based two-sample test) — the nonparametric twin
+# of ab_test_lift's z-test: no normality assumption on the metric
+# --------------------------------------------------------------------------
+
+def mann_whitney_u(spark, sf_dir):
+    """Rank-based two-sample location test over order values: variants
+    assigned by the portable md5 hash bucket of o_orderkey, metric =
+    exact integer cents of o_totalprice, and the Mann-Whitney U with
+    midranks, tie correction and normal approximation.
+
+    Every statistic is built from EXACT integer aggregates so both
+    engines derive bit-identical doubles:
+
+    - doubled midrank R2(v) = 2·cnt_less(v) + cnt_eq(v) + 1 (twice the
+      textbook midrank, so ties at .5 stay integer);
+    - S2a = Σ R2 over variant A (BIGINT), U2 = S2a − 2·Ra_min where
+      2·U_a = S2a − n_a(n_a+1);
+    - tie term ΣT = Σ(t³ − t) per tied-value group (BIGINT);
+    - z = (U_a − n_a·n_b/2) / sqrt(var), var = n_a·n_b/12 ·
+      ((N+1) − ΣT/(N(N−1))) — one spelled-out double formula over the
+      integer aggregates.
+
+    The rank table is an ECDF over the DISTINCT-cents relation (one
+    global-ordered running sum — value-cardinality-sized, the same
+    single-partition ECDF spelling as the KS drift query); fact rows
+    join to it by value, they are never globally sorted themselves."""
+    from tracker_trainer_spark.functions.sampling import hash_bucket
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        (hash_bucket("o_orderkey") % 2).alias("v"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    vc = base.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("t"))
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0)
+    ranked = vc.select(
+        "cents", "t",
+        (F.sum("t").over(w).cast("long") - F.col("t")).alias("lt"),
+    ).select(
+        "cents",
+        (F.lit(2) * F.col("lt") + F.col("t") + F.lit(1)).alias("r2"),
+        (F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tt"),
+    )
+    pv = base.groupBy("v", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    sums = (
+        pv.join(ranked, "cents")
+        .groupBy("v")
+        .agg(
+            F.sum("n").cast("long").alias("nv"),
+            F.sum(F.col("n") * F.col("r2")).cast("long").alias("s2"),
+        )
+    )
+    tie = ranked.agg(F.sum("tt").cast("long").alias("_sumtt"))
+    a = sums.where(F.col("v") == 0).select(
+        F.col("nv").alias("n_a"), F.col("s2").alias("s2a"))
+    b = sums.where(F.col("v") == 1).select(
+        F.col("nv").alias("n_b"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    nn = na + nb
+    # U_a from the doubled rank sum: 2·U_a = s2a − n_a·(n_a + 1)
+    u2 = (F.col("s2a") - F.col("n_a") * (F.col("n_a") + F.lit(1)))
+    u_a = u2.cast("double") / F.lit(2.0)
+    var = (na * nb / F.lit(12.0)) * (
+        (nn + F.lit(1.0))
+        - F.col("_sumtt").cast("double") / (nn * (nn - F.lit(1.0)))
+    )
+    z = (u_a - na * nb / F.lit(2.0)) / F.sqrt(var)
+    return (
+        a.join(b).join(F.broadcast(tie))
+        .select(
+            "n_a", "n_b",
+            (r4(u_a) + 0.0).alias("u_stat"),
+            (r4(z) + 0.0).alias("z_score"),
+            (F.abs(z) > 1.96).cast("int").alias("significant"),
+        )
+    )
+
+
+MWU_SQL = """
+WITH base AS (
+  SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 % 2 AS v,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), vc AS (
+  SELECT cents, CAST(count(*) AS BIGINT) AS t FROM base GROUP BY 1
+), ranked AS (
+  SELECT cents,
+         2 * (CAST(sum(t) OVER (ORDER BY cents
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) - t) + t + 1 AS r2,
+         t * t * t - t AS tt
+  FROM vc
+), pv AS (
+  SELECT v, cents, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1, 2
+), sums AS (
+  SELECT v, CAST(sum(n) AS BIGINT) AS nv,
+         CAST(sum(n * r2) AS BIGINT) AS s2
+  FROM pv JOIN ranked USING (cents) GROUP BY v
+), tie AS (SELECT CAST(sum(tt) AS BIGINT) AS sumtt FROM ranked),
+ab AS (
+  SELECT (SELECT nv FROM sums WHERE v = 0) AS n_a,
+         (SELECT s2 FROM sums WHERE v = 0) AS s2a,
+         (SELECT nv FROM sums WHERE v = 1) AS n_b,
+         (SELECT sumtt FROM tie) AS sumtt
+), f AS (
+  SELECT n_a, n_b,
+         CAST(s2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+         CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+         CAST(sumtt AS DOUBLE) AS ttd
+  FROM ab
+), z AS (
+  SELECT n_a, n_b, u_a,
+         (u_a - nad * nbd / 2.0)
+           / sqrt((nad * nbd / 12.0)
+                  * ((nad + nbd + 1.0)
+                     - ttd / ((nad + nbd) * (nad + nbd - 1.0)))) AS zs
+  FROM f
+)
+SELECT n_a, n_b,
+       round(u_a, 4) + 0.0 AS u_stat,
+       round(zs, 4) + 0.0 AS z_score,
+       CAST(abs(zs) > 1.96 AS INT) AS significant
+FROM z
+"""
+
+
 EXP_DEFERRED_QUERIES = {
     "ab_test_lift": ab_test_lift,
     "holt_backtest": holt_backtest,
+    "mann_whitney_u": mann_whitney_u,
 }
 
 EXP_DEFERRED_ORACLES = {
     "ab_test_lift": AB_SQL,
     "holt_backtest": _backtest_sql(),
+    "mann_whitney_u": MWU_SQL,
 }

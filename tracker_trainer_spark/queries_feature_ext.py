@@ -34,6 +34,7 @@ outputs, CAST(... AS BIGINT) on every integer aggregate).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _t(spark, sf_dir, name):
@@ -387,11 +388,148 @@ ORDER BY user_id, session_start_us
 """
 
 
+# --------------------------------------------------------------------------
+# l-diversity audit (the k-anonymity twin on the sensitive attribute)
+# --------------------------------------------------------------------------
+
+_LDIV_MIN = 5
+_LDIV_TOPK = 25
+
+
+def l_diversity_audit(spark, sf_dir):
+    """l-diversity of the quasi-identifier (order priority, order year)
+    against the sensitive attribute o_custkey: per equivalence class,
+    rows and DISTINCT sensitive values l — k-anonymity
+    (``k_anonymity_audit``) says a class is big, l-diversity says its
+    sensitive values are actually varied; a class of 1,000 rows that
+    all belong to one customer re-identifies them anyway.  Reports the
+    ``_LDIV_TOPK`` least-diverse classes (l asc, then QI for the
+    deterministic tiebreak) with the l < ``_LDIV_MIN`` violation flag.
+
+    All integers end to end — no float parity surface.  One hash agg
+    on the QI (count + count_distinct), TakeOrdered on top; scale-safe
+    verbatim (the class relation is |QI classes|-sized)."""
+    orders = _t(spark, sf_dir, "orders")
+    classes = (
+        orders.groupBy(
+            "o_orderpriority",
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct("o_custkey").cast("long").alias("l_distinct"),
+        )
+    )
+    return (
+        classes.orderBy("l_distinct", "o_orderpriority", "order_year")
+        .limit(_LDIV_TOPK)
+        .select(
+            "o_orderpriority",
+            F.col("order_year").cast("int").alias("order_year"),
+            "n_rows",
+            "l_distinct",
+            (F.col("l_distinct") < _LDIV_MIN).cast("int").alias("violates"),
+        )
+    )
+
+
+LDIV_SQL = f"""
+SELECT o_orderpriority,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS l_distinct,
+       CAST(count(DISTINCT o_custkey) < {_LDIV_MIN} AS INT) AS violates
+FROM orders
+GROUP BY o_orderpriority, year(o_orderdate)
+ORDER BY l_distinct, o_orderpriority, order_year
+LIMIT {_LDIV_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# Corpus mixture weights (largest-remainder apportionment)
+# --------------------------------------------------------------------------
+
+_MIX_BUDGET = 1000
+
+
+def corpus_mixture_weights(spark, sf_dir, budget: int = _MIX_BUDGET):
+    """Per-language sampling quotas for a fixed training budget by
+    largest-remainder (Hamilton) apportionment — the data-mixing
+    operator that turns corpus proportions into integer per-group
+    sample counts that sum EXACTLY to the budget (naive rounding
+    drifts; exact integer apportionment cannot).
+
+    quota_g = B·n_g/N → base_g = floor, remainder r_g = (B·n_g) mod N;
+    the R = B − Σ base leftover units go to the R largest remainders
+    (language tiebreak).  Every step is integer arithmetic — both
+    engines agree bit-for-bit by construction.
+
+    Plan: one group count + a |languages|-row window; fact rows are
+    touched once."""
+    docs = _t(spark, sf_dir, "documents")
+    groups = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tot = F.broadcast(groups.agg(
+        F.sum("n_docs").cast("long").alias("_n")))
+    quotas = groups.join(tot).select(
+        "lang", "n_docs",
+        (F.lit(budget) * F.col("n_docs")).alias("_bn"),
+        F.col("_n"),
+    ).select(
+        "lang", "n_docs",
+        F.expr("_bn div _n").cast("long").alias("base"),
+        (F.col("_bn") % F.col("_n")).alias("_rem"),
+        F.col("_n"),
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    wr = Window.orderBy(F.desc("_rem"), "lang")
+    return (
+        quotas
+        .withColumn("_left", F.lit(budget) - F.sum("base").over(w_all))
+        .withColumn("_rnk", F.row_number().over(wr))
+        .select(
+            "lang", "n_docs", "base",
+            (F.col("_rnk") <= F.col("_left")).cast("int").alias("extra"),
+            (F.col("base")
+             + (F.col("_rnk") <= F.col("_left")).cast("long"))
+            .cast("long").alias("weight"),
+        )
+        .orderBy("lang")
+    )
+
+
+MIXTURE_SQL = f"""
+WITH g AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+), t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM g),
+q AS (
+  SELECT lang, n_docs,
+         CAST(({_MIX_BUDGET} * n_docs) // n AS BIGINT) AS base,
+         CAST(({_MIX_BUDGET} * n_docs) % n AS BIGINT) AS rem
+  FROM g, t
+), r AS (
+  SELECT lang, n_docs, base,
+         {_MIX_BUDGET} - CAST(sum(base) OVER () AS BIGINT) AS leftover,
+         row_number() OVER (ORDER BY rem DESC, lang) AS rnk
+  FROM q
+)
+SELECT lang, n_docs, base,
+       CAST(rnk <= leftover AS INT) AS extra,
+       base + CAST(rnk <= leftover AS BIGINT) AS weight
+FROM r
+ORDER BY lang
+"""
+
+
 FEATURE_DEFERRED_QUERIES = {
     "feature_pit_join": feature_pit_join,
     "weekday_seasonality": weekday_seasonality,
     "k_anonymity_audit": k_anonymity_audit,
     "stream_session_stats": stream_session_stats,
+    "l_diversity_audit": l_diversity_audit,
+    "corpus_mixture_weights": corpus_mixture_weights,
 }
 
 FEATURE_DEFERRED_ORACLES = {
@@ -399,4 +537,6 @@ FEATURE_DEFERRED_ORACLES = {
     "weekday_seasonality": SEASONALITY_SQL,
     "k_anonymity_audit": KANON_SQL,
     "stream_session_stats": STREAM_SESSION_SQL,
+    "l_diversity_audit": LDIV_SQL,
+    "corpus_mixture_weights": MIXTURE_SQL,
 }

@@ -2397,6 +2397,49 @@ LIMIT 100
 DECISION_ROWS_SQL = _decision_rows_sql()
 
 
+def duplicate_cluster_histogram(spark, sf_dir):
+    """Exact-duplicate cluster SIZE DISTRIBUTION over the corpus — the
+    one-line answer to "how duplicated is this corpus?" that the
+    per-pair dedup queries don't give: per cluster size s, how many
+    md5(text) clusters have exactly s members, how many documents they
+    hold, and how many of those are redundant ((s−1) per cluster — the
+    rows exact dedup would drop).  The audit that sizes the dedup
+    stage's output before running it.
+
+    Two hash aggs (doc→cluster, cluster-size→histogram), both keyed and
+    shrinking; all integers — no float parity surface."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = docs.groupBy(F.md5(F.col("text")).alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("s"))
+    return (
+        clusters.groupBy("s")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            F.col("s").alias("cluster_size"),
+            "n_clusters",
+            (F.col("s") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            ((F.col("s") - 1) * F.col("n_clusters")).cast("long")
+            .alias("redundant_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+DUP_HISTOGRAM_SQL = """
+WITH c AS (
+  SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS s
+  FROM documents GROUP BY 1
+)
+SELECT s AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(s * count(*) AS BIGINT) AS n_docs,
+       CAST((s - 1) * count(*) AS BIGINT) AS redundant_docs
+FROM c
+GROUP BY s
+ORDER BY cluster_size
+"""
+
+
 # --------------------------------------------------------------------------
 # KSUID timestamp decode (S5/2.10: base62 → embedded partition timestamp)
 # --------------------------------------------------------------------------
@@ -2594,6 +2637,7 @@ SELECT (SELECT count(*) FROM sel) AS n_decisions,
 
 ML_QUERIES = {
     "decision_training_rows": decision_training_rows,
+    "duplicate_cluster_histogram": duplicate_cluster_histogram,
     "propensity_training_weights": propensity_training_weights,
     "ksuid_decode_partition": ksuid_decode_partition,
     "groom_fixpoint_check": groom_fixpoint_check,
@@ -2628,6 +2672,7 @@ ML_QUERIES = {
 
 ML_ORACLES = {
     "decision_training_rows": DECISION_ROWS_SQL,
+    "duplicate_cluster_histogram": DUP_HISTOGRAM_SQL,
     "propensity_training_weights": PROPENSITY_WEIGHTS_SQL,
     "ksuid_decode_partition": KSUID_DECODE_SQL,
     "groom_fixpoint_check": GROOM_FIXPOINT_SQL,

@@ -463,11 +463,81 @@ LIMIT {_SSSP_TOPN}
 """
 
 
+# --------------------------------------------------------------------------
+# Tokenizer vocabulary coverage / OOV-rate audit
+# --------------------------------------------------------------------------
+
+_OOV_VOCAB = 100
+
+
+def tokenizer_oov_rate(spark, sf_dir, vocab_size: int = _OOV_VOCAB):
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` token vocabulary — the coverage audit run before
+    pinning a tokenizer: a doc whose tokens fall outside the head
+    vocabulary will fragment into rare pieces (or UNK) at training
+    time.  Vocabulary = top tokens by corpus tf, tf-desc / token-asc
+    tiebreak (exact integers, no rounded-tie hazard).
+
+    Plan: one tf aggregation; the vocab is a TakeOrdered of PINNED size
+    (vocab_size rows — bounded by a constant, so the broadcast hint is
+    legitimate under the r5 convention); per-doc OOV counts ride a
+    broadcast left join on the token stream. One token-explode pass
+    feeds both the tf agg and the per-doc join via cache."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).cache()
+    vocab = (
+        tok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .orderBy(F.desc("tf"), "tok")
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("_inv"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+            .cast("long").alias("oov_tokens"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_tokens", "oov_tokens",
+        r4(F.col("oov_tokens").cast("double")
+           / F.col("n_tokens").cast("double")).alias("oov_rate"),
+    ).orderBy("doc_id")
+
+
+OOV_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1
+  ) ORDER BY tf DESC, tok LIMIT {_OOV_VOCAB}
+), flagged AS (
+  SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS oov_tokens,
+       round(CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+         AS oov_rate
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 SEQ_DEFERRED_QUERIES = {
     "holt_linear_forecast": holt_linear_forecast,
     "user_state_cdc_merge": user_state_cdc_merge,
     "supplier_cheapest_paths": supplier_cheapest_paths,
     "doc_bigram_perplexity": doc_bigram_perplexity,
+    "tokenizer_oov_rate": tokenizer_oov_rate,
 }
 
 SEQ_DEFERRED_ORACLES = {
@@ -475,4 +545,5 @@ SEQ_DEFERRED_ORACLES = {
     "user_state_cdc_merge": CDC_SQL,
     "supplier_cheapest_paths": _sssp_sql(),
     "doc_bigram_perplexity": BIGRAM_PPL_SQL,
+    "tokenizer_oov_rate": OOV_SQL,
 }

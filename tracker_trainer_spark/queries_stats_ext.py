@@ -679,6 +679,111 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Spearman rank correlation (exact-integer rank spelling)
+# --------------------------------------------------------------------------
+
+def spearman_price_corr(spark, sf_dir):
+    """Spearman rank correlation between line quantity and extended
+    price over a deterministic 1-in-60 hash sample of lineitem — the
+    rank-based (outlier-robust, monotone-not-linear) twin of
+    ``price_quantity_regression``.
+
+    Parity posture: midranks are computed DOUBLED (R2 = 2·cnt_less +
+    cnt_eq + 1) so ties stay integer, and every moment (Sx, Sy, Sxy,
+    Sxx, Syy, n) is an exact BIGINT — Spearman's rho is Pearson on the
+    ranks, and with 2x-scaled ranks the scale cancels, so
+    rho = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)·(n·Syy − Sy²)) is one
+    double formula over bit-identical integers in both engines.  The
+    1-in-60 sample bounds every cross-moment under the 2⁶³ exact-BIGINT
+    ceiling at any local scale (the sample modulus is the scale knob,
+    same posture as the Theil-Sen sample).
+
+    The two rank tables are distinct-value ECDF running sums
+    (value-cardinality-sized); sample rows join to them by value."""
+    from tracker_trainer_spark.functions.sampling import hash_bucket
+
+    li = _t(spark, sf_dir, "lineitem")
+    pid = (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+    pts = (
+        li.where(hash_bucket(
+            F.concat(F.lit("sp"), pid.cast("string")), 60) == 0)
+        .select(
+            F.col("l_quantity").cast("long").alias("qx"),
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            .alias("cents"),
+        )
+    )
+
+    def _r2(col):
+        vc = pts.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("t"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return vc.select(
+            col,
+            (F.lit(2) * (F.sum("t").over(w).cast("long") - F.col("t"))
+             + F.col("t") + F.lit(1)).alias(f"r2_{col}"),
+        )
+
+    joined = pts.join(_r2("qx"), "qx").join(_r2("cents"), "cents")
+    m = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r2_qx").cast("long").alias("sx"),
+        F.sum("r2_cents").cast("long").alias("sy"),
+        F.sum(F.col("r2_qx") * F.col("r2_cents")).cast("long").alias("sxy"),
+        F.sum(F.col("r2_qx") * F.col("r2_qx")).cast("long").alias("sxx"),
+        F.sum(F.col("r2_cents") * F.col("r2_cents")).cast("long")
+        .alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    rho = num.cast("double") / F.sqrt(
+        vx.cast("double") * vy.cast("double"))
+    return m.select(
+        "n",
+        (r4(rho) + 0.0).alias("spearman_rho"),
+    )
+
+
+SPEARMAN_SQL = """
+WITH pts AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qx,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+  WHERE CAST(('0x' || substr(md5('sp' ||
+          CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 8))
+        AS BIGINT) % 60 = 0
+), rx AS (
+  SELECT qx,
+         2 * (CAST(sum(t) OVER (ORDER BY qx ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) - t) + t + 1 AS r2_qx
+  FROM (SELECT qx, CAST(count(*) AS BIGINT) AS t FROM pts GROUP BY 1)
+), ry AS (
+  SELECT cents,
+         2 * (CAST(sum(t) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) - t) + t + 1 AS r2_cents
+  FROM (SELECT cents, CAST(count(*) AS BIGINT) AS t FROM pts GROUP BY 1)
+), j AS (
+  SELECT r2_qx, r2_cents FROM pts JOIN rx USING (qx) JOIN ry USING (cents)
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(r2_qx) AS BIGINT) AS sx,
+         CAST(sum(r2_cents) AS BIGINT) AS sy,
+         CAST(sum(r2_qx * r2_cents) AS BIGINT) AS sxy,
+         CAST(sum(r2_qx * r2_qx) AS BIGINT) AS sxx,
+         CAST(sum(r2_cents * r2_cents) AS BIGINT) AS syy
+  FROM j
+)
+SELECT n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 4) + 0.0
+         AS spearman_rho
+FROM m
+"""
+
+
 STATS_DEFERRED_QUERIES = {
     "daily_value_ewma": daily_value_ewma,
     "revenue_cusum_shift": revenue_cusum_shift,
@@ -686,6 +791,7 @@ STATS_DEFERRED_QUERIES = {
     "ridge_price_fit": ridge_price_fit,
     "frequent_brand_triples": frequent_brand_triples,
     "supplier_cosupply_bfs": supplier_cosupply_bfs,
+    "spearman_price_corr": spearman_price_corr,
 }
 
 STATS_DEFERRED_ORACLES = {
@@ -695,4 +801,5 @@ STATS_DEFERRED_ORACLES = {
     "ridge_price_fit": RIDGE_SQL,
     "frequent_brand_triples": TRIPLES_SQL,
     "supplier_cosupply_bfs": BFS_SQL,
+    "spearman_price_corr": SPEARMAN_SQL,
 }
