@@ -77,6 +77,12 @@ def main() -> None:
                       extra_conf={
                           "spark.ui.enabled": "false",
                           "spark.sql.files.maxPartitionBytes": "4194304",
+                          # the single-node yardstick (DuckDB) hash-joins
+                          # in memory without any size ceiling; on a
+                          # 128 GiB box a 64 MB broadcast ceiling is
+                          # still conservative operator tuning, and the
+                          # 140 MB sf1 lineitem stays on the shuffle path
+                          "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
                       })
     spark.sparkContext.setLogLevel("ERROR")
     from tracker_trainer_spark.session import warm_python_workers

@@ -91,14 +91,24 @@ FROM paths WHERE hop > 0
 """).collect()[0]
     t_recurse = time.time() - t0
 
-    # claim 1: the bound must not depend on distinct-cost fanout (the
-    # recursion's DISTINCT is over (node, cost, hop), so cost-diverse
-    # graphs CAN multiply rows per edge and a raw n_rows <= 3*n_kept
-    # assert fires spuriously) — bound the per-hop distinct (node, hop)
-    # frontier instead: <= n_nodes nodes per hop across <= MAX_HOP hops.
+    # claim 1, two parts. (a) structural frontier sanity: distinct
+    # (node, hop) rows can never exceed the node set per hop — loose,
+    # but catches a broken dedup of the frontier itself. (b) the
+    # NON-VACUOUS bound: materialized rows per distinct (node, hop) —
+    # the distinct-COST fanout — stays under a small empirical ceiling
+    # (measured 1.4-3.0x across densities; 8x is generous headroom).
+    # A dropped DISTINCT in the recursive step or a duplicated edge
+    # build reintroduces the raw deg^3 path count, which blows this
+    # ratio into the thousands; a raw n_rows <= 3*n_kept assert would
+    # instead fire spuriously on cost-diverse graphs (the r4 ADVICE
+    # finding), because cost diversity legitimately multiplies rows.
     assert reach["n_node_hops"] <= MAX_HOP * n_nodes, (
-        f"recursion blowup: {reach['n_node_hops']} (node,hop) rows vs"
+        f"frontier dedup broken: {reach['n_node_hops']} (node,hop) rows vs"
         f" {n_nodes} nodes x {MAX_HOP} hops")
+    assert reach["n_rows"] <= 8 * reach["n_node_hops"], (
+        f"recursion blowup: {reach['n_rows']} rows for"
+        f" {reach['n_node_hops']} distinct (node,hop) frontier entries —"
+        f" distinct-cost fanout exceeded the 8x empirical ceiling")
     return {
         "n_nodes": n_nodes,
         "avg_degree": avg_degree,

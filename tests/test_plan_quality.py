@@ -997,7 +997,8 @@ def test_exp_ext_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     ("corpus_mixture_weights", 4),   # lang agg + 1-row total + 2 windows
     ("zone_map_pruning_audit", 4),   # day zone agg + 3 tiny audit aggs
     ("duplicate_cluster_histogram", 3),  # cluster agg + size histogram
-    ("decision_training_rows", 3),   # stats agg + spread round-robins
+    # (decision_training_rows has its own dedicated plan test above —
+    # budget asserted once, there)
 ])
 def test_r5_family_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     df = QUERIES[name](spark, sf_dir)

@@ -3187,13 +3187,13 @@ def _front_load_unverified(registry: dict) -> dict:
     return {**fresh, **done}
 
 
-QUERIES = _front_load_unverified(QUERIES)
-ORACLES = _front_load_unverified(ORACLES)
+# NOTE: the uncertified-first window reorder is applied ONCE, at the
+# very end of this module (after every deferred-channel merge below) —
+# a reorder here would be dead code: dict.update preserves insertion
+# order and the final application re-partitions from scratch.
 
-# Deferred registrations: appended AFTER the reorder so they land at the
-# very tail of the registry — new queries added mid-round once the
-# 50-query window is already full go here instead of displacing an
-# older not-yet-verified query from the window.
+# Deferred registrations for the remaining family files; ordering is
+# irrelevant here (the end-of-module reorder decides the window).
 from tracker_trainer_spark.queries_analytics_ext import (  # noqa: E402
     ANALYTICS_DEFERRED_ORACLES as _AN_DEF_ORACLES,
     ANALYTICS_DEFERRED_QUERIES as _AN_DEF_QUERIES,

@@ -259,10 +259,15 @@ def mann_whitney_u(spark, sf_dir):
         )
     )
     tie = ranked.agg(F.sum("tt").cast("long").alias("_sumtt"))
-    a = sums.where(F.col("v") == 0).select(
-        F.col("nv").alias("n_a"), F.col("s2").alias("s2a"))
-    b = sums.where(F.col("v") == 1).select(
-        F.col("nv").alias("n_b"))
+    # conditional aggregation, not filter+join: the oracle's scalar
+    # subqueries always yield ONE row (NULL fields if a variant is
+    # empty); an empty-variant filter side would instead collapse the
+    # join to ZERO rows and diverge row-for-row from the oracle
+    ab = sums.agg(
+        F.max(F.when(F.col("v") == 0, F.col("nv"))).alias("n_a"),
+        F.max(F.when(F.col("v") == 0, F.col("s2"))).alias("s2a"),
+        F.max(F.when(F.col("v") == 1, F.col("nv"))).alias("n_b"),
+    )
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     nn = na + nb
     # U_a from the doubled rank sum: 2·U_a = s2a − n_a·(n_a + 1)
@@ -274,7 +279,7 @@ def mann_whitney_u(spark, sf_dir):
     )
     z = (u_a - na * nb / F.lit(2.0)) / F.sqrt(var)
     return (
-        a.join(b).join(F.broadcast(tie))
+        ab.join(F.broadcast(tie))
         .select(
             "n_a", "n_b",
             (r4(u_a) + 0.0).alias("u_stat"),

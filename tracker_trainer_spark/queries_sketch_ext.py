@@ -678,17 +678,25 @@ def theil_sen_price_slope(spark, sf_dir):
             )
         ).alias("_h"),
     )
-    pts = keyed.where(F.col("_h") % 600 == 0).select(
+    # DATA-ADAPTIVE sample modulus: the pair stage is quadratic in the
+    # sample, so the modulus must grow with the data to keep the sampled
+    # point set ~fixed (target ≈1k points, the standard Theil-Sen
+    # subsampling posture). max(600, n/1000) is bit-identical to the
+    # original fixed 600 at every local oracle scale (6k/60k/600k rows
+    # → n/1000 ≤ 600) and caps the pair count at ~500k from sf1 up —
+    # the sf1 bench measured the fixed modulus at 84 s (10k points,
+    # 100M pairs) before this guard. The count is one bounded action;
+    # the oracle computes the identical integer inline.
+    n_rows = li.count()
+    mod = max(600, n_rows // 1000)
+    pts = keyed.where(F.col("_h") % mod == 0).select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pid"),
         "l_quantity",
         "l_extendedprice",
     )
     a, b = pts.alias("a"), pts.alias("b")
-    # The broadcast side is the deterministic hash SAMPLE, not the fact
-    # table; the sample modulus is the operator's scale knob — at larger
-    # SF the modulus must grow with the data so the sampled point set
-    # (and hence this broadcast and the pair count) stays bounded, the
-    # standard Theil-Sen subsampling posture.
+    # The broadcast side is the deterministic hash SAMPLE (bounded by
+    # the adaptive modulus above), never the fact table.
     pairs = (
         a.join(
             F.broadcast(b),
@@ -729,7 +737,8 @@ WITH pts AS (
   FROM lineitem
   WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
                                  CAST(l_linenumber AS VARCHAR)), 1, 7))
-             AS BIGINT) % 600 = 0
+             AS BIGINT)
+        % greatest(600, (SELECT count(*) // 1000 FROM lineitem)) = 0
 ), pairs AS (
   SELECT a.pid AS pid_a, b.pid AS pid_b,
          (b.l_extendedprice - a.l_extendedprice)

@@ -705,9 +705,18 @@ def spearman_price_corr(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     pid = (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+    # DATA-ADAPTIVE modulus (the theil_sen posture): n·Sxy and Sx·Sy
+    # grow as sample³, so a FIXED modulus overflows exact BIGINT once
+    # the sample passes ~50k rows (measured: the sf1 replica's 100k
+    # sample overflowed the oracle's INT64 multiply). max(60, n//10000)
+    # is bit-identical to mod-60 at every local oracle scale
+    # (6k/60k/600k rows → n//10000 ≤ 60) and pins the sample near 10k
+    # from sf1 up, keeping every cross-moment exact.
+    n_rows = li.count()
+    mod = max(60, n_rows // 10000)
     pts = (
         li.where(hash_bucket(
-            F.concat(F.lit("sp"), pid.cast("string")), 60) == 0)
+            F.concat(F.lit("sp"), pid.cast("string")), mod) == 0)
         .select(
             F.col("l_quantity").cast("long").alias("qx"),
             F.round(F.col("l_extendedprice") * 100).cast("long")
@@ -753,7 +762,8 @@ WITH pts AS (
   FROM lineitem
   WHERE CAST(('0x' || substr(md5('sp' ||
           CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 8))
-        AS BIGINT) % 60 = 0
+        AS BIGINT)
+        % greatest(60, (SELECT count(*) // 10000 FROM lineitem)) = 0
 ), rx AS (
   SELECT qx,
          2 * (CAST(sum(t) OVER (ORDER BY qx ROWS UNBOUNDED PRECEDING)
