@@ -172,3 +172,103 @@ def test_top_pc_recovers_planted_component(spark, tmp_path):
     top = np.linalg.eigh(C)[1][:, -1]
     cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
     assert cos > 0.99, f"power iteration missed the planted spike: {cos}"
+
+
+# --------------------------------------------------------------------------
+# r5 additions
+# --------------------------------------------------------------------------
+
+def test_mwu_rank_sum_identity(spark, sf_dir):
+    """U_a + U_b = n_a·n_b exactly — the defining identity of the
+    Mann-Whitney statistic. Parity can't certify it (both engines run
+    the same rank spelling); the identity catches a rank-table or
+    midrank mistake that is consistent across engines."""
+    from tracker_trainer_spark.functions.sampling import hash_bucket
+    from pyspark.sql.window import Window
+
+    orders = __import__(
+        "tracker_trainer_spark.queries", fromlist=["_t"])._t(
+            spark, sf_dir, "orders")
+    base = orders.select(
+        (hash_bucket("o_orderkey") % 2).alias("v"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    vc = base.groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vc.select(
+        "cents",
+        (F.lit(2) * (F.sum("t").over(w).cast("long") - F.col("t"))
+         + F.col("t") + F.lit(1)).alias("r2"))
+    pv = base.groupBy("v", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    sums = {r["v"]: (r["nv"], r["s2"]) for r in (
+        pv.join(ranked, "cents").groupBy("v").agg(
+            F.sum("n").cast("long").alias("nv"),
+            F.sum(F.col("n") * F.col("r2")).cast("long").alias("s2"))
+        .collect())}
+    (n_a, s2a), (n_b, s2b) = sums[0], sums[1]
+    u2a = s2a - n_a * (n_a + 1)
+    u2b = s2b - n_b * (n_b + 1)
+    assert u2a + u2b == 2 * n_a * n_b, "U_a + U_b != n_a*n_b"
+
+
+def test_spearman_self_correlation_is_one(spark, tmp_path):
+    """rho(x, x) must be exactly 1.0 — catches a moments or rank
+    mistake that parity cannot see."""
+    import pandas as pd
+    from tracker_trainer_spark.queries_stats_ext import spearman_price_corr
+
+    n = 500
+    pdf = pd.DataFrame({
+        "l_orderkey": range(1, n + 1),
+        "l_linenumber": [1] * n,
+        # y strictly increases with x -> perfect monotone relation
+        "l_quantity": [float(1 + i % 50) for i in range(n)],
+        "l_extendedprice": [float(10 + (1 + i % 50) * 7) for i in range(n)],
+    })
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet"))
+    row = spearman_price_corr(spark, str(tmp_path)).collect()[0]
+    assert row["spearman_rho"] == 1.0
+
+
+def test_mixture_weights_sum_to_budget(spark, sf_dir):
+    """Largest-remainder apportionment must hand out EXACTLY the
+    budget — the property naive rounding violates."""
+    from tracker_trainer_spark.queries_feature_ext import (
+        _MIX_BUDGET, corpus_mixture_weights)
+
+    rows = corpus_mixture_weights(spark, sf_dir).collect()
+    assert sum(r["weight"] for r in rows) == _MIX_BUDGET
+    assert all(r["extra"] in (0, 1) for r in rows)
+
+
+def test_oov_rate_bounds_and_vocab_coverage(spark, sf_dir):
+    """OOV counts are bounded by token counts, and shrinking the vocab
+    can only raise (or keep) every doc's OOV count — monotonicity of
+    coverage in vocab size."""
+    from tracker_trainer_spark.queries_seq_ext import tokenizer_oov_rate
+
+    big = {r["doc_id"]: r["oov_tokens"]
+           for r in tokenizer_oov_rate(spark, sf_dir, 100).collect()}
+    small = {r["doc_id"]: r["oov_tokens"]
+             for r in tokenizer_oov_rate(spark, sf_dir, 10).collect()}
+    full = tokenizer_oov_rate(spark, sf_dir, 100).collect()
+    assert all(0 <= r["oov_tokens"] <= r["n_tokens"] for r in full)
+    assert all(small[d] >= big[d] for d in big)
+
+
+def test_zone_map_audit_internal_consistency(spark, sf_dir):
+    """Pruned partitions never exceed the partition count, matching
+    rows never exceed scanned rows, and a predicate that prunes
+    NOTHING must scan every row the fact table has."""
+    from tracker_trainer_spark.queries import _t
+    from tracker_trainer_spark.queries_attrib_ext import (
+        zone_map_pruning_audit)
+
+    total = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()).count()
+    for r in zone_map_pruning_audit(spark, sf_dir).collect():
+        assert 0 <= r["n_pruned"] <= r["n_partitions"]
+        assert r["rows_matching"] <= r["rows_scanned"] <= total
+        if r["n_pruned"] == 0:
+            assert r["rows_scanned"] == total
