@@ -3169,7 +3169,8 @@ _DRIVER_CERTIFIED = frozenset({
     "stream_windowed_counts",
     "supplier_shared_parts",
     "supplier_triangle_count",
-    "theil_sen_price_slope",
+    # "theil_sen_price_slope",  # EVICTED r5: adaptive sample modulus
+    #                             as in-plan broadcast scalar — re-certify
     "user_event_entropy",
     "user_running_distinct",
     "user_tier_scd2",

@@ -685,8 +685,13 @@ def theil_sen_price_slope(spark, sf_dir):
     # original fixed 600 at every local oracle scale (6k/60k/600k rows
     # → n/1000 ≤ 600) and caps the pair count at ~500k from sf1 up —
     # the sf1 bench measured the fixed modulus at 84 s (10k points,
-    # 100M pairs) before this guard. The count is one bounded action;
-    # the oracle computes the identical integer inline.
+    # 100M pairs) before this guard. The count is ONE bounded driver
+    # action, deliberately not an in-plan broadcast scalar: the sample
+    # relation feeds three subtrees (both pair sides + the point
+    # count), and a crossJoin'd 1-row aggregate re-expands per consumer
+    # in the static plan (measured: +6 exchanges), while the collected
+    # literal folds into the filter. The oracle computes the identical
+    # integer inline.
     n_rows = li.count()
     mod = max(600, n_rows // 1000)
     pts = keyed.where(F.col("_h") % mod == 0).select(

@@ -711,7 +711,12 @@ def spearman_price_corr(spark, sf_dir):
     # sample overflowed the oracle's INT64 multiply). max(60, n//10000)
     # is bit-identical to mod-60 at every local oracle scale
     # (6k/60k/600k rows → n//10000 ≤ 60) and pins the sample near 10k
-    # from sf1 up, keeping every cross-moment exact.
+    # from sf1 up, keeping every cross-moment exact. The count is ONE
+    # bounded driver action, deliberately not an in-plan broadcast
+    # scalar: the sample relation is consumed by three subtrees (two
+    # rank ECDFs + the moment join), and a crossJoin'd 1-row aggregate
+    # re-expands per consumer in the static plan (measured: +3
+    # exchanges), while the collected literal folds into the filter.
     n_rows = li.count()
     mod = max(60, n_rows // 10000)
     pts = (
