@@ -997,6 +997,11 @@ def test_exp_ext_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     ("corpus_mixture_weights", 4),   # lang agg + 1-row total + 2 windows
     ("zone_map_pruning_audit", 4),   # day zone agg + 3 tiny audit aggs
     ("duplicate_cluster_histogram", 3),  # cluster agg + size histogram
+    # day-value agg + per-day/global ECDFs + decile/merge walks — every
+    # post-cache consumer is summary-sized; the static count includes
+    # the 1-row est/exact scalar joins' re-expansions
+    ("merged_quantile_audit", 10),
+    ("partition_freshness_audit", 2),    # one day agg (+ sort)
     # (decision_training_rows has its own dedicated plan test above —
     # budget asserted once, there)
 ])

@@ -358,14 +358,81 @@ ORDER BY predicate
 """
 
 
+# --------------------------------------------------------------------------
+# Partition freshness / ingestion-completeness audit
+# --------------------------------------------------------------------------
+
+_FRESH_GAP_S = 6 * 3600
+
+
+def partition_freshness_audit(spark, sf_dir):
+    """Per-day-partition ingestion completeness over the event
+    timeline: each partition's last event timestamp against its own
+    day boundary — a partition whose newest event sits hours before
+    midnight either stopped ingesting early or lost its tail, the
+    check an operator runs before declaring a day's data complete
+    (the timeline-table twin of the groom invariant, which checks
+    keys, not coverage).
+
+    All integer microseconds end to end (``unix_micros`` on both
+    engines — never second-truncated unix_timestamp); the gap flag
+    uses the pinned ``_FRESH_GAP_S`` threshold. One day-grouped
+    aggregation; |days| rows after it."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    day_end_us = F.unix_micros(
+        F.date_add(F.col("day"), 1).cast("timestamp"))
+    return (
+        ev.groupBy(day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.max(us).alias("last_event_us"),
+        )
+        .withColumn("_end_us", day_end_us)
+        .select(
+            "day", "n_rows", "last_event_us",
+            F.expr("(_end_us - last_event_us) div 1000000")
+            .cast("long").alias("tail_gap_s"),
+        )
+        .select(
+            "day", "n_rows", "last_event_us", "tail_gap_s",
+            (F.col("tail_gap_s") > _FRESH_GAP_S).cast("int")
+            .alias("stale"),
+        )
+        .orderBy("day")
+    )
+
+
+FRESHNESS_SQL = f"""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT)
+           AS last_event_us
+  FROM events
+  GROUP BY 1
+)
+SELECT day, n_rows, last_event_us,
+       CAST((epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP))
+             - last_event_us) // 1000000 AS BIGINT) AS tail_gap_s,
+       CAST((epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP))
+             - last_event_us) // 1000000 > {_FRESH_GAP_S} AS INT) AS stale
+FROM d
+ORDER BY day
+"""
+
+
 ATTRIB_DEFERRED_QUERIES = {
     "multitouch_attribution": multitouch_attribution,
     "key_skew_audit": key_skew_audit,
     "zone_map_pruning_audit": zone_map_pruning_audit,
+    "partition_freshness_audit": partition_freshness_audit,
 }
 
 ATTRIB_DEFERRED_ORACLES = {
     "multitouch_attribution": MTA_SQL,
     "key_skew_audit": _skew_sql(),
     "zone_map_pruning_audit": _zone_sql(),
+    "partition_freshness_audit": FRESHNESS_SQL,
 }

@@ -1473,7 +1473,139 @@ FROM iso
 """
 
 
+# --------------------------------------------------------------------------
+# Mergeable-quantile audit: per-partition decile summaries -> merged
+# global median estimate, next to the exact answer
+# --------------------------------------------------------------------------
+
+def merged_quantile_audit(spark, sf_dir):
+    """The accuracy audit for partition-merged quantile summaries: each
+    day of events is summarized to its 9 exact deciles (the per-shard
+    summary a distributed quantile sketch keeps), the summaries merge
+    into a weighted-median estimate of the GLOBAL median, and that
+    estimate is reported next to the exact global median — the
+    measured error of the summarize-then-merge strategy every
+    GK/t-digest-style sketch makes, computed here with exact order
+    statistics so both engines agree bit-for-bit.
+
+    Every rank threshold is integer (ceil(q·n_d/10) = (q·n_d+9) div
+    10; weighted-median pick = first value with 2·cumw ≥ total), and
+    every reported value is an ACTUAL data value (order statistics,
+    never interpolation — Spark and DuckDB disagree in the last ulp on
+    interpolated midpoints).
+
+    Scale: the ECDFs run over DISTINCT-value relations (per-day
+    partitioned window; the global one is value-cardinality-sized, the
+    KS-query precedent); the merge works on |days|×9 summary rows."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    day = F.date_trunc("day", "ts").cast("date")
+    # cached: the (day, value) count relation is value-cardinality-sized
+    # and feeds BOTH the per-day ECDF and the day totals — and the
+    # global ECDF below derives from it too (one fact scan total);
+    # uncached, each consumer re-expands the full fact aggregation
+    dvc = ev.groupBy(day.alias("day"), "value").agg(
+        F.count(F.lit(1)).cast("long").alias("c")).cache()
+    wd = Window.partitionBy("day").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0)
+    dcum = dvc.select(
+        "day", "value",
+        F.sum("c").over(wd).cast("long").alias("cum"))
+    nd = dvc.groupBy("day").agg(F.sum("c").cast("long").alias("n_d"))
+    qs = F.explode(F.sequence(F.lit(1), F.lit(9))).alias("q")
+    # decile_q(day) = smallest value whose running count reaches
+    # ceil(q*n_d/10)
+    deciles = (
+        dcum.join(nd, "day")
+        .select("day", "value", "cum", "n_d", qs)
+        .where(F.col("cum") * 10 >= F.col("q") * F.col("n_d"))
+        .groupBy("day", "q", "n_d")
+        .agg(F.min("value").alias("dv"))
+    )
+    # merge: weighted median over the summary points (weight = day row
+    # count; equal values pool their weights first so the cumulative
+    # walk needs no cross-day tiebreak)
+    wpoints = deciles.groupBy("dv").agg(
+        F.sum("n_d").cast("long").alias("w")).cache()  # ≤ |days|·9 rows
+    wv = Window.orderBy("dv").rowsBetween(Window.unboundedPreceding, 0)
+    wcum = wpoints.select(
+        "dv", F.sum("w").over(wv).cast("long").alias("cw"))
+    totw = wpoints.agg(F.sum("w").cast("long").alias("tw"))
+    est = (
+        wcum.join(F.broadcast(totw))
+        .where(F.col("cw") * 2 >= F.col("tw"))
+        .agg(F.min("dv").alias("merged_estimate"))
+    )
+    # exact global lower median from the global value ECDF — derived
+    # from the cached (day, value) relation, not a second fact scan
+    gvc = dvc.groupBy("value").agg(F.sum("c").cast("long").alias("c")).cache()
+    wg = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    gcum = gvc.select(
+        "value", F.sum("c").over(wg).cast("long").alias("cum"))
+    n_tot = gvc.agg(F.sum("c").cast("long").alias("n"))
+    exact = (
+        gcum.join(F.broadcast(n_tot))
+        .where(F.col("cum") * 2 >= F.col("n"))
+        .agg(F.min("value").alias("exact_median"))
+    )
+    return (
+        exact.join(est).join(F.broadcast(n_tot))
+        .select(
+            "n",
+            "exact_median",
+            "merged_estimate",
+            F.round(F.abs(F.col("merged_estimate")
+                          - F.col("exact_median")), 4).alias("abs_error"),
+        )
+    )
+
+
+MERGED_QUANTILE_SQL = """
+WITH ev AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, value
+  FROM events WHERE value IS NOT NULL
+), dvc AS (
+  SELECT day, value, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1, 2
+), dcum AS (
+  SELECT day, value,
+         CAST(sum(c) OVER (PARTITION BY day ORDER BY value
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM dvc
+), nd AS (
+  SELECT day, CAST(sum(c) AS BIGINT) AS n_d FROM dvc GROUP BY 1
+), deciles AS (
+  SELECT d.day, q.q, n.n_d, min(d.value) AS dv
+  FROM dcum d
+  JOIN nd n ON d.day = n.day
+  CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS q) q
+  WHERE d.cum * 10 >= q.q * n.n_d
+  GROUP BY 1, 2, 3
+), wpoints AS (
+  SELECT dv, CAST(sum(n_d) AS BIGINT) AS w FROM deciles GROUP BY 1
+), wcum AS (
+  SELECT dv, CAST(sum(w) OVER (ORDER BY dv ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cw
+  FROM wpoints
+), tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wpoints),
+est AS (
+  SELECT min(dv) AS merged_estimate FROM wcum, tw WHERE cw * 2 >= tw
+), gvc AS (
+  SELECT value, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1
+), gcum AS (
+  SELECT value, CAST(sum(c) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum
+  FROM gvc
+), nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM gvc),
+exact AS (
+  SELECT min(value) AS exact_median FROM gcum, nt WHERE cum * 2 >= n
+)
+SELECT n, exact_median, merged_estimate,
+       round(abs(merged_estimate - exact_median), 4) AS abs_error
+FROM exact, est, nt
+"""
+
+
 SKETCH_QUERIES = {
+    "merged_quantile_audit": merged_quantile_audit,
     "hll_distinct_users": hll_distinct_users,
     "hll_merge_daily": hll_merge_daily,
     "countmin_frequency_topk": countmin_frequency_topk,
@@ -1492,6 +1624,7 @@ SKETCH_QUERIES = {
 }
 
 SKETCH_ORACLES = {
+    "merged_quantile_audit": MERGED_QUANTILE_SQL,
     "hll_distinct_users": HLL_SQL,
     "hll_merge_daily": HLL_MERGE_SQL,
     "countmin_frequency_topk": CMS_SQL,
