@@ -583,6 +583,87 @@ SELECT DISTINCT user_id, event_type FROM events
 
 
 # --------------------------------------------------------------------------
+# Streaming certification #4: stream-stream watermarked join
+# --------------------------------------------------------------------------
+
+def stream_reward_join(spark, sf_dir):
+    """§2.11 stream-stream JOIN through the REAL engine — the fourth
+    driver-visible streaming state path (after windowed aggregation,
+    dropDuplicates dedup, and session windows): views play as the
+    decision stream and purchases as the reward stream, joined by the
+    PRODUCTION ``decisions_rewards_join`` module (equi-join on user +
+    the 2-hour time-range residual, the exact shape Spark derives
+    stream-stream state eviction from), drained availableNow to a
+    memory sink. The batch theta-join oracle must match row for row.
+
+    The events table is one parquet file, so the drain is a single
+    micro-batch — watermark eviction cannot drop matches and the
+    streaming result is exactly the batch join (the module's documented
+    batch-parity contract; late-data eviction behavior is pinned
+    separately by tests/test_stream_join.py).
+
+    Output uses integer-µs timestamps (the cross-engine convention);
+    the purchase id and value pass through unmodified."""
+    import uuid
+
+    from tracker_trainer_spark.streaming.stream_join import (
+        decisions_rewards_join,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    d = src().where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("decision_ts"))
+    r = src().where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("reward_ts"), "value")
+    joined = decisions_rewards_join(
+        d, r, keys=("user_id",), max_delay="2 hours")
+    name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.unix_micros(F.col("decision_ts").cast("timestamp"))
+            .alias("decision_us"),
+            "purchase_id",
+            F.unix_micros(F.col("reward_ts").cast("timestamp"))
+            .alias("reward_us"),
+            "value",
+        )
+        .orderBy("user_id", "decision_us", "purchase_id")
+    )
+
+
+STREAM_REWARD_JOIN_SQL = """
+SELECT v.user_id,
+       CAST(epoch_us(CAST(v.ts AS TIMESTAMP)) AS BIGINT) AS decision_us,
+       p.event_id AS purchase_id,
+       CAST(epoch_us(CAST(p.ts AS TIMESTAMP)) AS BIGINT) AS reward_us,
+       p.value AS value
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 2 HOUR
+ORDER BY v.user_id, decision_us, purchase_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Running distinct: cumulative novel-type window per user
 # --------------------------------------------------------------------------
 
@@ -1606,6 +1687,7 @@ FROM exact, est, nt
 
 SKETCH_QUERIES = {
     "merged_quantile_audit": merged_quantile_audit,
+    "stream_reward_join": stream_reward_join,
     "hll_distinct_users": hll_distinct_users,
     "hll_merge_daily": hll_merge_daily,
     "countmin_frequency_topk": countmin_frequency_topk,
@@ -1625,6 +1707,7 @@ SKETCH_QUERIES = {
 
 SKETCH_ORACLES = {
     "merged_quantile_audit": MERGED_QUANTILE_SQL,
+    "stream_reward_join": STREAM_REWARD_JOIN_SQL,
     "hll_distinct_users": HLL_SQL,
     "hll_merge_daily": HLL_MERGE_SQL,
     "countmin_frequency_topk": CMS_SQL,
