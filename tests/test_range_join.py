@@ -77,8 +77,12 @@ def test_no_nested_loop_in_plan(frames):
 
 
 def test_rejects_bad_bin():
-    with pytest.raises(ValueError):
-        interval_join(None, None, "ts", "lo", "hi", on=["k"], bin_seconds=0)
+    for bad in (0, -1, 2.5, float("nan")):
+        # NaN must hit the same contract message, not int()'s own
+        # opaque "cannot convert float NaN to integer" (ADVICE r5)
+        with pytest.raises(ValueError, match="whole second"):
+            interval_join(None, None, "ts", "lo", "hi",
+                          on=["k"], bin_seconds=bad)
 
 
 def test_oracle_agreement_against_theta_join(spark, frames):

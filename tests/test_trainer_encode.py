@@ -74,7 +74,7 @@ def test_encode_golden_vector_full_case(spark):
     context.k1's value "1.0" occurs under the count>20 prune, so the
     table is empty and it encodes via the deterministic miss path:
     (string_hash("1.0", 1) & 0xFFFFFFFF) · 2⁻³² − 0.5."""
-    from tracker_trainer_spark.hashing import HAS_XXH3, string_hash
+    from tracker_trainer_spark.hashing import string_hash
     from tracker_trainer_spark.trainer.encode import (
         encode_to_vectors,
         feature_order,
@@ -108,8 +108,9 @@ def test_encode_golden_vector_full_case(spark):
         key=lambda r: -r["y"],
     )
     miss = ((string_hash("1.0", seed) & 0xFFFFFFFF) * 2**-32) - 0.5
-    if not HAS_XXH3:  # the committed pin (XXH64 container); both asserted
-        assert abs(miss - 0.460979213938117) < 1e-12
+    # ONE pin for every environment now that string_hash is xxh3_64
+    # with or without the C package (r6 pure-Python port)
+    assert abs(miss - 0.10309130745008588) < 1e-12
     chosen, sample = out
     assert (chosen["y"], chosen["w"]) == (1.0, 1.0)
     assert (sample["y"], sample["w"]) == (0.0, 4.0)
@@ -142,11 +143,11 @@ def test_string_tables_rank_and_encode(spark):
     # misses fall in the narrow band, deterministically (probe for a string
     # whose masked hash genuinely misses — collisions legitimately return
     # the table value, same as the reference's approximate membership)
-    from tracker_trainer_spark.hashing import xxh64
+    from tracker_trainer_spark.hashing import string_hash
 
     miss_str = next(
         s for s in (f"never-seen-{i}" for i in range(100))
-        if (xxh64(s, 1) & table.mask) not in table.value_table
+        if (string_hash(s, 1) & table.mask) not in table.value_table
     )
     miss = table.encode(miss_str)
     assert abs(miss) <= table.miss_width / 2 + 1e-12

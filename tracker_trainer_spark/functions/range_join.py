@@ -35,6 +35,8 @@ interval table rather than outer-join bookkeeping inside the kernel.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -60,7 +62,10 @@ def interval_join(
     explodes intervals into many bins (row blow-up ≈ len/W), too large
     degrades back toward the per-key cross product within a bin.
     """
-    if bin_seconds != int(bin_seconds) or int(bin_seconds) < 1:
+    # NaN first: int(nan) raises its own opaque TypeError/ValueError
+    # before the contract message could fire (ADVICE r5)
+    if (isinstance(bin_seconds, float) and math.isnan(bin_seconds)) \
+            or bin_seconds != int(bin_seconds) or int(bin_seconds) < 1:
         # reject fractional values outright (2.5 would silently truncate
         # to 2 — consistent results, but the contract says whole seconds)
         # and 0 < bin_seconds < 1, which would truncate to a zero-width

@@ -5,4 +5,5 @@ from .checks import (  # noqa: F401
     pushed_filters,
     read_schemas,
     scan_columns,
+    single_task_windows,
 )

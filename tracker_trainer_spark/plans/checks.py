@@ -69,6 +69,138 @@ def scan_columns(df: DataFrame) -> list[set]:
     return cols
 
 
+# Row-linear relations: a Window sorting one of these through a
+# single-task (or few-task) exchange without an intervening aggregate
+# is the canonical 100 TB bottleneck (VERDICT r5 "What's wrong").
+FACT_TABLES = ("lineitem", "orders", "events", "customer", "supplier",
+               "part", "documents", "embeddings", "nation", "region")
+
+# Columns with fixed tiny cardinality: a window hash-partitioned ONLY
+# by these runs in ≤ a handful of tasks — same failure mode as
+# SinglePartition when the input is row-linear.
+LOW_CARD_COLS = frozenset({
+    "l_returnflag", "l_linestatus", "l_shipmode", "l_shipinstruct",
+    "event_type", "c_mktsegment", "o_orderstatus", "o_orderpriority",
+    "n_regionkey", "r_regionkey", "lang", "kind",
+})
+
+# Nodes that bound the data volume entering a window: anything below an
+# aggregation is (grouping-cardinality)-sized, not row-linear.
+_SAFE_STOPS = ("HashAggregate", "SortAggregate", "ObjectHashAggregate",
+               "ReusedExchange", "ReusedSubquery", "TakeOrdered",
+               "GlobalLimit", "LocalLimit", "Deduplicate")
+
+
+def _tree_nodes(plan: str) -> tuple[dict, dict]:
+    """Parse the formatted-mode tree into {id: (name, children)} plus
+    {id: detail-text}.  Tree lines look like ``   +- Window (13)`` (a
+    leading ``* `` marks whole-stage codegen); details follow as
+    ``(13) Window\\n...`` blocks."""
+    # node ids restart inside subquery sections — lint the main plan
+    plan = plan.split("===== Subqueries =====")[0]
+    tree_part = plan.split("\n\n", 1)
+    lines = tree_part[0].splitlines()
+    nodes: dict[int, tuple[str, list[int]]] = {}
+    stack: list[tuple[int, int]] = []  # (depth, id)
+    for line in lines:
+        m = re.search(r"([A-Za-z][\w .]*?)\s*\((\d+)\)\s*$", line)
+        if not m:
+            continue
+        name, nid = m.group(1).lstrip("* "), int(m.group(2))
+        depth = line.index(m.group(0).lstrip())
+        while stack and stack[-1][0] >= depth:
+            stack.pop()
+        if stack:
+            nodes[stack[-1][1]][1].append(nid)
+        nodes[nid] = (name, [])
+        stack.append((depth, nid))
+    details: dict[int, str] = {}
+    if len(tree_part) > 1:
+        for block in re.split(r"\n\n+", tree_part[1]):
+            block = block.lstrip("\n")
+            m = re.match(r"\((\d+)\) ([\w .]+)", block)
+            if m:
+                details[int(m.group(1))] = block
+    return nodes, details
+
+
+def _exchange_parallelism(detail: str) -> str:
+    """'single' | 'low_card:<cols>' | 'wide' for an Exchange node."""
+    m = re.search(r"Arguments: (\w+)(\(([^)]*)\))?", detail or "")
+    if not m:
+        return "wide"
+    kind = m.group(1)
+    if kind == "SinglePartition":
+        return "single"
+    if kind == "hashpartitioning":
+        cols = {re.sub(r"#\d+L?", "", c.strip())
+                for c in (m.group(3) or "").split(",")
+                if "#" in c}
+        cols.discard("")
+        if cols and cols <= LOW_CARD_COLS:
+            return f"low_card:{sorted(cols)}"
+    return "wide"
+
+
+def single_task_windows(df: DataFrame) -> list[str]:
+    """Lint (VERDICT r5 punch item 1): every Window whose input
+    exchange collapses to one task (SinglePartition) — or to a
+    fixed-tiny task count (hash on LOW_CARD_COLS only) — while a
+    row-linear FACT scan feeds it with NO aggregation in between.
+    Such a plan sorts unbounded data on ≤ a handful of tasks: correct
+    at sf0.1, dead at 100 TB.  Returns human-readable violations
+    (empty == clean).  Windows over aggregated/histogram relations and
+    the distributed-ranking bucket windows (hash on the bucket column)
+    pass by construction."""
+    plan = physical_plan(df)
+    nodes, details = _tree_nodes(plan)
+    violations: list[str] = []
+    for nid, (name, children) in nodes.items():
+        if name != "Window":
+            continue
+        # 1) the exchange that establishes this window's partitioning:
+        #    walk the child chain through narrow nodes
+        cur = children[0] if children else None
+        exch = None
+        while cur is not None:
+            cname, cchildren = nodes[cur]
+            if cname == "Exchange":
+                exch = cur
+                break
+            if cname.startswith(_SAFE_STOPS) or "Join" in cname or \
+                    cname.startswith("Scan"):
+                break
+            cur = cchildren[0] if cchildren else None
+        if exch is None:
+            continue
+        par = _exchange_parallelism(details.get(exch, ""))
+        if par == "wide":
+            continue
+        # 2) does a raw fact scan reach the window without crossing an
+        #    aggregation?
+        hits: list[str] = []
+        stack = list(nodes[exch][1])
+        while stack:
+            cid = stack.pop()
+            cname, cchildren = nodes[cid]
+            if cname.startswith(_SAFE_STOPS):
+                continue
+            if cname.startswith("Scan"):
+                loc = re.search(r"Location: \S+ \[([^\]]*)", details.get(cid, ""))
+                path = loc.group(1) if loc else ""
+                for t in FACT_TABLES:
+                    if f"{t}.parquet" in path:
+                        hits.append(t)
+                continue
+            stack.extend(cchildren)
+        if hits:
+            violations.append(
+                f"Window ({nid}) runs {par} over un-aggregated fact "
+                f"scan(s) {sorted(set(hits))} — single-task sort of a "
+                f"row-linear relation")
+    return violations
+
+
 def _split_top_level(s: str) -> list[str]:
     """Split struct field list on commas not nested inside <>."""
     parts, depth, cur = [], 0, []

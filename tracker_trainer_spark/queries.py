@@ -3028,155 +3028,172 @@ ORACLES.update(_SKETCH_ORACLES)
 # the change. The rule evicts on behavioral reach, not on transitive
 # import of a helper whose changed branch cannot execute.
 _DRIVER_CERTIFIED = frozenset({
-    # ---- certified green in CORRECTNESS_r01 / r02 ----
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "contrastive_negative_pairs",
-    "corpus_curation",
-    "corpus_train_holdout",
-    "dedup_cluster_survivors",
-    "dedup_embedding_cosine",
-    "dedup_exact_documents",
-    "dedup_minhash_clusters",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "doc_centrality_pagerank",
-    "doc_fingerprint_lang",
-    "doc_repetition_stats",
-    "doc_text_stats",
-    "doc_token_chunks",
-    "embedding_similar_pairs",
-    "events_type_stats",
-    "funnel_view_click_purchase",
-    "merge_rewarded_events",
-    "monthly_order_stats",
-    "nations_with_customers_and_suppliers",
-    "order_value_histogram",
-    "order_value_percentiles",
-    "propensity_explode_events",
-    "purchase_attribution_asof",
-    "q10_returned_items",
-    "q12_priority_by_returnflag",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q21_sole_returned_supplier",
-    "q22_idle_customers",
-    "q3_top_revenue_orders",
-    "q4_order_priority",
-    "q5_nation_revenue",
-    "q6_revenue_forecast",
-    "q7_volume_shipping",
-    "revenue_rollup_nation_year",
-    "reward_summary_stats",
-    "semantic_text_dedup",
-    "session_window_sessions",
-    "top3_orders_per_customer",
-    "train_encode_events",
-    "user_sessions",
-    "value_purchase_auc",
-    "weekly_auc_drift",
-    "windowed_event_stats",
-    # ---- certified green in CORRECTNESS_r03 ----
-    "ann_lsh_multiprobe",
-    # "basket_pair_lift",  # EVICTED r5: part-dim broadcast hint dropped
-    #                        (AQE decides) — plan changed, re-certify
-    "corpus_decontamination",
-    "cube_orders_margin",
-    "customer_mahalanobis_outliers",
-    "customer_order_sequences",
-    "customer_pareto_frontier",
-    "customer_retention_setops",
-    "customer_spend_quartiles",
-    "daily_anomaly_zscore",
-    "dedup_incremental_batch",
-    "dedup_minhash_estimate",
-    "doc_bm25_search",
-    "doc_tfidf_top_terms",
-    # "doc_unigram_logprob",  # EVICTED r5: vocab broadcast hint dropped
-    "doc_zipf_fit",
-    "event_transition_matrix",
-    "events_daily_pivot",
-    "events_json_value_stats",
-    "ipw_weight_diagnostics",
-    # "jaccard_prefix_join",  # EVICTED r5: df_tbl broadcast hint dropped
-    #                           + bimodality fix — re-certify
-    "knn_join_topk",
-    "lineitem_measures_unpivot",
-    "lineitem_stats_profile",
-    "orders_profile",
-    "part_name_editdist_pairs",
-    "price_quantity_regression",
-    "purchase_daily_gapfill",
-    "q11_important_parts",
-    "q16_supplier_counts",
-    "q20_promotion_suppliers",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "retention_cohorts",
-    "sliding_event_counts",
-    "user_activity_streaks",
-    "user_decayed_value",
-    "weighted_median_price",
-    # ---- certified green in CORRECTNESS_r04 (49 green + 1 rows-only
-    # by design: media_image_features has a driver row recording the
-    # documented decode-stub no-oracle state) ----
+    # ---- r6 state: the union of every green driver row from
+    # CORRECTNESS_r01-r05 (the full registry was lifetime-certified
+    # after r5), MINUS two eviction classes for the r6 window:
+    #
+    # 1. CHANGED THIS ROUND (eviction rule): the 8 single-task-
+    #    window rewrites now riding functions/ranking.py —
+    #      customer_pareto_frontier
+    #      customer_rfm_segments
+    #      customer_spend_quartiles
+    #      feature_quantile_bins
+    #      isotonic_calibration
+    #      k_anonymity_audit
+    #      score_calibration_curve
+    #      weighted_median_price
+    #    (same results, new distributed plans — re-certify).
+    #
+    # 2. STALENESS ROTATION (VERDICT r5 item 3): the 40 oldest
+    #    r1/r2 certifications below re-enter the window unchanged,
+    #    so age-based re-verification catches environment drift;
+    #    the remaining 12 r1/r2-era certs rotate in r7:
+    #      q6_revenue_forecast, q7_volume_shipping, revenue_rollup_nation_year,
+    #      reward_summary_stats, semantic_text_dedup, session_window_sessions,
+    #      top3_orders_per_customer, train_encode_events, user_sessions,
+    #      value_purchase_auc, weekly_auc_drift, windowed_event_stats
+    # Rotated out (r6 window): 40 names —
+    #      ann_cosine_topk, ann_lsh_bucketed, contrastive_negative_pairs,
+    #      corpus_curation, corpus_train_holdout, dedup_cluster_survivors,
+    #      dedup_embedding_cosine, dedup_exact_documents, dedup_minhash_clusters,
+    #      dedup_ngram_jaccard, dedup_simhash, doc_centrality_pagerank,
+    #      doc_fingerprint_lang, doc_repetition_stats, doc_text_stats,
+    #      doc_token_chunks, embedding_similar_pairs, events_type_stats,
+    #      funnel_view_click_purchase, merge_rewarded_events, monthly_order_stats,
+    #      nations_with_customers_and_suppliers, order_value_histogram, order_value_percentiles,
+    #      propensity_explode_events, purchase_attribution_asof, q10_returned_items,
+    #      q12_priority_by_returnflag, q13_customer_order_distribution, q14_promo_revenue,
+    #      q15_top_supplier, q17_small_quantity_revenue, q18_large_orders,
+    #      q19_disjunctive_revenue, q1_pricing_summary, q21_sole_returned_supplier,
+    #      q22_idle_customers, q3_top_revenue_orders, q4_order_priority,
+    #      q5_nation_revenue
+    "ab_test_lift",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
+    "ann_lsh_multiprobe",
     "ann_pq_topk",
+    "basket_pair_lift",
     "bloom_filter_audit",
     "bootstrap_mean_ci",
     "bpe_first_merges",
     "cms_join_size_estimate",
+    "cohort_ltv_curve",
     "conversion_latency_quantiles",
+    "corpus_decontamination",
+    "corpus_mixture_weights",
     "countmin_frequency_topk",
+    "cube_orders_margin",
     "customer_hierarchy_rollup",
-    "customer_rfm_segments",
+    "customer_mahalanobis_outliers",
+    "customer_order_sequences",
+    "customer_retention_setops",
+    "daily_anomaly_zscore",
     "daily_revenue_autocorr",
+    "daily_value_ewma",
+    "decision_training_rows",
+    "dedup_incremental_batch",
     "dedup_minhash_candidates",
+    "dedup_minhash_estimate",
+    "doc_bigram_perplexity",
     "doc_bigram_pmi",
+    "doc_bm25_search",
     "doc_pack_assignments",
     "doc_pii_scan",
+    "doc_tfidf_top_terms",
+    "doc_unigram_logprob",
+    "doc_zipf_fit",
+    "duplicate_cluster_histogram",
     "embedding_isotropy",
+    "embedding_top_pc",
     "event_burst_dedup",
+    "event_pattern_match",
+    "event_transition_matrix",
     "event_trigram_patterns",
     "events_before_purchase",
-    "feature_quantile_bins",
+    "events_daily_pivot",
+    "events_json_value_stats",
+    "feature_pit_join",
     "feature_robust_scaling",
     "fk_integrity_audit",
+    "frequent_brand_triples",
     "groom_fixpoint_check",
     "hll_distinct_users",
     "hll_merge_daily",
-    "isotonic_calibration",
+    "holt_backtest",
+    "holt_linear_forecast",
+    "ipw_weight_diagnostics",
+    "jaccard_prefix_join",
+    "key_skew_audit",
+    "km_conversion_survival",
     "kmeans_embedding_clusters",
+    "knn_join_topk",
     "ksuid_decode_partition",
+    "l_diversity_audit",
     "lineitem_benford_deviation",
+    "lineitem_measures_unpivot",
+    "lineitem_stats_profile",
+    "mann_whitney_u",
     "media_image_features",
+    "merged_quantile_audit",
+    "multitouch_attribution",
     "nation_spend_gini",
     "next_event_after_purchase",
     "oof_target_encoding",
     "order_priority_chi2",
+    "orders_profile",
+    "part_affinity_recs",
+    "part_name_editdist_pairs",
+    "partition_freshness_audit",
+    "price_quantity_regression",
     "propensity_training_weights",
+    "purchase_daily_gapfill",
     "purchase_moving_avg",
-    "score_calibration_curve",
+    "q11_important_parts",
+    "q16_supplier_counts",
+    "q20_promotion_suppliers",
+    "q2_min_cost_supplier",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "retention_cohorts",
+    "revenue_cusum_shift",
+    "revenue_rollup_nation_year",
+    "reward_summary_stats",
+    "ridge_price_fit",
+    "semantic_text_dedup",
+    "session_window_sessions",
+    "sliding_event_counts",
+    "spearman_price_corr",
     "stratified_sample_by_lang",
     "stream_distinct_users",
+    "stream_reward_join",
+    "stream_session_stats",
     "stream_windowed_counts",
+    "supplier_cheapest_paths",
+    "supplier_cosupply_bfs",
     "supplier_shared_parts",
     "supplier_triangle_count",
-    # "theil_sen_price_slope",  # EVICTED r5: adaptive sample modulus
-    #                             as in-plan broadcast scalar — re-certify
+    "theil_sen_price_slope",
+    "tokenizer_oov_rate",
+    "top3_orders_per_customer",
+    "train_encode_events",
+    "user_activity_streaks",
+    "user_decayed_value",
     "user_event_entropy",
     "user_running_distinct",
+    "user_sessions",
+    "user_state_cdc_merge",
     "user_tier_scd2",
     "value_drift_ks",
     "value_drift_psi",
+    "value_purchase_auc",
+    "variant_ucb_ranking",
+    "weekday_seasonality",
+    "weekly_auc_drift",
     "weighted_doc_sample",
+    "windowed_event_stats",
+    "zone_map_pruning_audit",
 })
 
 

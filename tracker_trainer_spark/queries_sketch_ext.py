@@ -38,6 +38,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from tracker_trainer_spark.functions.ranking import (
+    with_cumsum,
+    with_ntile,
+    with_prefix_max,
+)
+
 
 def _t(spark, sf_dir, name):
     from tracker_trainer_spark.queries import _t as _load
@@ -1467,15 +1473,17 @@ def isotonic_calibration(spark, sf_dir):
     every candidate mean is bit-identical and min/max over identical
     sets is deterministic.  The quadratic j×k enumeration runs on the
     10-row decile relation — the fact table contributes exactly one
-    ntile window + one rollup, the same scale shape as the calibration
-    curve; bin count, not data volume, bounds the triple term."""
+    DISTRIBUTED ntile (functions/ranking.py: range-partitioned rank +
+    offset sums, bit-identical bucket membership to the former global
+    NTILE window with none of its single-task sort) + one rollup; bin
+    count, not data volume, bounds the triple term."""
     ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    wn = Window.orderBy("value", "event_id")
     bins = (
-        ev.select(
-            (F.col("event_type") == "purchase").cast("int").alias("y"),
-            F.ntile(10).over(wn).alias("bin"),
-        )
+        with_ntile(
+            ev.select(
+                (F.col("event_type") == "purchase").cast("int").alias("y"),
+                "value", "event_id"),
+            10, [F.asc("value"), F.asc("event_id")], bucket_key=F.col("value"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("pos"))
     )

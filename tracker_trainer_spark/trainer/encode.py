@@ -131,9 +131,9 @@ def encode_to_vectors(df: DataFrame, feature_names: list[str],
 def _miss_encode(s: str, model_seed: int) -> float:
     """Empty-table encode: deterministic miss in [-0.5, 0.5]
     (reference: feature_encoder.py StringTable with empty table)."""
-    from ..hashing import string_hash
+    from .string_tables import _cached_hash
 
-    h = string_hash(s, model_seed)
+    h = _cached_hash(s, model_seed)
     return ((h & 0xFFFFFFFF) * 2**-32) - 0.5
 
 

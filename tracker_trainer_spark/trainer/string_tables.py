@@ -21,11 +21,23 @@ construction. XXH64 substitutes for xxh3_64 (see hashing.py).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..hashing import string_hash
+
+
+@lru_cache(maxsize=1 << 16)
+def _cached_hash(string: str, seed: int) -> int:
+    """Encode-side memo: feature values repeat heavily within an Arrow
+    batch (and across batches in one worker), and the pure-Python
+    xxh3_64 costs ~2.5 µs per short string — the bounded LRU turns the
+    hot path into a dict hit.  Table CONSTRUCTION keeps calling
+    string_hash directly (each candidate string hashes once)."""
+    return string_hash(string, seed)
 
 MAX_STRINGS_PER_FEATURE = 10_000  # reference: src/trainer/code/config.py:96
 PRUNE_MIN_STRING_COUNT = 20       # reference: src/trainer/code/config.py:18
@@ -139,7 +151,7 @@ class StringTable:
         return (1 << top.bit_length()) - 1
 
     def encode(self, string: str) -> float:
-        h = string_hash(string, self.model_seed)
+        h = _cached_hash(string, self.model_seed)
         value = self.value_table.get(h & self.mask)
         if value is not None:
             return value
