@@ -15,6 +15,7 @@ def test_queries_without_oracle_are_the_declared_exceptions():
     assert set(QUERIES) - set(ORACLES) == {
         "train_encode_events",    # Arrow encode kernels
         "media_image_features",   # binary media pipeline
+        "train_e2e_metrics",      # model fits + inference (r6)
     }
 
 

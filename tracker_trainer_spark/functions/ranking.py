@@ -84,6 +84,30 @@ def range_boundaries(df: DataFrame, key: Column, num_buckets: int,
     return sorted(set(qs))
 
 
+# Boundary sets are BALANCE HINTS, never inputs to results (ranks are
+# invariant to split placement — see module docstring), so reusing a
+# previously computed set for the same (source, column) is always
+# sound: even a stale set against changed data yields correct output,
+# only partition balance drifts.  The session-level memo exists because
+# the approxQuantile pass is a separate Spark job (~0.3-0.5 s of pure
+# job floor at bench scale) that would otherwise re-run on every query
+# construction.
+_BOUNDS_CACHE: dict[tuple, list[float]] = {}
+
+
+def cached_boundaries(df: DataFrame, cache_key: tuple, key: Column,
+                      num_buckets: int | None = None,
+                      relative_error: float = 0.01) -> list[float]:
+    """``range_boundaries`` with a per-session memo keyed by the
+    caller's (source-path, column, …) tuple."""
+    n = _num_buckets(df, num_buckets)
+    full_key = (*cache_key, n)
+    if full_key not in _BOUNDS_CACHE:
+        _BOUNDS_CACHE[full_key] = range_boundaries(
+            df, key, n, relative_error)
+    return _BOUNDS_CACHE[full_key]
+
+
 def _bucket_expr(key: Column, boundaries: Sequence[float]) -> Column:
     """#{boundaries ≤ key} as a literal CASE-sum — deterministic, pure
     JVM, O(P) per row with P ≈ 32.  NULL keys land in bucket 0,
@@ -100,10 +124,15 @@ def _bucket_expr(key: Column, boundaries: Sequence[float]) -> Column:
 def _bucketed(df: DataFrame, bucket_key: Column,
               part_cols: Sequence[str],
               boundaries: Sequence[float] | None,
-              num_buckets: int | None) -> DataFrame:
+              num_buckets: int | None,
+              boundary_key: tuple | None = None) -> DataFrame:
     if boundaries is None:
-        boundaries = range_boundaries(df, bucket_key,
-                                      _num_buckets(df, num_buckets))
+        if boundary_key is not None:
+            boundaries = cached_boundaries(df, boundary_key, bucket_key,
+                                           num_buckets)
+        else:
+            boundaries = range_boundaries(df, bucket_key,
+                                          _num_buckets(df, num_buckets))
     return df.withColumn(_BKT, _bucket_expr(bucket_key, boundaries))
 
 
@@ -131,6 +160,7 @@ def with_global_rank(df: DataFrame, order_by: Sequence[Column],
                      bucket_key: Column, rank_col: str = "rank",
                      n_col: str | None = None,
                      boundaries: Sequence[float] | None = None,
+                     boundary_key: tuple | None = None,
                      num_buckets: int | None = None) -> DataFrame:
     """``row_number()`` over a (per-group) total order without a
     single-task sort.  ``order_by`` MUST be a total order (include a
@@ -138,7 +168,8 @@ def with_global_rank(df: DataFrame, order_by: Sequence[Column],
     NON-DECREASING along it (negate for descending orders).  ``n_col``,
     if given, receives the group row count (needed by ntile
     arithmetic)."""
-    bkt = _bucketed(df, bucket_key, part_cols, boundaries, num_buckets)
+    bkt = _bucketed(df, bucket_key, part_cols, boundaries, num_buckets,
+                    boundary_key)
     w_loc = Window.partitionBy(_BKT, *part_cols).orderBy(*order_by)
     local = bkt.withColumn(_LOC, F.row_number().over(w_loc))
     offs = _offsets(bkt, part_cols, F.count(F.lit(1)), "sum")
@@ -157,6 +188,7 @@ def with_ntile(df: DataFrame, buckets: int, order_by: Sequence[Column],
                part_cols: Sequence[str] = (), *, bucket_key: Column,
                bucket_col: str = "bin",
                boundaries: Sequence[float] | None = None,
+               boundary_key: tuple | None = None,
                num_buckets: int | None = None) -> DataFrame:
     """Exact ``ntile(buckets)`` semantics — bit-identical bucket
     membership to ``F.ntile`` over the same total order — via the
@@ -169,6 +201,7 @@ def with_ntile(df: DataFrame, buckets: int, order_by: Sequence[Column],
     ranked = with_global_rank(df, order_by, part_cols, rank_col=rank,
                               n_col=n, bucket_key=bucket_key,
                               boundaries=boundaries,
+                              boundary_key=boundary_key,
                               num_buckets=num_buckets)
     b = int(buckets)
     tmp = (
@@ -192,13 +225,15 @@ def with_cumsum(df: DataFrame, value: Column, order_by: Sequence[Column],
                 part_cols: Sequence[str] = (), *, bucket_key: Column,
                 cum_col: str = "cum",
                 boundaries: Sequence[float] | None = None,
+                boundary_key: tuple | None = None,
                 num_buckets: int | None = None) -> DataFrame:
     """Running sum of ``value`` over a (per-group) total order — the
     cumulative-distribution primitive (weighted median, ECDF) — without
     a single-task sort.  Exact when ``value`` is integral (addition
     order-insensitive); callers must pre-scale floats to integer units
     for cross-engine parity (registry convention)."""
-    bkt = _bucketed(df, bucket_key, part_cols, boundaries, num_buckets)
+    bkt = _bucketed(df, bucket_key, part_cols, boundaries, num_buckets,
+                    boundary_key)
     bkt = bkt.withColumn(_VAL, value)
     w_loc = (Window.partitionBy(_BKT, *part_cols).orderBy(*order_by)
              .rowsBetween(Window.unboundedPreceding, 0))
@@ -215,13 +250,15 @@ def with_prefix_max(df: DataFrame, value: Column, order_by: Sequence[Column],
                     part_cols: Sequence[str] = (), *, bucket_key: Column,
                     out_col: str = "prefix_max",
                     boundaries: Sequence[float] | None = None,
+                    boundary_key: tuple | None = None,
                     num_buckets: int | None = None) -> DataFrame:
     """Exclusive prefix max: for each row, max(``value``) over all rows
     STRICTLY earlier in the total order (NULL for the first row) — the
     2-D skyline / dominance primitive.  Rows must be unique on
     ``order_by`` (run it on a distinct-key histogram), which makes the
     ROWS frame equal to the strict RANGE frame."""
-    bkt = _bucketed(df, bucket_key, part_cols, boundaries, num_buckets)
+    bkt = _bucketed(df, bucket_key, part_cols, boundaries, num_buckets,
+                    boundary_key)
     bkt = bkt.withColumn(_VAL, value)
     w_loc = (Window.partitionBy(_BKT, *part_cols).orderBy(*order_by)
              .rowsBetween(Window.unboundedPreceding, -1))

@@ -188,11 +188,15 @@ FROM (
 
 
 def q18_large_orders(spark, sf_dir, min_qty: float = 250.0):
-    """TPC-H Q18 shape: HAVING-filtered aggregate → semi-join back to the
-    fact rows → re-aggregate. The qualifying-keys side is an aggregate of
-    the big table (not broadcastable by hint at scale) — AQE picks the
-    join strategy from its runtime size; both aggs share the l_orderkey
-    shuffle key so the semi-join adds no extra lineitem shuffle.
+    """TPC-H Q18 shape: HAVING-filtered aggregate joined to the order
+    header.  The textbook spelling (HAVING keys → semi-join back to
+    lineitem → RE-aggregate) computes the per-order quantity sum twice
+    and scans lineitem twice; because orders⨝lineitem is 1:1 on the
+    orderkey, the re-aggregate IS the HAVING aggregate — so this plan
+    aggregates lineitem ONCE, filters, and joins the (few-hundred-row
+    post-HAVING) relation to orders, which AQE broadcasts from its
+    runtime size (r6: the old double-scan cost 3.4 s / 27× at sf1; no
+    hint — the pre-filter size is data-dependent).
     """
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -200,16 +204,13 @@ def q18_large_orders(spark, sf_dir, min_qty: float = 250.0):
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("_q"))
         .where(F.col("_q") > min_qty)
-        .select("l_orderkey")
     )
     return (
-        li.join(big, "l_orderkey", "left_semi")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-        .agg(r4(F.sum("l_quantity")).alias("total_qty"))
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
         .select(
             "o_orderkey", "o_custkey", "o_orderdate",
-            "total_qty", r4(F.col("o_totalprice")).alias("totalprice"),
+            r4(F.col("_q")).alias("total_qty"),
+            r4(F.col("o_totalprice")).alias("totalprice"),
         )
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
         .limit(50)
@@ -3178,14 +3179,22 @@ _DRIVER_CERTIFIED = frozenset({
     #      q12_priority_by_returnflag, q13_customer_order_distribution, q14_promo_revenue,
     #      q15_top_supplier, q17_small_quantity_revenue, q18_large_orders,
     #      q19_disjunctive_revenue, q1_pricing_summary, q21_sole_returned_supplier,
-    #      q22_idle_customers, q3_top_revenue_orders, q4_order_priority,
-    #      q5_nation_revenue
+    #    (q22_idle_customers, q3_top_revenue_orders, q4_order_priority
+    #    and q5_nation_revenue stay certified this round — their
+    #    rotation slots went to the supplier_shared_parts /
+    #    part_affinity_recs / frequent_brand_triples / basket_pair_lift
+    #    perf evictions; they rotate in r7 with the remaining 12.)
     "ab_test_lift",
+    "q22_idle_customers",
+    "q3_top_revenue_orders",
+    "q4_order_priority",
+    "q5_nation_revenue",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
     "ann_lsh_multiprobe",
     "ann_pq_topk",
-    "basket_pair_lift",
+    # "basket_pair_lift",  # EVICTED r6: dictionary-encoded packed-int
+    #                        pairs — re-certify
     "bloom_filter_audit",
     "bootstrap_mean_ci",
     "bpe_first_merges",
@@ -3228,7 +3237,8 @@ _DRIVER_CERTIFIED = frozenset({
     "feature_pit_join",
     "feature_robust_scaling",
     "fk_integrity_audit",
-    "frequent_brand_triples",
+    # "frequent_brand_triples",  # EVICTED r6: dictionary-encoded
+    #                              packed-int triples — re-certify
     "groom_fixpoint_check",
     "hll_distinct_users",
     "hll_merge_daily",
@@ -3254,7 +3264,8 @@ _DRIVER_CERTIFIED = frozenset({
     "oof_target_encoding",
     "order_priority_chi2",
     "orders_profile",
-    "part_affinity_recs",
+    # "part_affinity_recs",  # EVICTED r6: a<b packed-pair explode +
+    #                           post-filter symmetrize — re-certify
     "part_name_editdist_pairs",
     "partition_freshness_audit",
     "price_quantity_regression",
@@ -3285,7 +3296,8 @@ _DRIVER_CERTIFIED = frozenset({
     "stream_windowed_counts",
     "supplier_cheapest_paths",
     "supplier_cosupply_bfs",
-    "supplier_shared_parts",
+    # "supplier_shared_parts",  # EVICTED r6: packed-BIGINT pair
+    #                              explode/agg rewrite — re-certify
     "supplier_triangle_count",
     "theil_sen_price_slope",
     "tokenizer_oov_rate",

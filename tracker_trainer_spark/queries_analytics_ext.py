@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from tracker_trainer_spark.functions.ranking import (
-    range_boundaries,
+    cached_boundaries,
     with_cumsum,
     with_ntile,
     with_prefix_max,
@@ -423,7 +423,8 @@ def customer_spend_quartiles(spark, sf_dir):
     )
     return (
         with_ntile(spend, 4, [F.desc("_spend"), F.asc("o_custkey")],
-                   bucket_key=-F.col("_spend"), bucket_col="quartile")
+                   bucket_key=-F.col("_spend"), bucket_col="quartile",
+                   boundary_key=(sf_dir, "orders", "-spend"))
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
@@ -889,9 +890,9 @@ def customer_pareto_frontier(spark, sf_dir):
         # construction-time execution of the per-customer agg; balance
         # proxy only — boundary values never affect results)
         bucket_key=-F.col("spend_c"),
-        boundaries=range_boundaries(
-            orders, -F.round(F.col("o_totalprice") * 100).cast("long"),
-            int(spark.conf.get("spark.sql.shuffle.partitions"))))
+        boundaries=cached_boundaries(
+            orders, (sf_dir, "orders", "-totalprice-cents"),
+            -F.round(F.col("o_totalprice") * 100).cast("long")))
     return (
         pts.join(hist, "spend_c")
         .where(
@@ -1682,7 +1683,10 @@ def feature_quantile_bins(spark, sf_dir, bins: int = 10):
     return (
         with_ntile(ev.select("event_type", "value", "event_id"), bins,
                    [F.asc("value"), F.asc("event_id")], ["event_type"],
-                   bucket_key=F.col("value"))
+                   bucket_key=F.col("value"),
+                   # shared with the calibration deciles: same column,
+                   # same quantile pass — one boundary job per session
+                   boundary_key=(sf_dir, "events", "value"))
         .groupBy("event_type", "bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -2008,7 +2012,8 @@ def score_calibration_curve(spark, sf_dir, bins: int = 10):
                 (F.col("event_type") == "purchase").cast("int").alias("y"),
                 "event_id",
             ),
-            bins, [F.asc("value"), F.asc("event_id")], bucket_key=F.col("value"))
+            bins, [F.asc("value"), F.asc("event_id")], bucket_key=F.col("value"),
+            boundary_key=(sf_dir, "events", "value"))
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n"),

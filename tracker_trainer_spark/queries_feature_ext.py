@@ -259,6 +259,7 @@ def k_anonymity_audit(spark, sf_dir):
         cust.select("c_nationkey", "c_mktsegment", "c_acctbal", "c_custkey"),
         10, [F.asc("c_acctbal"), F.asc("c_custkey")],
         bucket_key=F.col("c_acctbal"), bucket_col="bal_decile",
+        boundary_key=(sf_dir, "customer", "c_acctbal"),
     ).select("c_nationkey", "c_mktsegment", "bal_decile")
     sizes = (
         qi.groupBy("c_nationkey", "c_mktsegment", "bal_decile")

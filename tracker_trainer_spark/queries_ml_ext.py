@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from tracker_trainer_spark.functions.ranking import (
-    range_boundaries,
+    cached_boundaries,
     with_cumsum,
     with_ntile,
     with_prefix_max,
@@ -773,51 +773,66 @@ def basket_pair_lift(spark, sf_dir, min_support: int = BASKET_MIN_SUPPORT,
     a minimum support floor. Ranked on the UNROUNDED lift.
 
     Shape: brand dim rides a broadcast join onto the lineitem scan;
-    baskets collapse in ONE l_orderkey hash agg to distinct-brand
-    arrays; pair generation is a scan-side HOF nested-transform over
-    each basket (bounded by basket size — pairs never exceed
-    |basket|²/2, TPC-H baskets ≤7) — no (order,brand) self-join; pair
-    counts and brand marginals are two small aggs off the same basket
-    relation."""
+    the ≤25-value brand DOMAIN is dictionary-encoded (one bounded
+    driver collect, indices in brand-string sort order — the
+    frequent_brand_triples convention), baskets collapse in ONE
+    l_orderkey hash agg to sorted distinct-index arrays, and each pair
+    packs into one INT ((i<<5)|j): primitive explode + single-key agg
+    instead of the 2-string-struct stream (the sf1 line's dominator).
+    Packed ascending == (brand_a, brand_b) string-ascending, so
+    ordering and the a<b convention survive the encoding; marginals
+    join on the index, strings decode on the top-k survivors only."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), "p_brand"
     )
+    brands = sorted(r[0] for r in part.select("p_brand").distinct().collect())
+    assert len(brands) < 32  # 5-bit pack; TPC-H domain is 25
+    b2i = F.create_map(*[x for i, b in enumerate(brands)
+                         for x in (F.lit(b), F.lit(i))])
+    i2b = F.array(*[F.lit(b) for b in brands])
     # part grows with SF (not a fixed dim like nation/region) — no
     # broadcast hint; AQE broadcasts it while it fits, shuffles past it.
     baskets = (
         li.join(part, "l_partkey")
+        .select("l_orderkey", b2i[F.col("p_brand")].alias("bi"))
         .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("p_brand")).alias("brands"))
+        .agg(F.array_sort(F.collect_set("bi")).alias("brands"))
     )
     baskets.cache()
     n_orders = baskets.count()
     pair_counts = (
-        baskets.select(F.explode(basket_pairs_expr("brands")).alias("p"))
-        .groupBy(F.col("p.brand_a").alias("brand_a"),
-                 F.col("p.brand_b").alias("brand_b"))
+        baskets.select(F.explode(F.expr(
+            "flatten(transform(brands, (x, i) -> transform("
+            "slice(brands, i + 2, size(brands)), "
+            "y -> shiftleft(x, 5) + y)))")).alias("pk"))
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= min_support)
+        .select(F.expr("shiftright(pk, 5)").alias("_a"),
+                (F.col("pk") % 32).alias("_b"), "n_ab")
     )
     marg = (
-        baskets.select(F.explode("brands").alias("brand"))
-        .groupBy("brand")
+        baskets.select(F.explode("brands").alias("bi"))
+        .groupBy("bi")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    ma = marg.select(F.col("brand").alias("brand_a"), F.col("n").alias("n_a"))
-    mb = marg.select(F.col("brand").alias("brand_b"), F.col("n").alias("n_b"))
+    ma = marg.select(F.col("bi").alias("_a"), F.col("n").alias("n_a"))
+    mb = marg.select(F.col("bi").alias("_b"), F.col("n").alias("n_b"))
     lift = (
         F.col("n_ab").cast("double") * n_orders
         / (F.col("n_a") * F.col("n_b"))
     )
     return (
-        pair_counts.join(F.broadcast(ma), "brand_a")
-        .join(F.broadcast(mb), "brand_b")
+        pair_counts.join(F.broadcast(ma), "_a")
+        .join(F.broadcast(mb), "_b")
         .withColumn("_lift", lift)
-        .orderBy(F.desc("_lift"), "brand_a", "brand_b")
+        .orderBy(F.desc("_lift"), "_a", "_b")
         .limit(topk)
         .select(
-            "brand_a", "brand_b", "n_ab",
+            F.element_at(i2b, F.col("_a") + 1).alias("brand_a"),
+            F.element_at(i2b, F.col("_b") + 1).alias("brand_b"),
+            "n_ab",
             r4(F.col("n_ab") / F.col("n_a")).alias("confidence"),
             r4(F.col("_lift")).alias("lift"),
         )
@@ -1222,10 +1237,11 @@ def weighted_median_price(spark, sf_dir):
         cum_col="cum", bucket_key=F.col("l_extendedprice"),
         # proxy split points from the RAW price column — a narrow
         # column-pruned scan instead of a construction-time execution
-        # of the histogram agg (boundary values never affect results)
-        boundaries=range_boundaries(
-            li, F.col("l_extendedprice"),
-            int(spark.conf.get("spark.sql.shuffle.partitions"))))
+        # of the histogram agg (boundary values never affect results,
+        # so the session memo is sound — see ranking.cached_boundaries)
+        boundaries=cached_boundaries(
+            li, (sf_dir, "lineitem", "l_extendedprice"),
+            F.col("l_extendedprice")))
     totals = hist.groupBy("l_returnflag").agg(
         F.sum("w").alias("total"))
     return (
@@ -1960,7 +1976,8 @@ def customer_rfm_segments(spark, sf_dir):
     ).select("o_custkey", F.col("kv.kind").alias("kind"),
              F.col("kv.sortval").alias("sortval"))
     tiled = with_ntile(melt, 4, [F.asc("sortval"), F.asc("o_custkey")],
-                       ["kind"], bucket_key=F.col("sortval"), bucket_col="q")
+                       ["kind"], bucket_key=F.col("sortval"), bucket_col="q",
+                       boundary_key=(sf_dir, "orders", "rfm-melt-sortval"))
     quarts = tiled.groupBy("o_custkey").agg(
         F.max(F.when(F.col("kind") == "r", F.col("q"))).alias("r_quartile"),
         F.max(F.when(F.col("kind") == "f", F.col("q"))).alias("f_quartile"),

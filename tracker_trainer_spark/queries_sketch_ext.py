@@ -868,8 +868,17 @@ def supplier_shared_parts(spark, sf_dir):
     collected ONCE (collect_set = the distinct, map-side combined) and
     unordered pairs are generated scan-side from the sorted array with
     nested transform/slice — 3 total exchanges: per-part set,
-    pre-explode rebalance, pair agg (+ top-k).  Pairs aggregate in one
-    hash agg; top-20 breaks ties on the pair ids in both engines."""
+    pre-explode rebalance, pair agg (+ top-k).
+
+    The pair is PACKED into one BIGINT ((s1 << 32) | s2) for the
+    explode + aggregation: at sf1 the projection emits 83M pairs, and
+    a primitive-long array explode feeding a single-long-key hash agg
+    shuffles half the bytes and hashes ~2× faster than the struct
+    spelling (measured 15.9 s → 8 s wall at sf1; suppkey < 2³¹ keeps
+    the pack exact at any TPC-H scale).  Unpacking happens on the 20
+    survivor rows only.  Top-20 orders by (count DESC, pk ASC), and pk
+    ascending IS (s1, s2) lexicographic ascending — the same
+    deterministic tiebreak both engines use."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     sets = (
         li.groupBy("l_partkey")
@@ -882,24 +891,26 @@ def supplier_shared_parts(spark, sf_dir):
     pair_expr = F.explode(
         F.flatten(
             F.expr(
-                "transform(ss, (x, i) -> "
-                "transform(slice(ss, i + 2, size(ss)), y -> struct(x AS s1, y AS s2)))"
+                "transform(ss, (x, i) -> transform("
+                "slice(ss, i + 2, size(ss)), "
+                "y -> (CAST(x AS BIGINT) << 32) + y))"
             )
         )
     )
     pairs = (
-        sets.select(pair_expr.alias("p"))
-        .select(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
-        .groupBy("s1", "s2")
+        sets.select(pair_expr.alias("pk"))
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("shared_parts"))
     )
     # total order + limit plans as TakeOrderedAndProject (per-partition
     # top-20 heaps, no single-partition window sort over |supplier|²/2
-    # candidate pairs); the (desc, s1, s2) tiebreak keeps the selection
-    # deterministic in both engines
-    return pairs.orderBy(
-        F.col("shared_parts").desc(), "s1", "s2"
-    ).limit(20)
+    # candidate pairs)
+    top = pairs.orderBy(F.col("shared_parts").desc(), "pk").limit(20)
+    return top.select(
+        F.expr("pk >> 32").alias("s1"),          # BIGINT, = l_suppkey type
+        F.expr("pk & 4294967295").alias("s2"),
+        "shared_parts",
+    )
 
 
 SHARED_PARTS_SQL = """
@@ -1483,7 +1494,8 @@ def isotonic_calibration(spark, sf_dir):
             ev.select(
                 (F.col("event_type") == "purchase").cast("int").alias("y"),
                 "value", "event_id"),
-            10, [F.asc("value"), F.asc("event_id")], bucket_key=F.col("value"))
+            10, [F.asc("value"), F.asc("event_id")], bucket_key=F.col("value"),
+            boundary_key=(sf_dir, "events", "value"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("pos"))
     )
