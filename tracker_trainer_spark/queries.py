@@ -2387,26 +2387,41 @@ GROUP BY purchase_id
 
 def revenue_rollup_nation_year(spark, sf_dir):
     """ROLLUP aggregate: revenue by (nation, year), per-nation subtotals,
-    and a grand total in one pass — Spark's rollup plans a single agg
-    over the expanded grouping sets, not three scans. Subtotal rows are
-    sentinel-coalesced ('ALL' / -1) so the oracle compare never sorts
-    NULL grouping keys.
-    """
+    and a grand total in one pass.  Subtotal rows are sentinel-coalesced
+    ('ALL' / -1) so the oracle compare never sorts NULL grouping keys.
+
+    r6 shape: the ROLLUP's Expand runs on an exact (nation, year)
+    PRE-AGGREGATE (~25×|years| rows) instead of duplicating every fact
+    row into three grouping sets — the joins stay join-first (AQE
+    broadcasts order/customer while they fit, shuffles past it), but
+    the fact stream collapses map-side to 175 groups BEFORE any
+    exchange, and only the tiny relation expands.  Pre-aggregation
+    regroups the summation, so revenue moves to EXACT integer
+    1e-4-dollar units (price and discount both carry 2 decimals —
+    their product is a 4-decimal exact integer; the repo's
+    integer-cents convention): the double chain diverged from the
+    oracle in the 4th decimal of the 3e10 grand total the moment the
+    addition tree changed."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
-    return (
+    units = (F.round(F.col("l_extendedprice") * 100).cast("long")
+             * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")))
+    per_ny = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .withColumn("l_year", F.year("o_orderdate"))
-        .rollup("n_name", "l_year")
-        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .groupBy("n_name", F.year("o_orderdate").alias("l_year"))
+        .agg(F.sum(units).alias("_u"))
+    )
+    return (
+        per_ny.rollup("n_name", "l_year")
+        .agg(F.sum("_u").alias("_su"))
         .select(
             F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
             F.coalesce(F.col("l_year"), F.lit(-1)).cast("long").alias("l_year"),
-            "revenue",
+            r4(F.col("_su").cast("double") / 10000.0).alias("revenue"),
         )
     )
 
@@ -2414,10 +2429,11 @@ def revenue_rollup_nation_year(spark, sf_dir):
 ROLLUP_SQL = """
 SELECT coalesce(n_name, 'ALL') AS nation,
        CAST(coalesce(l_year, -1) AS BIGINT) AS l_year,
-       round(sum(rev), 4) AS revenue
+       round(CAST(CAST(sum(u) AS BIGINT) AS DOUBLE) / 10000.0, 4) AS revenue
 FROM (
   SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS l_year,
-         l_extendedprice * (1 - l_discount) AS rev
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS u
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -2712,25 +2728,39 @@ def q21_sole_returned_supplier(spark, sf_dir):
     count-distinct Expand (which doubles pre-shuffle rows). EXISTS ≡
     n_supp > 1; NOT EXISTS ≡ n_ret_supp = 1 (the candidate row itself
     is returned, so the sole returning supplier is this one).
+
+    r6: the profile also CARRIES the answer — the sole returning
+    supplier's id (max over the one _has_r supplier) and its returned-
+    row count — so the former second lineitem pass (R-filter → two
+    semi-joins back) is gone: lineitem scans and shuffles ONCE, and
+    everything after the profile is order-cardinality (3.4→1.6 s-class
+    fix, the q18 pattern).  numwait = Σ per-order returned-row counts
+    of the sole returner, identical to counting the l1 rows.
     """
     li = _t(spark, sf_dir, "lineitem")
+    r = (F.col("l_returnflag") == "R").cast("int")
     per_order = (
         li.groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max((F.col("l_returnflag") == "R").cast("int")).alias("_has_r"))
+        .agg(F.max(r).alias("_has_r"), F.sum(r).alias("_n_r_rows"))
         .groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("_n_supp"), F.sum("_has_r").alias("_n_ret"))
+        .agg(
+            F.count(F.lit(1)).alias("_n_supp"),
+            F.sum("_has_r").alias("_n_ret"),
+            F.max(F.when(F.col("_has_r") == 1, F.col("l_suppkey")))
+            .alias("_ret_supp"),
+            F.sum(F.when(F.col("_has_r") == 1, F.col("_n_r_rows")))
+            .alias("_r_rows"),
+        )
         .where((F.col("_n_supp") > 1) & (F.col("_n_ret") == 1))
-        .select("l_orderkey")
     )
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     supp = _t(spark, sf_dir, "supplier")
     return (
-        li.where(F.col("l_returnflag") == "R")
-        .join(per_order, "l_orderkey", "left_semi")
-        .join(orders, F.col("l_orderkey") == orders.o_orderkey, "left_semi")
-        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey,
+                       "left_semi")
+        .join(supp, F.col("_ret_supp") == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("_r_rows").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(100)
     )
