@@ -97,10 +97,9 @@ def main() -> None:
         # localCheckpoint blocks (jaccard's pinned prefix, the traversal
         # edge sets) are NOT covered by clearCache — they release only
         # when the constructed DataFrame's RDD is GC'd and the
-        # ContextCleaner drains (ADVICE r5). Dropping the py4j refs
-        # eagerly keeps repeated constructions from accumulating blocks
-        # across the 175-query loop.
-        runs = None
+        # ContextCleaner drains (ADVICE r5). The DataFrames are already
+        # unreferenced (never bound); gc.collect() runs their py4j
+        # finalizers now instead of whenever CPython gets around to it.
         gc.collect()
 
     # Measure Spark's fixed per-query floor on THIS box right now:

@@ -100,6 +100,7 @@ def main() -> None:
                 t0 = time.perf_counter()
                 QUERIES[n](spark, sf_dir).toPandas()
                 runs.append(time.perf_counter() - t0)
+            timings[n] = round(min(runs), 3)
         except Exception as e:  # noqa: BLE001
             # ADVICE r5: eligible() reads only the ORACLE text — a query
             # whose SPARK side touches documents/embeddings while its SQL
@@ -107,13 +108,18 @@ def main() -> None:
             # (which lacks those files). Record + skip instead of
             # aborting the whole bench; the JSON carries the skip so a
             # silently-shrunk query set can't masquerade as coverage.
-            skipped[n] = f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
-            continue
-        timings[n] = round(min(runs), 3)
-        spark.catalog.clearCache()
-        # localCheckpoint blocks release via ContextCleaner once the
-        # constructed DataFrames are GC'd (ADVICE r5 — see bench.py)
-        gc.collect()
+            # (`or ['']`: a message-less exception must not IndexError
+            # inside the handler that exists to survive exceptions.)
+            first = (str(e).splitlines() or [""])[0]
+            skipped[n] = f"{type(e).__name__}: {first[:200]}"
+        finally:
+            # cleanup runs on the skip path too: a failed query's cached
+            # intermediates (e.g. basket relations) must not occupy
+            # storage memory during every subsequent timing
+            spark.catalog.clearCache()
+            # localCheckpoint blocks release via ContextCleaner once the
+            # constructed DataFrames are GC'd (ADVICE r5 — see bench.py)
+            gc.collect()
 
     names = [n for n in names if n in timings]
     eb = [n for n in names if duck[n] >= min_duck]

@@ -77,7 +77,7 @@ def test_no_nested_loop_in_plan(frames):
 
 
 def test_rejects_bad_bin():
-    for bad in (0, -1, 2.5, float("nan")):
+    for bad in (0, -1, 2.5, float("nan"), float("inf"), float("-inf")):
         # NaN must hit the same contract message, not int()'s own
         # opaque "cannot convert float NaN to integer" (ADVICE r5)
         with pytest.raises(ValueError, match="whole second"):

@@ -35,7 +35,13 @@ from tracker_trainer_spark.queries import QUERIES
 # comes from a FILTER, which the lint cannot see (it only trusts
 # aggregates).  Adjudicated acceptable, kept out of the lint rather
 # than weakening the rule for everyone.
-_EXEMPT = {"theil_sen_price_slope"}
+# train_e2e_metrics / groom_concurrent_ingest: CONSTRUCTION runs the
+# two-phase model fits / the threaded groom race — minutes of driver
+# work inside a plan-shape lint, and the interesting plans are their
+# internal sub-DataFrames, not the returned 1-row aggregate.  Their
+# scale posture is certified by their own tests and driver rows.
+_EXEMPT = {"theil_sen_price_slope", "train_e2e_metrics",
+           "groom_concurrent_ingest"}
 _LINTABLE = sorted(n for n in QUERIES
                    if not n.startswith("stream_") and n not in _EXEMPT)
 

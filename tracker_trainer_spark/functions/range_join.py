@@ -62,9 +62,10 @@ def interval_join(
     explodes intervals into many bins (row blow-up ≈ len/W), too large
     degrades back toward the per-key cross product within a bin.
     """
-    # NaN first: int(nan) raises its own opaque TypeError/ValueError
-    # before the contract message could fire (ADVICE r5)
-    if (isinstance(bin_seconds, float) and math.isnan(bin_seconds)) \
+    # Non-finite first: int(nan)/int(inf) raise their own opaque
+    # ValueError/OverflowError before the contract message could fire
+    # (ADVICE r5; the inf case via review r6)
+    if (isinstance(bin_seconds, float) and not math.isfinite(bin_seconds)) \
             or bin_seconds != int(bin_seconds) or int(bin_seconds) < 1:
         # reject fractional values outright (2.5 would silently truncate
         # to 2 — consistent results, but the contract says whole seconds)

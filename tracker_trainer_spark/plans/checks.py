@@ -107,7 +107,11 @@ def _tree_nodes(plan: str) -> tuple[dict, dict]:
         if not m:
             continue
         name, nid = m.group(1).lstrip("* "), int(m.group(2))
-        depth = line.index(m.group(0).lstrip())
+        # depth = end of the tree-drawing prefix (spaces/':-+'), NOT the
+        # name's column: whole-stage-codegen nodes carry a '* ' marker
+        # that shifts the name +2, so a codegen sibling after a plain
+        # sibling would otherwise misparse as its child (review r6)
+        depth = len(line) - len(line.lstrip(" :+-"))
         while stack and stack[-1][0] >= depth:
             stack.pop()
         if stack:

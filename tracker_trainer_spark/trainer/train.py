@@ -281,18 +281,20 @@ def _fit(encoded: DataFrame, objective: str, seed: int,
     common = dict(featuresCol="features", labelCol="y", weightCol="w",
                   maxDepth=max_depth or XGB_PARAMS["max_depth"], seed=seed,
                   validationIndicatorCol="is_val")
-    # cache: GBT's per-iteration jobs re-evaluate their input plan, and
-    # here that plan is the Arrow encode chain (flatten + vector
-    # assembly UDFs) — uncached, every boosting round pays the whole
-    # Python pipeline again
-    vec = (_to_ml_vector(encoded)
-           .withColumn("is_val", F.rand(seed + 7) < 0.3).cache())
+    vec = _to_ml_vector(encoded).withColumn("is_val", F.rand(seed + 7) < 0.3)
     if objective == "binary":
         est = GBTClassifier(maxIter=num_rounds or 40, **common)
         vec = vec.withColumn("y", F.col("y").cast("double"))
     else:
         est = GBTRegressor(
             maxIter=num_rounds or XGB_PARAMS["num_round_decision"], **common)
+    # cache AFTER the objective-specific cast: GBT's per-iteration jobs
+    # re-evaluate their input plan (here the whole Arrow encode chain),
+    # and Dataset.unpersist is non-cascading + sameResult-matched — a
+    # cache() taken BEFORE the binary path's extra withColumn would make
+    # this finally-unpersist a no-op on a derived plan and pin the
+    # encoded training set in executor storage per fit (review r6)
+    vec = vec.cache()
     try:
         return est.fit(vec)
     finally:
