@@ -56,3 +56,33 @@ def _clear_cache(spark):
 def test_no_single_task_window_over_fact_scan(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert single_task_windows(df) == []
+
+
+def test_tree_parser_handles_codegen_sibling_offset():
+    """Regression (review r6): a '* '-codegen-marked sibling's name sits
+    2 columns right of a plain sibling's, and a name-column depth would
+    misparse it as the previous sibling's CHILD — silently corrupting
+    every parent/child walk the lint does. Depth must come from the
+    tree-drawing prefix."""
+    from tracker_trainer_spark.plans.checks import _tree_nodes
+
+    plan = (
+        "== Physical Plan ==\n"
+        "AdaptiveSparkPlan (7)\n"
+        "+- * Project (6)\n"
+        "   +- * BroadcastHashJoin (5)\n"
+        "      :- BroadcastExchange (3)\n"
+        "      :  +- Scan parquet  (1)\n"
+        "      +- * Filter (4)\n"
+        "         +- Scan parquet  (2)\n"
+        "\n"
+        "(1) Scan parquet \nOutput: []\n\n"
+        "(7) AdaptiveSparkPlan\nArguments: isFinalPlan=false\n"
+    )
+    nodes, details = _tree_nodes(plan)
+    assert nodes[5][1] == [3, 4]          # join has BOTH children
+    assert nodes[3][1] == [1]             # exchange owns only its scan
+    assert nodes[4][1] == [2]             # codegen Filter is a SIBLING,
+    #                                       not a child of the exchange
+    assert nodes[4][0] == "Filter"        # '* ' stripped from the name
+    assert 1 in details and 7 in details
