@@ -91,8 +91,16 @@ def range_boundaries(df: DataFrame, key: Column, num_buckets: int,
 # only partition balance drifts.  The session-level memo exists because
 # the approxQuantile pass is a separate Spark job (~0.3-0.5 s of pure
 # job floor at bench scale) that would otherwise re-run on every query
-# construction.
+# construction.  Bounded FIFO (the key space is (sf_dir, column,
+# buckets) — small in any one process, but bench loops over many
+# sf_dirs and conf values would otherwise grow it forever).
 _BOUNDS_CACHE: dict[tuple, list[float]] = {}
+_BOUNDS_CACHE_MAX = 256
+
+
+def clear_boundary_cache() -> None:
+    """Drop every memoized boundary set (bench loops / tests)."""
+    _BOUNDS_CACHE.clear()
 
 
 def cached_boundaries(df: DataFrame, cache_key: tuple, key: Column,
@@ -103,6 +111,10 @@ def cached_boundaries(df: DataFrame, cache_key: tuple, key: Column,
     n = _num_buckets(df, num_buckets)
     full_key = (*cache_key, n)
     if full_key not in _BOUNDS_CACHE:
+        if len(_BOUNDS_CACHE) >= _BOUNDS_CACHE_MAX:
+            # FIFO eviction — any entry is safe to drop (recompute is
+            # one approxQuantile job; results never depend on it).
+            _BOUNDS_CACHE.pop(next(iter(_BOUNDS_CACHE)))
         _BOUNDS_CACHE[full_key] = range_boundaries(
             df, key, n, relative_error)
     return _BOUNDS_CACHE[full_key]
@@ -110,8 +122,13 @@ def cached_boundaries(df: DataFrame, cache_key: tuple, key: Column,
 
 def _bucket_expr(key: Column, boundaries: Sequence[float]) -> Column:
     """#{boundaries ≤ key} as a literal CASE-sum — deterministic, pure
-    JVM, O(P) per row with P ≈ 32.  NULL keys land in bucket 0,
-    matching NULLS FIRST ascending order."""
+    JVM, O(P) per row with P ≈ 32.  NULL keys land in bucket 0, which
+    matches Spark's NULLS FIRST *ascending* default only — a nullable
+    key under a DESCENDING order (the negated-key ``with_*`` pattern,
+    where Spark puts NULLs LAST) would rank NULL rows differently from
+    the builtin window.  Hence the non-null contract on every ``with_*``
+    entry point (enforced there, not here: this expression never sees a
+    NULL in a conforming call)."""
     if not boundaries:
         return F.lit(0)
     b = F.lit(0)
@@ -165,8 +182,12 @@ def with_global_rank(df: DataFrame, order_by: Sequence[Column],
     """``row_number()`` over a (per-group) total order without a
     single-task sort.  ``order_by`` MUST be a total order (include a
     unique tiebreak) and ``bucket_key`` a numeric expression monotone
-    NON-DECREASING along it (negate for descending orders).  ``n_col``,
-    if given, receives the group row count (needed by ntile
+    NON-DECREASING along it (negate for descending orders).
+    ``bucket_key`` MUST be non-null on every row: NULL keys bucket
+    FIRST (ascending semantics), so under a descending ``order_by``
+    (where Spark sorts NULLs LAST) a nullable key would desync from the
+    builtin window — coalesce or filter NULLs before calling.
+    ``n_col``, if given, receives the group row count (needed by ntile
     arithmetic)."""
     bkt = _bucketed(df, bucket_key, part_cols, boundaries, num_buckets,
                     boundary_key)
@@ -231,7 +252,8 @@ def with_cumsum(df: DataFrame, value: Column, order_by: Sequence[Column],
     cumulative-distribution primitive (weighted median, ECDF) — without
     a single-task sort.  Exact when ``value`` is integral (addition
     order-insensitive); callers must pre-scale floats to integer units
-    for cross-engine parity (registry convention)."""
+    for cross-engine parity (registry convention).  ``bucket_key`` must
+    be non-null (see ``with_global_rank``)."""
     bkt = _bucketed(df, bucket_key, part_cols, boundaries, num_buckets,
                     boundary_key)
     bkt = bkt.withColumn(_VAL, value)
@@ -256,7 +278,8 @@ def with_prefix_max(df: DataFrame, value: Column, order_by: Sequence[Column],
     STRICTLY earlier in the total order (NULL for the first row) — the
     2-D skyline / dominance primitive.  Rows must be unique on
     ``order_by`` (run it on a distinct-key histogram), which makes the
-    ROWS frame equal to the strict RANGE frame."""
+    ROWS frame equal to the strict RANGE frame.  ``bucket_key`` must be
+    non-null (see ``with_global_rank``)."""
     bkt = _bucketed(df, bucket_key, part_cols, boundaries, num_buckets,
                     boundary_key)
     bkt = bkt.withColumn(_VAL, value)

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 
 def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
@@ -77,12 +77,55 @@ FACT_TABLES = ("lineitem", "orders", "events", "customer", "supplier",
 
 # Columns with fixed tiny cardinality: a window hash-partitioned ONLY
 # by these runs in ≤ a handful of tasks — same failure mode as
-# SinglePartition when the input is row-linear.
-LOW_CARD_COLS = frozenset({
+# SinglePartition when the input is row-linear.  The hand-audited set
+# below is the FLOOR; `derive_low_card_cols` extends it from the actual
+# testdata catalog (VERDICT r6 item 6: a new query partitioned by an
+# un-listed tiny column must not silently pass), and the lint test
+# installs the union at session start via `install_low_card_cols`.
+_LOW_CARD_HAND_AUDITED = frozenset({
     "l_returnflag", "l_linestatus", "l_shipmode", "l_shipinstruct",
     "event_type", "c_mktsegment", "o_orderstatus", "o_orderpriority",
     "n_regionkey", "r_regionkey", "lang", "kind",
 })
+LOW_CARD_COLS = _LOW_CARD_HAND_AUDITED
+
+# "Tiny" = the partition-column product cannot spread work across even
+# a small cluster's tasks.  100 distinct values on a 1000-executor
+# cluster is already a 10× under-utilization, and every fixed-domain
+# TPC-H/event categorical sits far below it.
+LOW_CARD_THRESHOLD = 100
+
+
+def derive_low_card_cols(spark, sf_dir: str,
+                         threshold: int = LOW_CARD_THRESHOLD) -> frozenset:
+    """Scan the testdata catalog and return every scalar column whose
+    distinct count is ≤ ``threshold``.  Cardinalities of the fixed
+    categorical domains (returnflag, brand, container, …) do not grow
+    with SF, so deriving at the smallest scale factor is sound — SF
+    only grows the KEY domains, which sit far above any sane threshold
+    already at sf0.001.  One aggregate job per table at construction."""
+    from pathlib import Path
+
+    low: set[str] = set()
+    for p in sorted(Path(sf_dir).glob("*.parquet")):
+        df = spark.read.parquet(str(p))
+        scalar = [f.name for f in df.schema.fields
+                  if f.dataType.typeName() in
+                  ("string", "integer", "long", "short", "byte", "double",
+                   "float", "decimal", "date", "boolean", "timestamp")]
+        if not scalar:
+            continue
+        row = df.agg(*[F.approx_count_distinct(c).alias(c)
+                       for c in scalar]).collect()[0]
+        low.update(c for c in scalar if row[c] <= threshold)
+    return frozenset(low)
+
+
+def install_low_card_cols(cols: frozenset) -> None:
+    """Replace the lint's low-cardinality set (always unioned with the
+    hand-audited floor)."""
+    global LOW_CARD_COLS
+    LOW_CARD_COLS = frozenset(cols) | _LOW_CARD_HAND_AUDITED
 
 # Nodes that bound the data volume entering a window: anything below an
 # aggregation is (grouping-cardinality)-sized, not row-linear.
@@ -162,8 +205,17 @@ def single_task_windows(df: DataFrame) -> list[str]:
     for nid, (name, children) in nodes.items():
         if name != "Window":
             continue
-        # 1) the exchange that establishes this window's partitioning:
-        #    walk the child chain through narrow nodes
+        # 1) the exchange that establishes this window's partitioning.
+        #    Walk the child chain through narrow nodes AND through
+        #    joins (ADVICE r6: a Window can inherit an existing
+        #    low-cardinality hash partitioning from a shuffle further
+        #    upstream — e.g. below a SortMergeJoin — with no fresh
+        #    Exchange of its own; stopping at the first Join let that
+        #    escape).  A join's output partitioning comes from its
+        #    streamed/left child, so follow that branch, skipping a
+        #    BroadcastExchange child (the build side establishes
+        #    nothing).  Aggregates still stop the walk: they bound the
+        #    data volume, so whatever partitioning lies below is moot.
         cur = children[0] if children else None
         exch = None
         while cur is not None:
@@ -171,9 +223,15 @@ def single_task_windows(df: DataFrame) -> list[str]:
             if cname == "Exchange":
                 exch = cur
                 break
-            if cname.startswith(_SAFE_STOPS) or "Join" in cname or \
-                    cname.startswith("Scan"):
+            if cname.startswith(_SAFE_STOPS) or cname.startswith("Scan"):
                 break
+            if "Join" in cname and cchildren:
+                nxt = cchildren[0]
+                if nodes[nxt][0] == "BroadcastExchange" and \
+                        len(cchildren) > 1:
+                    nxt = cchildren[1]
+                cur = nxt
+                continue
             cur = cchildren[0] if cchildren else None
         if exch is None:
             continue

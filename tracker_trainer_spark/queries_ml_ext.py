@@ -787,7 +787,13 @@ def basket_pair_lift(spark, sf_dir, min_support: int = BASKET_MIN_SUPPORT,
         F.col("p_partkey").alias("l_partkey"), "p_brand"
     )
     brands = sorted(r[0] for r in part.select("p_brand").distinct().collect())
-    assert len(brands) < 32  # 5-bit pack; TPC-H domain is 25
+    if len(brands) >= 32:  # 5-bit pack; TPC-H domain is 25.  A bare
+        # assert would be stripped under `python -O` and silently alias
+        # packed keys, corrupting pair counts — fail loudly instead.
+        raise ValueError(
+            f"basket_pair_lift: {len(brands)} distinct brands exceed the "
+            "5-bit dictionary pack (max 31); widen the pack shift"
+        )
     b2i = F.create_map(*[x for i, b in enumerate(brands)
                          for x in (F.lit(b), F.lit(i))])
     i2b = F.array(*[F.lit(b) for b in brands])

@@ -516,7 +516,13 @@ def frequent_brand_triples(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     brands = sorted(r[0] for r in part.select("p_brand").distinct().collect())
-    assert len(brands) < 32  # 5-bit pack; TPC-H domain is 25
+    if len(brands) >= 32:  # 5-bit pack; TPC-H domain is 25.  A bare
+        # assert would be stripped under `python -O` and silently alias
+        # packed keys, corrupting triple counts — fail loudly instead.
+        raise ValueError(
+            f"frequent_brand_triples: {len(brands)} distinct brands exceed "
+            "the 5-bit dictionary pack (max 31); widen the pack shift"
+        )
     b2i = F.create_map(*[x for i, b in enumerate(brands)
                          for x in (F.lit(b), F.lit(i))])
     i2b = F.array(*[F.lit(b) for b in brands])
