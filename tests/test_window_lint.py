@@ -23,6 +23,7 @@ dedicated stream tests instead).
 import pytest
 
 from tracker_trainer_spark.plans import single_task_windows
+from tracker_trainer_spark.plans import checks as _checks
 from tracker_trainer_spark.queries import QUERIES
 
 # Construction alone runs a streaming drain (stream_*) — lint the
@@ -46,6 +47,19 @@ _LINTABLE = sorted(n for n in QUERIES
                    if not n.startswith("stream_") and n not in _EXEMPT)
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _catalog_low_card(spark, sf_dir):
+    """Install the catalog-derived low-cardinality set (VERDICT r6
+    item 6) so the whole-registry lint below uses the DATA's tiny
+    columns, not just the hand-audited floor — a new query partitioned
+    by an un-listed 3-value column must fail here, not pass silently."""
+    derived = _checks.derive_low_card_cols(
+        spark, sf_dir, growth_check_dir="/root/testdata/sf0.1")
+    _checks.install_low_card_cols(derived)
+    yield
+    _checks.install_low_card_cols(frozenset())
+
+
 @pytest.fixture(autouse=True)
 def _clear_cache(spark):
     spark.catalog.clearCache()
@@ -56,6 +70,49 @@ def _clear_cache(spark):
 def test_no_single_task_window_over_fact_scan(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert single_task_windows(df) == []
+
+
+def test_lint_catches_unlisted_tiny_column(spark, sf_dir):
+    """Done-criterion for the catalog derivation (VERDICT r6 item 6):
+    a Window hash-partitioned ONLY by a tiny-domain column that the
+    hand-audited floor does NOT list (l_tax: 9 distinct values at every
+    SF) over a raw lineitem scan must be flagged once the derived set
+    is installed — and demonstrably would NOT have been under the old
+    hard-coded list."""
+    from pyspark.sql import Window, functions as F
+
+    assert "l_tax" not in _checks._LOW_CARD_HAND_AUDITED
+    assert "l_tax" in _checks.LOW_CARD_COLS  # derived from the catalog
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bad = li.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("l_tax").orderBy("l_orderkey", "l_linenumber")))
+    violations = single_task_windows(bad)
+    assert violations and "lineitem" in violations[0]
+
+    # sanity: the floor alone misses it (this is what made the
+    # derivation load-bearing, not decorative)
+    _checks.install_low_card_cols(frozenset())
+    try:
+        assert single_task_windows(bad) == []
+    finally:
+        _checks.install_low_card_cols(_checks.derive_low_card_cols(
+            spark, sf_dir, growth_check_dir="/root/testdata/sf0.1"))
+
+
+def test_growth_check_excludes_scaling_keys(spark, sf_dir):
+    """events.user_id has 15 distinct values at sf0.001 — tiny — but
+    1500 at sf0.1: a GROWING key domain (millions at production scale)
+    that must NOT be classified as fixed-low-cardinality, or every
+    user-keyed window in the registry would be flagged as a scale
+    killer.  The two-scale growth check is the discriminator."""
+    naive = _checks.derive_low_card_cols(spark, sf_dir)
+    checked = _checks.derive_low_card_cols(
+        spark, sf_dir, growth_check_dir="/root/testdata/sf0.1")
+    assert "user_id" in naive       # the trap exists at test scale
+    assert "user_id" not in checked  # and the growth check removes it
+    assert "l_tax" in checked        # while true fixed domains stay
 
 
 def test_tree_parser_handles_codegen_sibling_offset():

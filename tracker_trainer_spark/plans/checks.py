@@ -96,17 +96,11 @@ LOW_CARD_COLS = _LOW_CARD_HAND_AUDITED
 LOW_CARD_THRESHOLD = 100
 
 
-def derive_low_card_cols(spark, sf_dir: str,
-                         threshold: int = LOW_CARD_THRESHOLD) -> frozenset:
-    """Scan the testdata catalog and return every scalar column whose
-    distinct count is ≤ ``threshold``.  Cardinalities of the fixed
-    categorical domains (returnflag, brand, container, …) do not grow
-    with SF, so deriving at the smallest scale factor is sound — SF
-    only grows the KEY domains, which sit far above any sane threshold
-    already at sf0.001.  One aggregate job per table at construction."""
+def _distinct_counts(spark, sf_dir: str) -> dict[str, int]:
+    """approx distinct count per scalar column per table file."""
     from pathlib import Path
 
-    low: set[str] = set()
+    counts: dict[str, int] = {}
     for p in sorted(Path(sf_dir).glob("*.parquet")):
         df = spark.read.parquet(str(p))
         scalar = [f.name for f in df.schema.fields
@@ -117,7 +111,37 @@ def derive_low_card_cols(spark, sf_dir: str,
             continue
         row = df.agg(*[F.approx_count_distinct(c).alias(c)
                        for c in scalar]).collect()[0]
-        low.update(c for c in scalar if row[c] <= threshold)
+        for c in scalar:
+            # same column name in two tables (none today): keep the max
+            counts[c] = max(counts.get(c, 0), row[c])
+    return counts
+
+
+def derive_low_card_cols(spark, sf_dir: str,
+                         growth_check_dir: str | None = None,
+                         threshold: int = LOW_CARD_THRESHOLD) -> frozenset:
+    """Scan the testdata catalog and return every scalar column whose
+    domain is FIXED AND tiny: distinct count ≤ ``threshold``, and — when
+    ``growth_check_dir`` points at a larger scale factor — NOT growing
+    between the two scales.  The growth check is what separates a true
+    fixed categorical (l_tax: 9 values at every SF — dead parallelism
+    at 100 TB) from a small-sample key domain (events.user_id: 15 at
+    sf0.001 but 1500 at sf0.1 and millions at production scale — a
+    perfectly scalable partition key that only LOOKS tiny at test
+    scale).  Deriving from one tiny SF alone would flag every
+    user-keyed window in the registry as a scale killer, which is
+    exactly backwards.  One aggregate job per table per scale dir, at
+    construction only."""
+    small = _distinct_counts(spark, sf_dir)
+    if growth_check_dir is None:
+        return frozenset(c for c, n in small.items() if n <= threshold)
+    big = _distinct_counts(spark, growth_check_dir)
+    low: set[str] = set()
+    for c, n_small in small.items():
+        n_big = big.get(c, n_small)
+        fixed = n_big <= 1.25 * n_small + 5  # approx_count_distinct noise
+        if fixed and n_big <= threshold:
+            low.add(c)
     return frozenset(low)
 
 
@@ -173,17 +197,19 @@ def _tree_nodes(plan: str) -> tuple[dict, dict]:
 
 def _exchange_parallelism(detail: str) -> str:
     """'single' | 'low_card:<cols>' | 'wide' for an Exchange node."""
-    m = re.search(r"Arguments: (\w+)(\(([^)]*)\))?", detail or "")
+    m = re.search(r"Arguments: (\w+)", detail or "")
     if not m:
         return "wide"
     kind = m.group(1)
     if kind == "SinglePartition":
         return "single"
     if kind == "hashpartitioning":
-        cols = {re.sub(r"#\d+L?", "", c.strip())
-                for c in (m.group(3) or "").split(",")
-                if "#" in c}
-        cols.discard("")
+        # Column refs anywhere in the partitioning expression — floats
+        # arrive wrapped (knownfloatingpointnormalized(normalizenanand
+        # zero(l_tax#7))), so parenthesis-free extraction of `name#id`
+        # tokens is the robust spelling (plan_id carries no '#').
+        args_line = detail[m.start():].splitlines()[0]
+        cols = set(re.findall(r"(\w+)#\d+", args_line))
         if cols and cols <= LOW_CARD_COLS:
             return f"low_card:{sorted(cols)}"
     return "wide"

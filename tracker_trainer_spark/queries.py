@@ -3249,7 +3249,10 @@ _DRIVER_CERTIFIED = frozenset({
     "doc_bigram_perplexity",
     "doc_bigram_pmi",
     "doc_bm25_search",
-    "doc_pack_assignments",
+    # "doc_pack_assignments",  # EVICTED r7: per-source prefix sum
+    #                            rewritten onto with_cumsum (the
+    #                            catalog-derived lint flagged the fixed
+    #                            20-value source partitioning) — re-certify
     "doc_pii_scan",
     "doc_tfidf_top_terms",
     "doc_unigram_logprob",

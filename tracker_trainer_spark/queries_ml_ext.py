@@ -903,27 +903,37 @@ def doc_pack_assignments(spark, sf_dir, context: int = PACK_CONTEXT):
     overflows its pack — the standard concat-and-chunk contract), then
     report per-pack document count and token totals.
 
-    Packing is a PREFIX SUM — inherently sequential — so a single global
-    ordering would serialize the corpus through one partition. Real
-    pipelines pack per shard; here the shard is the `source` column, so
-    the window partitions by source and every shard packs in parallel
-    (one source shuffle, frame state O(1)). Ordering inside a shard is
-    doc_id (deterministic, append-stable).
+    Packing is a PREFIX SUM — inherently sequential per shard (the
+    `source` column), and a plain per-source window serializes each
+    shard through ONE task: source is a FIXED ~20-value domain, so at
+    100 TB that plan runs the whole corpus through ~20 tasks (the
+    catalog-derived window lint flags exactly this shape — r7 catch).
+    Instead the running token offset rides functions/ranking.with_cumsum:
+    doc_id range-buckets (literal boundaries) give every shard × bucket
+    its own task, per-bucket windows stay parallel, and the broadcast
+    offset relation (≤ buckets × sources rows) restores the exact
+    global prefix.  n_tokens is integral, so the re-associated addition
+    is exact.  The window is EXCLUSIVE (a doc lands in the pack where
+    its first token falls); with_cumsum is inclusive — subtract the
+    row's own n_tokens.
     """
+    from tracker_trainer_spark.functions.ranking import with_cumsum
+
     docs = _t(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.col("text"), r"\s+"))  # count is case-blind
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    base = docs.select("source", "doc_id", n_tok.alias("n_tokens"))
+    cum = with_cumsum(
+        base,
+        value=F.col("n_tokens"),
+        order_by=[F.col("doc_id")],
+        part_cols=["source"],
+        bucket_key=F.col("doc_id"),
+        cum_col="__cum_incl",
+        boundary_key=(sf_dir, "documents.doc_id"),
     )
-    assigned = docs.select(
-        "source",
-        "doc_id",
-        n_tok.alias("n_tokens"),
-    ).withColumn(
+    assigned = cum.withColumn(
         "pack_id",
-        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / context),
+        F.floor((F.col("__cum_incl") - F.col("n_tokens")) / context),
     )
     return (
         assigned.groupBy("source", "pack_id")
