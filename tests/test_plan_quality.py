@@ -503,7 +503,11 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     # pair distinct + 2 verify joins.
     ("jaccard_prefix_join", 3),
     ("user_activity_streaks", 1),      # ONE user agg; HOF walks the array
-    ("doc_pack_assignments", 2),       # source window + pack hash agg
+    # r7 distributed prefix sum: doc_id bucket window + 2 tiny offset
+    # exchanges (bucket×source-bounded) + pack hash agg — the old
+    # 2-shuffle plan serialized the corpus through the 20-value source
+    # partitioning (window lint catch)
+    ("doc_pack_assignments", 4),
     # spread + pair agg + argmax window + base join (cached doc subtree
     # re-expands per consumer in the static plan)
     ("corpus_decontamination", 8),
@@ -524,15 +528,20 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     # basket agg + edge-weight agg + degree agg + orientation joins +
     # wedge/closing joins — all keyed, none quadratic in hub degree
     ("supplier_triangle_count", 12),
-    # static plan re-expands the CACHED basket subtree per consumer
-    # (pair agg + marginals); at execution the basket agg runs once
-    ("basket_pair_lift", 5),
+    # r7 mask-histogram plan: the STATIC plan re-expands the mhist
+    # subtree per consumer (pairs + marginals + order total = 3 × the
+    # 4-exchange chain); at execution AQE dedupes them to ONE chain
+    # (3 ReusedExchange nodes in the final adaptive plan — verified in
+    # PLANS.md), so the static count is an upper bound, not work
+    ("basket_pair_lift", 12),
     # ONE fact shuffle (category,fold agg); totals are windows over the
     # |cats|×folds relation (2nd exchange) — fact never rescanned
     ("oof_target_encoding", 2),
-    # 5 FK edges × (keyed anti join + 1-row agg join); the only
-    # non-keyed joins are 1-row scalar broadcasts
-    ("fk_integrity_audit", 10),
+    # r7 melted audit: ONE lineitem scan explodes all 3 edge claims
+    # (key-level pre-agg + union'd parent anti join + totals sharing
+    # the keyed exchange); static count re-expands the keyed subtree
+    # per aggregate — runtime reuses it
+    ("fk_integrity_audit", 13),
     ("conversion_latency_quantiles", 2),  # user window + global agg
     ("event_burst_dedup", 3),             # (user,type) window + rollup + sort
     # distributed-ntile bucket window + 2 tiny offset exchanges +
@@ -623,12 +632,17 @@ def test_jaccard_prefix_join_no_all_pairs(spark, sf_dir):
 
 
 def test_basket_lift_no_self_join(spark, sf_dir):
-    """Pair generation is a scan-side HOF over basket arrays — never the
-    (order,item)×(order,item) self-join the oracle uses."""
+    """Pair generation is a scan-side HOF over the mask histogram —
+    never the (order,item)×(order,item) self-join the oracle uses.
+    The ONLY nested-loop join allowed is the 1-row order-total scalar
+    attach (crossJoin of a broadcast aggregate — bounded by
+    construction); every BNLJ in the plan must be that Cross shape."""
     from tracker_trainer_spark.plans import physical_plan
     plan = physical_plan(QUERIES["basket_pair_lift"](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    tree = plan.split("\n\n")[0]
+    bnlj = [ln for ln in tree.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert len(bnlj) <= 1 and all("Cross" in ln for ln in bnlj), tree
     spark.catalog.clearCache()
 
 
@@ -964,6 +978,21 @@ def test_mta_window_is_equi_join(spark, sf_dir):
     from tracker_trainer_spark.plans import physical_plan
     plan = physical_plan(QUERIES["multitouch_attribution"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fk_audit_single_lineitem_scan(spark, sf_dir):
+    """VERDICT r6 item 3 done-criterion: the three lineitem FK edges
+    must melt out of ONE fact scan (the r6 shape touched lineitem ~6
+    times — 3 anti joins + 3 bare counts); parents and the two small
+    edges get one scan each, and no edge ever anti-joins the RAW fact
+    (only key-level pre-aggregates cross the network)."""
+    from tracker_trainer_spark.plans import physical_plan
+    df = QUERIES["fk_integrity_audit"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("customer.parquet") == 2   # parent + child edge
+    assert plan.count("orders.parquet") == 2     # parent + child edge
     assert "CartesianProduct" not in plan
 
 

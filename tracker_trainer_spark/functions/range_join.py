@@ -49,6 +49,7 @@ def interval_join(
     interval_end: str,
     on: list[str],
     bin_seconds: int,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Rows = (interval columns ⊕ point columns) for every point whose
     `point_time` falls inside [interval_start, interval_end] and whose
@@ -61,6 +62,15 @@ def interval_join(
     Choose `bin_seconds` near the typical interval length: too small
     explodes intervals into many bins (row blow-up ≈ len/W), too large
     degrades back toward the per-key cross product within a bin.
+
+    `num_partitions`, when given, repartitions BOTH sides explicitly on
+    the (keys, bin) join columns.  An explicit repartition satisfies the
+    join's required distribution (no extra exchange) and — the point —
+    is exempt from AQE partition coalescing, which sizes partitions by
+    BYTES and collapses this join's small-byte but CPU-heavy stages
+    (µs residual over the candidate pairs) onto a handful of cores.
+    Callers pass spark.sql.shuffle.partitions; leave None where the
+    stage is I/O-bound and coalescing is the right call.
     """
     # Non-finite first: int(nan)/int(inf) raise their own opaque
     # ValueError/OverflowError before the contract message could fire
@@ -84,6 +94,9 @@ def interval_join(
         "_bin",
         F.explode(F.sequence(F.floor(lo / bin_us), F.floor(hi / bin_us))),
     )
+    if num_partitions:
+        p = p.repartition(num_partitions, *on, "_bin")
+        iv = iv.repartition(num_partitions, *on, "_bin")
     return iv.join(p, [*on, "_bin"]).where(pt.between(lo, hi)).drop("_bin")
 
 

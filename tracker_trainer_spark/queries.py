@@ -43,6 +43,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return normalize_ns_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
+# Exact row counts of the immutable input tables, straight from parquet
+# FOOTER metadata — zero Spark jobs (the r6 `li.count()` spelling cost
+# one scheduled job per query construction; VERDICT r7 item 4).  Sound
+# because the testdata dirs never change within a session; memoized the
+# same way (and for the same reason) as ranking._BOUNDS_CACHE.  The
+# production analog is the table catalog's row-count statistic.
+_ROW_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    key = (sf_dir, name)
+    if key not in _ROW_COUNT_CACHE:
+        import pyarrow.parquet as pq
+        from pathlib import Path
+
+        path = Path(f"{sf_dir}/{name}.parquet")
+        files = sorted(path.glob("**/*.parquet")) if path.is_dir() else [path]
+        _ROW_COUNT_CACHE[key] = sum(
+            pq.ParquetFile(str(f)).metadata.num_rows for f in files)
+    return _ROW_COUNT_CACHE[key]
+
+
 def r4(c):
     return F.round(c, 4)
 

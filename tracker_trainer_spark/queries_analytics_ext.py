@@ -1484,14 +1484,33 @@ FROM cell ORDER BY category, fold
 def fk_integrity_audit(spark, sf_dir):
     """Orphan audit over the schema's FK edges — the data-quality gate
     a pipeline runs before training on a fresh snapshot (an orphan
-    count jumping from 0 means an upstream partial load).  Each edge is
-    a LEFT ANTI join of child keys against the parent key set; Spark
-    plans broadcast-anti where the parent fits and shuffle-anti
-    otherwise, and the five 1-row aggregates union into one job.
+    count jumping from 0 means an upstream partial load).
 
-    At 100 TB the anti joins are the exact shape the runtime
-    bloom-filter semi-join optimizes (tests/test_runtime_bloom.py);
-    counts stay mergeable partials throughout."""
+    r7 shape (VERDICT r6 item 3 — the r6 spelling anti-joined the RAW
+    fact per edge and counted the fact separately, touching lineitem ~6
+    times across 10 serialized AQE stages).  Now:
+
+    1. ONE lineitem scan melts each row into its three (edge, key)
+       claims (the key_skew_audit posture) and collapses them to an
+       (edge, key, cnt) relation — map-side combine shrinks the fact to
+       key cardinality before anything crosses the network.
+    2. The parent key columns union into one (edge, key, hit) relation;
+       a LEFT OUTER join marks present keys and ONE (edge)-grouped
+       aggregate reads off both n_child = Σcnt and n_orphans =
+       Σcnt·[no hit].  A LEFT ANTI spelling is deliberately avoided:
+       PushDownLeftSemiAntiJoin pushes an anti join through the
+       aggregate back onto the RAW melted rows, splitting the plan into
+       two scan chains — the outer-join + marker shape is not pushable,
+       so the single chain survives optimization (plan-pinned).
+    3. The two non-lineitem edges (orders→customer, customer→nation)
+       follow the same keyed shape on their own single scans.
+
+    Every post-join relation is key-sized, never fact-sized; counts
+    stay mergeable partials throughout.  tests/test_plan_quality.py
+    pins the single lineitem scan.  (Reference analog: the orphan
+    filter of src/trainer/code/parquet_io.py:167-188, generalized to
+    every edge.)
+    """
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -1499,25 +1518,54 @@ def fk_integrity_audit(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
     supp = _t(spark, sf_dir, "supplier")
 
-    def edge(name, child, ckey, parent, pkey):
-        orphans = child.select(F.col(ckey)).join(
-            parent.select(F.col(pkey).alias(ckey)), ckey, "left_anti"
-        )
-        return child.agg(
-            F.lit(name).alias("fk_edge"),
-            F.count(F.lit(1)).alias("n_child"),
-        ).join(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
-
-    edges = [
-        edge("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
-        edge("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
-        edge("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
-        edge("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
-        edge("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
+    li_edges = [
+        ("lineitem.l_orderkey->orders", "l_orderkey", orders, "o_orderkey"),
+        ("lineitem.l_partkey->part", "l_partkey", part, "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "l_suppkey", supp, "s_suppkey"),
     ]
-    out = edges[0]
-    for e in edges[1:]:
-        out = out.unionAll(e)
+    melted = li.select(F.explode(F.array(*[
+        F.struct(F.lit(name).alias("edge"),
+                 F.col(ckey).cast("long").alias("k"))
+        for name, ckey, _, _ in li_edges])).alias("m")
+    ).select("m.edge", "m.k")
+    li_keyed = melted.groupBy("edge", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    li_parents = None
+    for name, _, parent, pkey in li_edges:
+        p = parent.select(F.lit(name).alias("edge"),
+                          F.col(pkey).cast("long").alias("k"))
+        li_parents = p if li_parents is None else li_parents.unionAll(p)
+
+    def audit(keyed, parents):
+        """(edge, n_child, n_orphans) from an (edge, k, cnt) relation —
+        outer-join marker + one conditional aggregate (see docstring
+        for why not LEFT ANTI)."""
+        # parents are PRIMARY-KEY columns (unique by schema), so the
+        # outer join cannot fan out child rows; a parent with duplicate
+        # keys would need a pre-distinct here (and has bigger problems)
+        marked = keyed.join(parents.withColumn("_hit", F.lit(1)),
+                            ["edge", "k"], "left")
+        return marked.groupBy("edge").agg(
+            F.sum("cnt").cast("long").alias("n_child"),
+            F.coalesce(
+                F.sum(F.when(F.col("_hit").isNull(), F.col("cnt"))),
+                F.lit(0)).cast("long").alias("n_orphans"),
+        ).withColumnRenamed("edge", "fk_edge")
+
+    def keyed_single(name, child, ckey):
+        return child.select(F.lit(name).alias("edge"),
+                            F.col(ckey).cast("long").alias("k")).groupBy(
+            "edge", "k").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+    out = audit(li_keyed, li_parents)
+    out = out.unionAll(audit(
+        keyed_single("orders.o_custkey->customer", orders, "o_custkey"),
+        cust.select(F.lit("orders.o_custkey->customer").alias("edge"),
+                    F.col("c_custkey").cast("long").alias("k"))))
+    out = out.unionAll(audit(
+        keyed_single("customer.c_nationkey->nation", cust, "c_nationkey"),
+        nation.select(F.lit("customer.c_nationkey->nation").alias("edge"),
+                      F.col("n_nationkey").cast("long").alias("k"))))
     return out.orderBy("fk_edge")
 
 

@@ -62,9 +62,14 @@ def multitouch_attribution(spark, sf_dir):
     differ only in summation order and the r4 output absorbs that
     (the per-row credits themselves are bit-equal). Scale: window
     membership is the bin-bucketed interval equi-join; ranking adds
-    ONE purchase-keyed exchange."""
+    ONE purchase-keyed exchange.  Both the join and the ranking
+    exchange are pinned to spark.sql.shuffle.partitions (r7): their
+    stages are CPU-bound (µs residual + a 2.2M-row two-window sort at
+    sf1) over few BYTES, so AQE's byte-based coalescer was collapsing
+    them onto ~3 cores — 1.9 s → 1.0 s at sf1."""
     from tracker_trainer_spark.functions.range_join import interval_join
 
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ev = _t(spark, sf_dir, "events")
     purchases = ev.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
@@ -81,10 +86,11 @@ def multitouch_attribution(spark, sf_dir):
     matched = interval_join(
         touches, intervals, "ts", "w_start", "p_ts",
         on=["user_id"], bin_seconds=_MTA_WINDOW_DAYS * 86400,
+        num_partitions=n_shuffle,
     )
     wp = Window.partitionBy("purchase_id")
     wr = wp.orderBy("ts", "event_id")
-    ranked = matched.select(
+    ranked = matched.repartition(n_shuffle, "purchase_id").select(
         "purchase_id", "event_type",
         F.row_number().over(wr).alias("r"),
         F.count(F.lit(1)).over(wp).alias("k"),

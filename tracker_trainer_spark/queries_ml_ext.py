@@ -772,21 +772,29 @@ def basket_pair_lift(spark, sf_dir, min_support: int = BASKET_MIN_SUPPORT,
     P(b|a), and lift P(ab)/(P(a)P(b)); top-k by (lift desc, pair) with
     a minimum support floor. Ranked on the UNROUNDED lift.
 
-    Shape: brand dim rides a broadcast join onto the lineitem scan;
-    the ≤25-value brand DOMAIN is dictionary-encoded (one bounded
-    driver collect, indices in brand-string sort order — the
-    frequent_brand_triples convention), baskets collapse in ONE
-    l_orderkey hash agg to sorted distinct-index arrays, and each pair
-    packs into one INT ((i<<5)|j): primitive explode + single-key agg
-    instead of the 2-string-struct stream (the sf1 line's dominator).
-    Packed ascending == (brand_a, brand_b) string-ascending, so
-    ordering and the a<b convention survive the encoding; marginals
-    join on the index, strings decode on the top-k survivors only."""
+    Shape (r7 rewrite — the mask-histogram posture,
+    functions/basket.py): brand dim rides a broadcast join onto the
+    lineitem scan; the ≤25-value brand DOMAIN is dictionary-encoded
+    (one bounded driver collect, indices in brand-string sort order),
+    each order collapses to ONE 64-bit bitmask in a codegen long-state
+    ``bit_or`` agg (no per-order array building), and orders then
+    collapse AGAIN into a (mask, cnt) histogram — pairs are generated
+    per DISTINCT mask weighted by cnt, so the explode+agg volume drops
+    from ~|orders|·C(k,2) rows to ~|masks|·C(k,2) (~20× at sf1) and
+    the pair key space is C(25,2)=300.  Weighted histogram counts are
+    the per-order counts re-associated (exact integer sums), packed
+    ascending == (brand_a, brand_b) string-ascending, so every number
+    and tiebreak is unchanged; marginals come from the same cached
+    histogram, strings decode on the top-k survivors only."""
+    from tracker_trainer_spark.functions.basket import (
+        bits_expr, index_dictionary, mask_histogram, packed_pairs_expr)
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), "p_brand"
     )
-    brands = sorted(r[0] for r in part.select("p_brand").distinct().collect())
+    brands = index_dictionary(part, "p_brand",
+                              cache_key=(sf_dir, "part", "p_brand"))
     if len(brands) >= 32:  # 5-bit pack; TPC-H domain is 25.  A bare
         # assert would be stripped under `python -O` and silently alias
         # packed keys, corrupting pair counts — fail loudly instead.
@@ -799,39 +807,43 @@ def basket_pair_lift(spark, sf_dir, min_support: int = BASKET_MIN_SUPPORT,
     i2b = F.array(*[F.lit(b) for b in brands])
     # part grows with SF (not a fixed dim like nation/region) — no
     # broadcast hint; AQE broadcasts it while it fits, shuffles past it.
-    baskets = (
-        li.join(part, "l_partkey")
-        .select("l_orderkey", b2i[F.col("p_brand")].alias("bi"))
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("bi")).alias("brands"))
-    )
-    baskets.cache()
-    n_orders = baskets.count()
+    # Dictionary lookup on the PART side: |part| map probes instead of
+    # |lineitem| (3× fewer at every TPC-H scale).
+    indexed = li.join(
+        part.select("l_partkey", b2i[F.col("p_brand")].alias("bi")),
+        "l_partkey").select("l_orderkey", "bi")
+    mhist = mask_histogram(indexed, "l_orderkey", "bi")
+    # Three consumers (pairs, marginals, order total) hang off the SAME
+    # mhist subtree: both of its exchanges dedupe via ReusedExchange,
+    # so the 6M-row chain runs once inside ONE job — no cache, no
+    # separate fill/count job (the r6 shape spent an extra job there).
+    # n_orders rides as a broadcast 1-row relation instead of a
+    # collected scalar for the same reason.
+    decoded = mhist.withColumn("bs", bits_expr(len(brands)))
     pair_counts = (
-        baskets.select(F.explode(F.expr(
-            "flatten(transform(brands, (x, i) -> transform("
-            "slice(brands, i + 2, size(brands)), "
-            "y -> shiftleft(x, 5) + y)))")).alias("pk"))
+        decoded.select(F.explode(packed_pairs_expr()).alias("pk"), "cnt")
         .groupBy("pk")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .agg(F.sum("cnt").alias("n_ab"))
         .where(F.col("n_ab") >= min_support)
         .select(F.expr("shiftright(pk, 5)").alias("_a"),
                 (F.col("pk") % 32).alias("_b"), "n_ab")
     )
     marg = (
-        baskets.select(F.explode("brands").alias("bi"))
+        decoded.select(F.explode("bs").alias("bi"), "cnt")
         .groupBy("bi")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("cnt").alias("n"))
     )
     ma = marg.select(F.col("bi").alias("_a"), F.col("n").alias("n_a"))
     mb = marg.select(F.col("bi").alias("_b"), F.col("n").alias("n_b"))
+    totals = mhist.agg(F.sum("cnt").cast("long").alias("_n_orders"))
     lift = (
-        F.col("n_ab").cast("double") * n_orders
+        F.col("n_ab").cast("double") * F.col("_n_orders")
         / (F.col("n_a") * F.col("n_b"))
     )
     return (
         pair_counts.join(F.broadcast(ma), "_a")
         .join(F.broadcast(mb), "_b")
+        .crossJoin(F.broadcast(totals))
         .withColumn("_lift", lift)
         .orderBy(F.desc("_lift"), "_a", "_b")
         .limit(topk)

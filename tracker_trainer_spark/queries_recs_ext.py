@@ -52,11 +52,14 @@ def part_affinity_recs(spark, sf_dir):
     integer or a correctly-rounded IEEE expression over exact integers
     (identical doubles in both engines, so no rounded-tie hazard)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
-        .where(F.size("ps") >= 2)
-    )
+    # r7: NO array_sort — the a<b convention moves into the pack via
+    # least/greatest (collect_set's order is irrelevant), saving a
+    # 1.4M-array sort pass at sf1.  The size filter applies at pair
+    # generation, not here, so this subtree is IDENTICAL to n_part's
+    # below and the scan + partial agg + exchange runs ONCE
+    # (ReusedExchange; the r4 union-twin lesson in reverse).
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps"))
     # Pair generation is a<b ONLY, packed into one BIGINT — HALF the
     # exploded volume of the r5 both-directions spelling (at sf1 the
     # both-directions stream was ~165M rows and dominated the 6.2×
@@ -69,12 +72,13 @@ def part_affinity_recs(spark, sf_dir):
     # r4 union-twin recompute (twin `co` chains that never collapsed
     # into a ReusedExchange, judge-confirmed in PLANS.md) cannot come
     # back.
-    pairs = baskets.select(
+    pairs = baskets.where(F.size("ps") >= 2).select(
         F.explode(
             F.expr(
                 "flatten(transform(ps, (x, i) -> transform("
                 "slice(ps, i + 2, size(ps)), "
-                "y -> (CAST(x AS BIGINT) << 32) + y)))"
+                "y -> (CAST(least(x, y) AS BIGINT) << 32)"
+                " + greatest(x, y))))"
             )
         ).alias("pk")
     )
@@ -88,9 +92,13 @@ def part_affinity_recs(spark, sf_dir):
             "array(struct(shiftright(pk, 32) AS a, (pk & 4294967295) AS b, co), "
             "struct((pk & 4294967295) AS a, shiftright(pk, 32) AS b, co))")).alias("p")
     ).select("p.a", "p.b", "p.co")
-    # per-part distinct-order counts (the cosine norms)
+    # per-part distinct-order counts (the cosine norms): collect_set
+    # already IS the per-order distinct, so exploding the shared basket
+    # relation replaces the r6 li.distinct() — which re-shuffled all 6M
+    # (order, part) rows — with a map-side-combining count onto |part|
+    # keys riding the reused basket exchange.
     n_part = (
-        li.select("l_orderkey", "l_partkey").distinct()
+        baskets.select(F.explode("ps").alias("l_partkey"))
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )

@@ -772,14 +772,16 @@ def theil_sen_price_slope(spark, sf_dir):
     # original fixed 600 at every local oracle scale (6k/60k/600k rows
     # → n/1000 ≤ 600) and caps the pair count at ~500k from sf1 up —
     # the sf1 bench measured the fixed modulus at 84 s (10k points,
-    # 100M pairs) before this guard. The count is ONE bounded driver
-    # action, deliberately not an in-plan broadcast scalar: the sample
-    # relation feeds three subtrees (both pair sides + the point
-    # count), and a crossJoin'd 1-row aggregate re-expands per consumer
-    # in the static plan (measured: +6 exchanges), while the collected
-    # literal folds into the filter. The oracle computes the identical
-    # integer inline.
-    n_rows = li.count()
+    # 100M pairs) before this guard. The count comes from the parquet
+    # footers (table_row_count — ZERO Spark jobs, exact; r6 spent a
+    # scheduled count job here), deliberately not an in-plan broadcast
+    # scalar: the sample relation feeds three subtrees (both pair sides
+    # + the point count), and a crossJoin'd 1-row aggregate re-expands
+    # per consumer in the static plan (measured: +6 exchanges), while
+    # the literal folds into the filter. The oracle computes the
+    # identical integer inline.
+    from tracker_trainer_spark.queries import table_row_count
+    n_rows = table_row_count(sf_dir, "lineitem")
     mod = max(600, n_rows // 1000)
     pts = keyed.where(F.col("_h") % mod == 0).select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pid"),
@@ -880,9 +882,14 @@ def supplier_shared_parts(spark, sf_dir):
     ascending IS (s1, s2) lexicographic ascending — the same
     deterministic tiebreak both engines use."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    # r7: no sort_array — the s1<s2 convention moves into the pack via
+    # least/greatest, saving the per-part set sort (the pair stream and
+    # its agg are identical; this query stays WORK-BOUND on the ~83M
+    # dense pairs at sf1 — no algorithmic prefilter exists because
+    # supplier degrees all exceed any top-20 support threshold).
     sets = (
         li.groupBy("l_partkey")
-        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
+        .agg(F.collect_set("l_suppkey").alias("ss"))
         .where((F.size("ss") >= 2) & (F.size("ss") <= 40))
     )
     # the pair explode below multiplies rows ~C(d,2)/d-fold, invisible
@@ -893,7 +900,8 @@ def supplier_shared_parts(spark, sf_dir):
             F.expr(
                 "transform(ss, (x, i) -> transform("
                 "slice(ss, i + 2, size(ss)), "
-                "y -> (CAST(x AS BIGINT) << 32) + y))"
+                "y -> (CAST(least(x, y) AS BIGINT) << 32)"
+                " + greatest(x, y)))"
             )
         )
     )

@@ -513,9 +513,13 @@ def frequent_brand_triples(spark, sf_dir):
     the same literal dictionary.  The oracle keeps the naive 3-way
     id-ordered self-join (exact parity, different plan), mirroring the
     triangle-count oracle's posture."""
+    from tracker_trainer_spark.functions.basket import (
+        bits_expr, index_dictionary, mask_histogram, packed_triples_expr)
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    brands = sorted(r[0] for r in part.select("p_brand").distinct().collect())
+    brands = index_dictionary(part, "p_brand",
+                              cache_key=(sf_dir, "part", "p_brand"))
     if len(brands) >= 32:  # 5-bit pack; TPC-H domain is 25.  A bare
         # assert would be stripped under `python -O` and silently alias
         # packed keys, corrupting triple counts — fail loudly instead.
@@ -528,28 +532,22 @@ def frequent_brand_triples(spark, sf_dir):
     i2b = F.array(*[F.lit(b) for b in brands])
     # part grows with SF — no broadcast hint, AQE decides (convention:
     # explicit hints only for provably bounded relations).
-    baskets = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .select("l_orderkey", b2i[F.col("p_brand")].alias("bi"))
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("bi")).alias("brands"))
-        .where(F.size("brands") >= 3)
+    # r7: per-order baskets collapse to a (mask, cnt) histogram first
+    # (functions/basket.py — codegen bit_or agg, no per-order arrays);
+    # triples generate per DISTINCT mask weighted by cnt, cutting the
+    # explode+agg volume ~20× while every support stays an exact
+    # integer sum.  bit_count prunes masks that cannot yield a triple.
+    indexed = li.join(
+        part.select(F.col("p_partkey").alias("l_partkey"),
+                    b2i[F.col("p_brand")].alias("bi")),
+        "l_partkey").select("l_orderkey", "bi")
+    decoded = (
+        mask_histogram(indexed, "l_orderkey", "bi", min_bits=3)
+        .withColumn("bs", bits_expr(len(brands)))
     )
-    triples = baskets.select(
-        F.explode(
-            F.expr(
-                """flatten(transform(
-                     sequence(0, size(brands) - 3),
-                     i -> flatten(transform(
-                       sequence(i + 1, size(brands) - 2),
-                       j -> transform(
-                         sequence(j + 1, size(brands) - 1),
-                         k -> shiftleft(brands[i], 10)
-                              + shiftleft(brands[j], 5) + brands[k])))))"""
-            )
-        ).alias("tk")
-    )
-    counts = triples.groupBy("tk").agg(F.count(F.lit(1)).alias("support"))
+    triples = decoded.select(
+        F.explode(packed_triples_expr()).alias("tk"), "cnt")
+    counts = triples.groupBy("tk").agg(F.sum("cnt").alias("support"))
     top = counts.orderBy(F.desc("support"), "tk").limit(_TRIPLES_TOPN)
     return top.select(
         F.element_at(i2b, F.expr("shiftright(tk, 10)") + 1).alias("b1"),
@@ -621,7 +619,8 @@ def _bfs_sparsified_weighted_edges(spark, sf_dir):
     # metadata (same class as centroid collects).  (w desc, s1, s2) is
     # a total order over pairs, so the kept set is deterministic and
     # identical to the oracle's row_number spelling.
-    top_m = _BFS_EDGES_PER_NODE * _t(spark, sf_dir, "supplier").count()
+    from tracker_trainer_spark.queries import table_row_count
+    top_m = _BFS_EDGES_PER_NODE * table_row_count(sf_dir, "supplier")
     kept = (
         weights.orderBy(F.desc("w"), "s1", "s2")
         .limit(int(top_m))
@@ -731,13 +730,15 @@ def spearman_price_corr(spark, sf_dir):
     # sample overflowed the oracle's INT64 multiply). max(60, n//10000)
     # is bit-identical to mod-60 at every local oracle scale
     # (6k/60k/600k rows → n//10000 ≤ 60) and pins the sample near 10k
-    # from sf1 up, keeping every cross-moment exact. The count is ONE
-    # bounded driver action, deliberately not an in-plan broadcast
-    # scalar: the sample relation is consumed by three subtrees (two
-    # rank ECDFs + the moment join), and a crossJoin'd 1-row aggregate
-    # re-expands per consumer in the static plan (measured: +3
-    # exchanges), while the collected literal folds into the filter.
-    n_rows = li.count()
+    # from sf1 up, keeping every cross-moment exact. The count comes
+    # from the parquet footers (table_row_count — zero Spark jobs,
+    # exact), deliberately not an in-plan broadcast scalar: the sample
+    # relation is consumed by three subtrees (two rank ECDFs + the
+    # moment join), and a crossJoin'd 1-row aggregate re-expands per
+    # consumer in the static plan (measured: +3 exchanges), while the
+    # literal folds into the filter.
+    from tracker_trainer_spark.queries import table_row_count
+    n_rows = table_row_count(sf_dir, "lineitem")
     mod = max(60, n_rows // 10000)
     pts = (
         li.where(hash_bucket(
