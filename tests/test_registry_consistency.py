@@ -12,9 +12,11 @@ def test_every_oracle_has_a_query():
 def test_queries_without_oracle_are_the_declared_exceptions():
     # non-SQL-expressible ops only — anything else missing an oracle is
     # a silent hole in the correctness gate
+    # media_image_features left this set in r7: the portable stub
+    # decode (md5-chain + dyadic pixels) made its feature math exactly
+    # expressible in SQL, so it now carries a hash-matched oracle
     assert set(QUERIES) - set(ORACLES) == {
         "train_encode_events",    # Arrow encode kernels
-        "media_image_features",   # binary media pipeline
         "train_e2e_metrics",      # model fits + inference (r6)
     }
 

@@ -93,11 +93,29 @@ AUDIO_FEATURES_SCHEMA = StructType([
 # --------------------------------------------------------------------------
 
 def _fake_decode(content: bytes, height: int, width: int, channels: int) -> np.ndarray:
-    """Deterministic pixel fake: repeatable float32 HWC array in [0,1]
-    seeded from the payload's md5. STAND-IN for a real codec."""
-    seed = int.from_bytes(hashlib.md5(content).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    return rng.random((height, width, channels), dtype=np.float32)
+    """Deterministic pixel fake, PORTABLE spelling (r7): pixels are an
+    md5 chain over hex STRINGS — seed = md5(hex(content)); block j =
+    md5(seed ':' j); pixel value = byte/256.  STAND-IN for a real
+    codec.  Two properties are load-bearing:
+
+    - portable: the same chain is expressible in ANSI SQL (md5 +
+      substr + hex→int), which is what lets the driver hash-match the
+      whole decode→feature mapInPandas plumbing against a DuckDB
+      oracle (MEDIA_FEATURES_SQL) instead of a rows-only check;
+    - dyadic: every value is k/256 (exactly representable), so pixel
+      sums and sums of squares are EXACT in float64 — aggregation
+      order can never flip a bit between engines.
+
+    (The r6 spelling seeded numpy's PCG64 from the md5 — deterministic
+    but inexpressible outside numpy, which forced the rows-only cert.)
+    """
+    n = height * width * channels
+    seed_hex = hashlib.md5(bytes(content).hex().encode()).hexdigest()
+    buf = b"".join(
+        hashlib.md5(f"{seed_hex}:{j}".encode()).digest()
+        for j in range((n + 15) // 16))
+    arr = np.frombuffer(buf[:n], dtype=np.uint8)
+    return (arr.astype(np.float32) / 256.0).reshape(height, width, channels)
 
 
 def _decode_bytes(content: bytes, meta) -> np.ndarray:
@@ -190,7 +208,13 @@ def resize_images(decoded: DataFrame, out_h: int, out_w: int) -> DataFrame:
 
 
 def image_features(decoded: DataFrame) -> DataFrame:
-    """Per-channel mean/std feature vector from decoded pixels."""
+    """Per-channel [means..., stds...] feature vector from decoded
+    pixels.  std comes from the MOMENT identity sqrt(E[x²] − E[x]²),
+    not np.std's two-pass mean-of-deviations: with dyadic pixel values
+    (see `_fake_decode`) both Σx and Σx² are exact, so every feature is
+    a fixed sequence of single-rounded IEEE ops — bit-reproducible by
+    any engine that spells the same expression (the DuckDB oracle
+    does)."""
     schema = StructType([
         StructField("media_id", LongType()),
         StructField("features", ArrayType(DoubleType())),
@@ -202,8 +226,12 @@ def image_features(decoded: DataFrame) -> DataFrame:
             for _, r in pdf.iterrows():
                 c = int(r["channels"])
                 px = np.asarray(r["pixels"], dtype=np.float64).reshape(-1, c)
-                rows.append((r["media_id"],
-                             np.concatenate([px.mean(axis=0), px.std(axis=0)])))
+                n = px.shape[0]
+                s = px.sum(axis=0)          # exact (dyadic values)
+                s2 = (px * px).sum(axis=0)  # exact (dyadic squares)
+                mean = s / n
+                std = np.sqrt(s2 / n - mean * mean)
+                rows.append((r["media_id"], np.concatenate([mean, std])))
             yield pd.DataFrame(rows, columns=["media_id", "features"])
 
     return decoded.mapInPandas(kernel, schema)
