@@ -537,11 +537,10 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     # ONE fact shuffle (category,fold agg); totals are windows over the
     # |cats|×folds relation (2nd exchange) — fact never rescanned
     ("oof_target_encoding", 2),
-    # r7 melted audit: ONE lineitem scan explodes all 3 edge claims
-    # (key-level pre-agg + union'd parent anti join + totals sharing
-    # the keyed exchange); static count re-expands the keyed subtree
-    # per aggregate — runtime reuses it
-    ("fk_integrity_audit", 13),
+    # r7 flag audit: ONE lineitem scan through 3 membership left joins
+    # (broadcast while parents fit) into one conditional agg — 1
+    # exchange per edge family's final 1-row agg, zero fact shuffles
+    ("fk_integrity_audit", 3),
     ("conversion_latency_quantiles", 2),  # user window + global agg
     ("event_burst_dedup", 3),             # (user,type) window + rollup + sort
     # distributed-ntile bucket window + 2 tiny offset exchanges +
