@@ -233,3 +233,47 @@ def test_overlap_join_differential_with_microsecond_timestamps(spark):
     )
     want = sorted((r.a_id, r.b_id) for r in theta.collect())
     assert got == want and len(got) == len(set(got)) and len(got) > 0
+
+
+def test_interval_join_num_partitions_same_results(spark):
+    """num_partitions is a physical knob only: pinned-parallelism runs
+    must return exactly the default plan's rows, and the pinned plan
+    must show the explicit repartition (RoundRobin-free hash
+    partitioning on the join columns) instead of an AQE-coalescible
+    ENSURE_REQUIREMENTS exchange."""
+    import pandas as pd
+
+    from tracker_trainer_spark.functions.range_join import interval_join
+    from tracker_trainer_spark.plans import physical_plan
+
+    pts = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 1, 2, 2],
+        "t": pd.to_datetime([10, 50, 90, 130], unit="s"),
+        "pid": [0, 1, 2, 3],
+    }))
+    ivs = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 2],
+        "lo": pd.to_datetime([0, 80], unit="s"),
+        "hi": pd.to_datetime([60, 140], unit="s"),
+        "iid": [100, 200],
+    }))
+    base = interval_join(pts, ivs, "t", "lo", "hi", on=["k"],
+                         bin_seconds=60)
+    pinned = interval_join(pts, ivs, "t", "lo", "hi", on=["k"],
+                           bin_seconds=60, num_partitions=8)
+    want = sorted((r.iid, r.pid) for r in base.collect())
+    got = sorted((r.iid, r.pid) for r in pinned.collect())
+    assert got == want and len(got) == 4
+    assert "REPARTITION_BY_NUM" in physical_plan(pinned)
+
+
+def test_table_row_count_matches_spark(spark, sf_dir):
+    """Parquet-footer counts must equal a real Spark count for every
+    input table (and be stable through the memo)."""
+    from tracker_trainer_spark.queries import _ROW_COUNT_CACHE, table_row_count
+
+    for t in ("lineitem", "supplier", "events"):
+        want = spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        assert table_row_count(sf_dir, t) == want
+        assert table_row_count(sf_dir, t) == want  # memo path
+        assert (sf_dir, t) in _ROW_COUNT_CACHE
