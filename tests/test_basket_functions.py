@@ -117,3 +117,18 @@ def test_index_dictionary_memo(spark):
     assert ("k1",) in _DICT_CACHE
     clear_dictionary_cache()
     assert not _DICT_CACHE
+
+
+def test_mask_histogram_domain_width_guard(spark, baskets_df):
+    with pytest.raises(ValueError, match="63-bit mask"):
+        mask_histogram(baskets_df, "bk", "bi", domain_size=64)
+    # 63 is the last safe width
+    mask_histogram(baskets_df, "bk", "bi", domain_size=63)
+
+
+def test_check_pack_width_guard():
+    from tracker_trainer_spark.functions.basket import check_pack_width
+
+    check_pack_width(31, 5, "ok")
+    with pytest.raises(ValueError, match="5-bit pack"):
+        check_pack_width(32, 5, "overflow")

@@ -539,8 +539,10 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     ("oof_target_encoding", 2),
     # r7 flag audit: ONE lineitem scan through 3 membership left joins
     # (broadcast while parents fit) into one conditional agg — 1
-    # exchange per edge family's final 1-row agg, zero fact shuffles
-    ("fk_integrity_audit", 3),
+    # exchange per edge family's final 1-row agg + one KEY-sized
+    # distinct per parent (dirty-parent fan-out armor, review r7);
+    # still zero fact shuffles
+    ("fk_integrity_audit", 8),
     ("conversion_latency_quantiles", 2),  # user window + global agg
     ("event_burst_dedup", 3),             # (user,type) window + rollup + sort
     # distributed-ntile bucket window + 2 tiny offset exchanges +

@@ -14,14 +14,18 @@ from tracker_trainer_spark.queries import (
 )
 
 DRIVER_WINDOW = 50
-# non-SQL-expressible by design: Arrow encode kernels / binary media
-ROWS_ONLY = {"train_encode_events", "media_image_features",
-             "train_e2e_metrics"}  # model fits: not SQL-expressible
+# non-SQL-expressible by design: Arrow encode kernels / model fits
+# (media_image_features left this set in r7 — the portable dyadic stub
+# decode gave it a real hash-matched SQL oracle)
+ROWS_ONLY = {"train_encode_events", "train_e2e_metrics"}
 
 
 def test_every_query_has_an_oracle_or_is_documented_rows_only():
     missing = set(QUERIES) - set(ORACLES) - ROWS_ONLY
     assert not missing, missing
+    # the declared exceptions must really LACK oracles — a stale
+    # declaration would let a future oracle removal pass silently
+    assert not ROWS_ONLY & set(ORACLES)
     stale = ROWS_ONLY - set(QUERIES)
     assert not stale, stale
     assert not set(ORACLES) - set(QUERIES)  # no orphan oracle SQL

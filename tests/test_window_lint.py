@@ -47,14 +47,24 @@ _LINTABLE = sorted(n for n in QUERIES
                    if not n.startswith("stream_") and n not in _EXEMPT)
 
 
+# The growth check needs TWO distinct scale factors: a small dir for
+# "looks tiny at test scale" and a bigger one to expose growing key
+# domains.  sf_dir is env-overridable (multi-scale gate runs), so pin
+# the pair explicitly instead of comparing a dir against itself —
+# self-comparison would make every ≤100-distinct column "fixed" and
+# the derived set vacuous (review r7).
+_SMALL_DIR = "/root/testdata/sf0.001"
+_GROWTH_DIR = "/root/testdata/sf0.1"
+
+
 @pytest.fixture(scope="module", autouse=True)
-def _catalog_low_card(spark, sf_dir):
+def _catalog_low_card(spark):
     """Install the catalog-derived low-cardinality set (VERDICT r6
     item 6) so the whole-registry lint below uses the DATA's tiny
     columns, not just the hand-audited floor — a new query partitioned
     by an un-listed 3-value column must fail here, not pass silently."""
     derived = _checks.derive_low_card_cols(
-        spark, sf_dir, growth_check_dir="/root/testdata/sf0.1")
+        spark, _SMALL_DIR, growth_check_dir=_GROWTH_DIR)
     _checks.install_low_card_cols(derived)
     yield
     _checks.install_low_card_cols(frozenset())
@@ -92,24 +102,27 @@ def test_lint_catches_unlisted_tiny_column(spark, sf_dir):
     assert violations and "lineitem" in violations[0]
 
     # sanity: the floor alone misses it (this is what made the
-    # derivation load-bearing, not decorative)
+    # derivation load-bearing, not decorative).  Save/restore the
+    # installed set instead of re-deriving (two catalog scan jobs);
+    # install re-unions the floor, so passing the union back is
+    # idempotent (review r7).
+    saved = _checks.LOW_CARD_COLS
     _checks.install_low_card_cols(frozenset())
     try:
         assert single_task_windows(bad) == []
     finally:
-        _checks.install_low_card_cols(_checks.derive_low_card_cols(
-            spark, sf_dir, growth_check_dir="/root/testdata/sf0.1"))
+        _checks.install_low_card_cols(saved)
 
 
-def test_growth_check_excludes_scaling_keys(spark, sf_dir):
+def test_growth_check_excludes_scaling_keys(spark):
     """events.user_id has 15 distinct values at sf0.001 — tiny — but
     1500 at sf0.1: a GROWING key domain (millions at production scale)
     that must NOT be classified as fixed-low-cardinality, or every
     user-keyed window in the registry would be flagged as a scale
     killer.  The two-scale growth check is the discriminator."""
-    naive = _checks.derive_low_card_cols(spark, sf_dir)
+    naive = _checks.derive_low_card_cols(spark, _SMALL_DIR)
     checked = _checks.derive_low_card_cols(
-        spark, sf_dir, growth_check_dir="/root/testdata/sf0.1")
+        spark, _SMALL_DIR, growth_check_dir=_GROWTH_DIR)
     assert "user_id" in naive       # the trap exists at test scale
     assert "user_id" not in checked  # and the growth check removes it
     assert "l_tax" in checked        # while true fixed domains stay

@@ -72,15 +72,35 @@ def index_dictionary(df: DataFrame, col: str,
     return values
 
 
+def check_pack_width(n_values: int, bits: int, context: str) -> None:
+    """Fail loudly when a dictionary outgrows its packed-key width —
+    Spark's shiftleft wraps shifts mod 64, so an oversized domain would
+    silently ALIAS keys and corrupt counts instead of erroring (the
+    `python -O`-proof guard both brand miners carry, centralized)."""
+    if n_values >= (1 << bits):
+        raise ValueError(
+            f"{context}: {n_values} distinct values exceed the "
+            f"{bits}-bit pack (max {(1 << bits) - 1}); widen the pack "
+            "shift")
+
+
 def mask_histogram(indexed: DataFrame, key: str, idx: str,
-                   min_bits: int = 0) -> DataFrame:
+                   min_bits: int = 0,
+                   domain_size: int | None = None) -> DataFrame:
     """(mask, cnt) histogram over baskets: ``indexed`` holds one row per
     (basket key, item index); the result has one row per distinct item
     SET, with ``cnt`` = how many baskets carry exactly that set.
     ``bit_or`` both deduplicates within a basket and packs it.
     ``min_bits`` > 0 drops too-small baskets BEFORE the histogram
     shuffle (triples need ≥3 items; the filter is exact, not a
-    heuristic)."""
+    heuristic).  Pass ``domain_size`` so the 64-bit mask limit is
+    checked: Spark's shiftleft wraps shifts mod 64, so index 64 would
+    silently collide with index 0 (review r7)."""
+    if domain_size is not None and domain_size > 63:
+        raise ValueError(
+            f"mask_histogram: domain of {domain_size} values exceeds the "
+            "63-bit mask (shiftleft wraps mod 64 and would alias "
+            "baskets); shard the domain or use array sets")
     masks = indexed.groupBy(key).agg(
         F.expr(f"bit_or(shiftleft(1L, {idx}))").alias("mask"))
     if min_bits:

@@ -253,7 +253,13 @@ def single_task_windows(df: DataFrame) -> list[str]:
                 break
             if "Join" in cname and cchildren:
                 nxt = cchildren[0]
-                if nodes[nxt][0] == "BroadcastExchange" and \
+                # a deduped broadcast build side shows up as
+                # ReusedExchange, not BroadcastExchange — both mean
+                # "this child establishes nothing, follow the streamed
+                # side" (review r7; a reused SHUFFLE never appears as a
+                # join's direct child — it sits below the join's Sort)
+                if nodes[nxt][0] in ("BroadcastExchange",
+                                     "ReusedExchange") and \
                         len(cchildren) > 1:
                     nxt = cchildren[1]
                 cur = nxt

@@ -49,7 +49,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # because the testdata dirs never change within a session; memoized the
 # same way (and for the same reason) as ranking._BOUNDS_CACHE.  The
 # production analog is the table catalog's row-count statistic.
+# Bounded FIFO like the sibling memos (ranking._BOUNDS_CACHE,
+# basket._DICT_CACHE): bench loops over many sf_dirs must not grow a
+# session memo forever.
 _ROW_COUNT_CACHE: dict[tuple, int] = {}
+_ROW_COUNT_CACHE_MAX = 256
 
 
 def table_row_count(sf_dir: str, name: str) -> int:
@@ -60,6 +64,8 @@ def table_row_count(sf_dir: str, name: str) -> int:
 
         path = Path(f"{sf_dir}/{name}.parquet")
         files = sorted(path.glob("**/*.parquet")) if path.is_dir() else [path]
+        if len(_ROW_COUNT_CACHE) >= _ROW_COUNT_CACHE_MAX:
+            _ROW_COUNT_CACHE.pop(next(iter(_ROW_COUNT_CACHE)))
         _ROW_COUNT_CACHE[key] = sum(
             pq.ParquetFile(str(f)).metadata.num_rows for f in files)
     return _ROW_COUNT_CACHE[key]

@@ -1549,9 +1549,11 @@ def fk_integrity_audit(spark, sf_dir):
     fact per edge and counted the fact separately, touching lineitem ~6
     times across 10 serialized AQE stages).  Now the judge-prescribed
     flag shape: ONE lineitem scan carries all three FK columns through
-    three LEFT OUTER membership joins against the parent KEY columns
-    (each parent is a primary key — unique by schema — so the joins
-    cannot fan out; each tags a presence flag), and ONE conditional
+    three LEFT OUTER membership joins against the DISTINCT parent key
+    sets (distinct because an audit must survive schema-violating
+    parents — a doubled parent load would otherwise fan child rows out
+    instead of being reported; each join tags a presence flag), and ONE
+    conditional
     aggregate reads off the child count plus all three orphan counts in
     a single pass.  The 1-row result unpivots to the three edge rows
     with a bounded explode.  Membership joins broadcast while the
@@ -1574,8 +1576,21 @@ def fk_integrity_audit(spark, sf_dir):
     supp = _t(spark, sf_dir, "supplier")
 
     def orphans(flag):
-        return F.sum(F.when(F.col(flag).isNull(), 1).otherwise(0)) \
-            .cast("long")
+        # coalesce: an EMPTY child table (the truncated-load scenario
+        # this audit exists for) sums over zero rows → NULL, where the
+        # oracle's count(*) says 0 (review r7)
+        return F.coalesce(
+            F.sum(F.when(F.col(flag).isNull(), 1).otherwise(0)),
+            F.lit(0)).cast("long")
+
+    def parent_keys(parent, pkey, alias):
+        # DISTINCT before the membership join: parents are primary keys
+        # by schema, but an audit runs precisely on data that may
+        # violate schema — a doubled parent load would otherwise fan
+        # out every child row and corrupt ALL counts instead of being
+        # reported (review r7; the oracle's NOT EXISTS is fan-out-proof
+        # by construction, so this also preserves parity on dirty data).
+        return parent.select(F.col(pkey).alias(alias)).distinct()
 
     def edge_row(name, n_col, orph_col):
         return F.struct(F.lit(name).alias("fk_edge"),
@@ -1584,12 +1599,12 @@ def fk_integrity_audit(spark, sf_dir):
 
     flagged = (
         li.select("l_orderkey", "l_partkey", "l_suppkey")
-        .join(orders.select(F.col("o_orderkey").alias("l_orderkey"),
-                            F.lit(1).alias("_ho")), "l_orderkey", "left")
-        .join(part.select(F.col("p_partkey").alias("l_partkey"),
-                          F.lit(1).alias("_hp")), "l_partkey", "left")
-        .join(supp.select(F.col("s_suppkey").alias("l_suppkey"),
-                          F.lit(1).alias("_hs")), "l_suppkey", "left")
+        .join(parent_keys(orders, "o_orderkey", "l_orderkey")
+              .withColumn("_ho", F.lit(1)), "l_orderkey", "left")
+        .join(parent_keys(part, "p_partkey", "l_partkey")
+              .withColumn("_hp", F.lit(1)), "l_partkey", "left")
+        .join(parent_keys(supp, "s_suppkey", "l_suppkey")
+              .withColumn("_hs", F.lit(1)), "l_suppkey", "left")
     )
     li_row = flagged.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1605,8 +1620,8 @@ def fk_integrity_audit(spark, sf_dir):
 
     def small_edge(name, child, ckey, parent, pkey):
         f = child.select(F.col(ckey).alias("_k")).join(
-            parent.select(F.col(pkey).alias("_k"),
-                          F.lit(1).alias("_hit")), "_k", "left")
+            parent_keys(parent, pkey, "_k").withColumn("_hit", F.lit(1)),
+            "_k", "left")
         return f.agg(
             F.lit(name).alias("fk_edge"),
             F.count(F.lit(1)).cast("long").alias("n_child"),

@@ -787,7 +787,8 @@ def basket_pair_lift(spark, sf_dir, min_support: int = BASKET_MIN_SUPPORT,
     and tiebreak is unchanged; marginals come from the same cached
     histogram, strings decode on the top-k survivors only."""
     from tracker_trainer_spark.functions.basket import (
-        bits_expr, index_dictionary, mask_histogram, packed_pairs_expr)
+        bits_expr, check_pack_width, index_dictionary, mask_histogram,
+        packed_pairs_expr)
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select(
@@ -795,13 +796,9 @@ def basket_pair_lift(spark, sf_dir, min_support: int = BASKET_MIN_SUPPORT,
     )
     brands = index_dictionary(part, "p_brand",
                               cache_key=(sf_dir, "part", "p_brand"))
-    if len(brands) >= 32:  # 5-bit pack; TPC-H domain is 25.  A bare
-        # assert would be stripped under `python -O` and silently alias
-        # packed keys, corrupting pair counts — fail loudly instead.
-        raise ValueError(
-            f"basket_pair_lift: {len(brands)} distinct brands exceed the "
-            "5-bit dictionary pack (max 31); widen the pack shift"
-        )
+    # 5-bit pair pack; TPC-H domain is 25 (shared loud guard — a bare
+    # assert would be stripped under `python -O` and silently alias keys)
+    check_pack_width(len(brands), 5, "basket_pair_lift")
     b2i = F.create_map(*[x for i, b in enumerate(brands)
                          for x in (F.lit(b), F.lit(i))])
     i2b = F.array(*[F.lit(b) for b in brands])
@@ -812,7 +809,8 @@ def basket_pair_lift(spark, sf_dir, min_support: int = BASKET_MIN_SUPPORT,
     indexed = li.join(
         part.select("l_partkey", b2i[F.col("p_brand")].alias("bi")),
         "l_partkey").select("l_orderkey", "bi")
-    mhist = mask_histogram(indexed, "l_orderkey", "bi")
+    mhist = mask_histogram(indexed, "l_orderkey", "bi",
+                           domain_size=len(brands))
     # Three consumers (pairs, marginals, order total) hang off the SAME
     # mhist subtree: both of its exchanges dedupe via ReusedExchange,
     # so the 6M-row chain runs once inside ONE job — no cache, no

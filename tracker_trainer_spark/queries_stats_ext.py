@@ -514,19 +514,16 @@ def frequent_brand_triples(spark, sf_dir):
     id-ordered self-join (exact parity, different plan), mirroring the
     triangle-count oracle's posture."""
     from tracker_trainer_spark.functions.basket import (
-        bits_expr, index_dictionary, mask_histogram, packed_triples_expr)
+        bits_expr, check_pack_width, index_dictionary, mask_histogram,
+        packed_triples_expr)
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     brands = index_dictionary(part, "p_brand",
                               cache_key=(sf_dir, "part", "p_brand"))
-    if len(brands) >= 32:  # 5-bit pack; TPC-H domain is 25.  A bare
-        # assert would be stripped under `python -O` and silently alias
-        # packed keys, corrupting triple counts — fail loudly instead.
-        raise ValueError(
-            f"frequent_brand_triples: {len(brands)} distinct brands exceed "
-            "the 5-bit dictionary pack (max 31); widen the pack shift"
-        )
+    # 5-bit triple pack; TPC-H domain is 25 (shared loud guard — a bare
+    # assert would be stripped under `python -O` and silently alias keys)
+    check_pack_width(len(brands), 5, "frequent_brand_triples")
     b2i = F.create_map(*[x for i, b in enumerate(brands)
                          for x in (F.lit(b), F.lit(i))])
     i2b = F.array(*[F.lit(b) for b in brands])
@@ -542,7 +539,8 @@ def frequent_brand_triples(spark, sf_dir):
                     b2i[F.col("p_brand")].alias("bi")),
         "l_partkey").select("l_orderkey", "bi")
     decoded = (
-        mask_histogram(indexed, "l_orderkey", "bi", min_bits=3)
+        mask_histogram(indexed, "l_orderkey", "bi", min_bits=3,
+                       domain_size=len(brands))
         .withColumn("bs", bits_expr(len(brands)))
     )
     triples = decoded.select(
