@@ -1011,19 +1011,30 @@ def test_skew_audit_one_scan_per_table(spark, sf_dir):
     assert plan.count("orders.parquet") == 1
 
 
-def test_recs_pairs_are_scan_side(spark, sf_dir):
-    """Co-purchase pairs must explode from the basket aggregate's
-    sorted arrays — never a fact self-join; the norm lookups broadcast
-    (the pair relation outweighs the per-part counts at any scale)."""
+def test_recs_pairs_single_fact_exchange(spark, sf_dir):
+    """Co-purchase pairs come from a shuffle-hash self-join of the
+    deduped co-partitioned (order, part) relation (r7 shape — profiled
+    2-3x faster than the basket/collect_set explode at sf1, whose array
+    aggregation dominated the query). Pin the load-bearing properties:
+    the fact crosses the network on exactly ONE orderkey exchange
+    (HashPartitioning(okey) satisfies the dedup AND both join sides —
+    AQE reuses the stage), the join is a hash probe (no 6M-row
+    SortMergeJoin sorts), and nothing is a cartesian product."""
     from tracker_trainer_spark.plans import physical_plan
-    plan = physical_plan(QUERIES["part_affinity_recs"](spark, sf_dir))
+    df = QUERIES["part_affinity_recs"](spark, sf_dir)
+    plan = physical_plan(df)
     assert "CartesianProduct" not in plan
-    tree = plan.split("\n\n")[0]
-    gen = tree.find("Generate")
-    scan = tree.find("Scan parquet", gen)
-    assert gen != -1 and scan != -1
-    assert "HashAggregate" in tree[gen:scan], (
-        "pair explode consumes raw scan rows:\n" + tree)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # no array aggregation anywhere in the pair path
+    assert "collect_set" not in plan, plan
+    # statically the okey exchange is planned once per consumer (x/y
+    # join sides + the two n_part branches); at runtime AQE must fuse
+    # them into one materialized fact exchange
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed or "ReusedQueryStage" in executed, (
+        executed)
 
 
 def test_ltv_curve_shuffle_budget(spark, sf_dir):

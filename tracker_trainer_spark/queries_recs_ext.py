@@ -44,46 +44,51 @@ _RECS_MIN_CO = 3
 def part_affinity_recs(spark, sf_dir):
     """Top-N item-item recommendations by co-purchase cosine: for each
     seed part, the strongest co-purchased parts with
-    cos = co / sqrt(n_seed · n_rec), co ≥ 3 (support floor). Pairs
-    come from per-order sorted distinct-part arrays exploded scan-side;
-    per-part order counts join back broadcast-style; ranks take the
-    top 3 per seed (cosine desc, rec id) and the global top 30 rows
+    cos = co / sqrt(n_seed · n_rec), co ≥ 3 (support floor). Ranks take
+    the top 3 per seed (cosine desc, rec id) and the global top 30 rows
     (cosine desc, seed, rec) — every ranking key is either an exact
     integer or a correctly-rounded IEEE expression over exact integers
-    (identical doubles in both engines, so no rounded-tie hazard)."""
+    (identical doubles in both engines, so no rounded-tie hazard).
+
+    r7 pair shape (profiled at sf1, scripts/profile_pairs.py): the r6
+    basket spelling built per-order arrays with collect_set and exploded
+    pairs scan-side — but the collect_set aggregation itself dominated
+    the query (~6.5 s of a ~10 s wall at sf1: array buffers defeat the
+    codegen fixed-width agg path AND map-side combine). Pairs now come
+    from a self-join of the deduped (order, part) relation — an equal
+    volume of generated pairs without ever building an array:
+
+    - ``repartition(l_orderkey)`` + ``dropDuplicates`` puts ONE
+      hash exchange on the fact; HashPartitioning(okey) satisfies the
+      dedup's ClusteredDistribution(okey, pkey), the self-join's
+      ClusteredDistribution(okey), and AQE stage reuse serves both join
+      sides from that single materialization — the fact crosses the
+      network exactly once, same as the basket shape.
+    - the a<b convention lives in the join condition, so the generated
+      stream is half-volume, packed into one BIGINT key for the count
+      agg (the supplier_shared_parts convention).
+    - ``shuffle_hash`` hint: the join is already co-partitioned, and a
+      hash probe generates pairs without SortMergeJoin's two 6M-row
+      sorts (A/B at sf1: SMJ 6.1 s vs SHJ 2.9 s full-query warm).
+      Per-partition build side is |fact|/shuffle-partitions rows —
+      bounded at any scale by sizing shuffle partitions, the normal
+      100 TB lever, and AQE skew-split keeps a hub order from pinning
+      one task.
+
+    Self-join here is NOT the r5 anti-pattern (that was a self-join of
+    the RAW fact with both directions kept); on the deduped
+    co-partitioned relation it is strictly less work than the basket
+    explode — same pair stream, no array materialization."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # r7: NO array_sort — the a<b convention moves into the pack via
-    # least/greatest (collect_set's order is irrelevant), saving a
-    # 1.4M-array sort pass at sf1.  The size filter applies at pair
-    # generation, not here, so this subtree is IDENTICAL to n_part's
-    # below and the scan + partial agg + exchange runs ONCE
-    # (ReusedExchange; the r4 union-twin lesson in reverse).
-    baskets = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps"))
-    # Pair generation is a<b ONLY, packed into one BIGINT — HALF the
-    # exploded volume of the r5 both-directions spelling (at sf1 the
-    # both-directions stream was ~165M rows and dominated the 6.2×
-    # sf1 ratio; pairs are symmetric, so one direction carries all the
-    # information), and a primitive-long explode feeding a single-key
-    # hash agg beats the struct spelling on bytes and hash cost (the
-    # supplier_shared_parts convention). Symmetrization happens AFTER
-    # the co ≥ 3 support filter, on the tiny surviving relation, as an
-    # in-stage explode of [pair, flipped-pair] — ONE subtree, so the
-    # r4 union-twin recompute (twin `co` chains that never collapsed
-    # into a ReusedExchange, judge-confirmed in PLANS.md) cannot come
-    # back.
-    pairs = baskets.where(F.size("ps") >= 2).select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) -> transform("
-                "slice(ps, i + 2, size(ps)), "
-                "y -> (CAST(least(x, y) AS BIGINT) << 32)"
-                " + greatest(x, y))))"
-            )
-        ).alias("pk")
-    )
+    ob = (li.repartition("l_orderkey")
+          .dropDuplicates(["l_orderkey", "l_partkey"]))
+    x, y = ob.alias("x"), ob.hint("shuffle_hash").alias("y")
     half = (
-        pairs.groupBy("pk")
+        x.join(y, (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+               & (F.col("x.l_partkey") < F.col("y.l_partkey")))
+        .select((F.shiftleft(F.col("x.l_partkey").cast("bigint"), 32)
+                 + F.col("y.l_partkey")).alias("pk"))
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).cast("long").alias("co"))
         .where(F.col("co") >= _RECS_MIN_CO)
     )
@@ -92,14 +97,11 @@ def part_affinity_recs(spark, sf_dir):
             "array(struct(shiftright(pk, 32) AS a, (pk & 4294967295) AS b, co), "
             "struct((pk & 4294967295) AS a, shiftright(pk, 32) AS b, co))")).alias("p")
     ).select("p.a", "p.b", "p.co")
-    # per-part distinct-order counts (the cosine norms): collect_set
-    # already IS the per-order distinct, so exploding the shared basket
-    # relation replaces the r6 li.distinct() — which re-shuffled all 6M
-    # (order, part) rows — with a map-side-combining count onto |part|
-    # keys riding the reused basket exchange.
+    # per-part distinct-order counts (the cosine norms) ride the same
+    # deduped relation; the partkey exchange map-side-combines 6M rows
+    # onto |part| keys before it moves.
     n_part = (
-        baskets.select(F.explode("ps").alias("l_partkey"))
-        .groupBy("l_partkey")
+        ob.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     # n_part is part-table-sized (grows with SF) — no broadcast hint;
