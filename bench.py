@@ -27,7 +27,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def duckdb_timings(sf_dir: str, threads: str) -> dict[str, float]:
-    """Best-of-2 runtime of each query's DuckDB oracle on the same
+    """Best-of-3 runtime of each query's DuckDB oracle on the same
     parquet and thread budget — the single-node engine yardstick the
     Spark ratios are judged against (BASELINE.md 'within 2× of a tuned
     single-node engine'). Measured here, not argued in prose."""
@@ -42,7 +42,7 @@ def duckdb_timings(sf_dir: str, threads: str) -> dict[str, float]:
     out: dict[str, float] = {}
     for name, sql in ORACLES.items():
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             con.execute(sql).df()
             runs.append(time.perf_counter() - start)
@@ -78,13 +78,13 @@ def main() -> None:
     QUERIES["events_type_stats"](spark, sf_dir).toPandas()
     QUERIES["dedup_minhash_candidates"](spark, "/root/testdata/sf0.001").toPandas()
 
-    # best-of-2 per query: single-shot numbers on a shared box mix
+    # best-of-3 per query: single-shot numbers on a shared box mix
     # scheduler noise into the measurement (observed 5-10x swings on
-    # identical plans); the min of two runs reports steady-state engine
+    # identical plans); the min of three runs reports steady-state engine
     # time while still executing every query end-to-end each time
     for name, fn in QUERIES.items():
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             fn(spark, sf_dir).toPandas()
             runs.append(time.perf_counter() - start)

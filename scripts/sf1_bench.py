@@ -65,7 +65,7 @@ def main() -> None:
     duck: dict[str, float] = {}
     for n in names:
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             con.execute(ORACLES[n]).df()
             runs.append(time.perf_counter() - t0)
@@ -96,7 +96,7 @@ def main() -> None:
     for n in names:
         runs = []
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 QUERIES[n](spark, sf_dir).toPandas()
                 runs.append(time.perf_counter() - t0)
