@@ -11,13 +11,16 @@ the shape 100 TB-safe, measured on real data at three scales
    replicated sf1 ≤17 — so the quadratic-in-basket term is a constant
    factor, not a scale term).  A super-linear drift would mean the
    join started pairing across orders.
-2. FLAT per-pair cost: wall/1M-pairs stays within 4× across scales
-   (the fixed job floor dominates small scales, so the bound is loose
-   downward, tight upward — a blow-up would mean the pair agg stopped
-   map-side-combining or the join fell back to a sort).
+2. AMORTIZING per-pair cost: wall/1M-pairs must be non-increasing as
+   scale grows, within a 1.5× noise allowance per step (the fixed job
+   floor dominates small scales, so the absolute spread downward is
+   large and meaningless; what a regression looks like is a LARGER
+   scale paying MORE per pair — the agg losing map-side combine, or
+   the join falling back to a sort).
 
 Also cross-checks the generator against a brute-force pandas
-groupby-combinations count on sf0.01 (exact pair-multiset equality).
+groupby-combinations count on sf0.01 (exact pair-multiset equality,
+on both the packed-BIGINT and the wide-partkey fallback key paths).
 
 Usage: python scripts/pair_soak.py [sf1_dir]   (default /tmp/sf1,
        skipped if absent)
@@ -37,22 +40,17 @@ from pyspark.sql import functions as F  # noqa: E402
 from tracker_trainer_spark.session import get_spark  # noqa: E402
 
 
-def pair_counts(spark, sf_dir):
-    """The shipped pair-generation subtree: deduped co-partitioned
-    self-join, a<b, packed BIGINT keys (queries_recs_ext.py)."""
+def pair_counts(spark, sf_dir, pack: bool = True):
+    """The SHIPPED pair-generation subtree — imported, not copied, so a
+    shape change in the query is automatically what this soak
+    certifies (review r7)."""
+    from tracker_trainer_spark.queries_recs_ext import copurchase_pairs
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_partkey")
     ob = (li.repartition("l_orderkey")
           .dropDuplicates(["l_orderkey", "l_partkey"]))
-    x, y = ob.alias("x"), ob.hint("shuffle_hash").alias("y")
-    return (
-        x.join(y, (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-               & (F.col("x.l_partkey") < F.col("y.l_partkey")))
-        .select((F.shiftleft(F.col("x.l_partkey").cast("bigint"), 32)
-                 + F.col("y.l_partkey")).alias("pk"))
-        .groupBy("pk")
-        .agg(F.count(F.lit(1)).cast("long").alias("co"))
-    )
+    return copurchase_pairs(ob, pack=pack)
 
 
 def main() -> None:
@@ -66,19 +64,22 @@ def main() -> None:
                       })
     spark.sparkContext.setLogLevel("ERROR")
 
-    # -- exactness vs brute force on sf0.01 ---------------------------
+    # -- exactness vs brute force on sf0.01, BOTH key paths -----------
     small = "/root/testdata/sf0.01"
-    got = {r["pk"]: r["co"] for r in pair_counts(spark, small).collect()}
     pdf = (spark.read.parquet(f"{small}/lineitem.parquet")
            .select("l_orderkey", "l_partkey").toPandas())
-    want: dict[int, int] = {}
+    want: dict[tuple, int] = {}
     for _, grp in pdf.groupby("l_orderkey")["l_partkey"]:
         for a, b in itertools.combinations(sorted(set(grp)), 2):
-            pk = (int(a) << 32) + int(b)
-            want[pk] = want.get(pk, 0) + 1
-    assert got == want, (
-        f"pair multiset mismatch: {len(got)} spark vs {len(want)} brute")
-    print(f"sf0.01 brute-force parity: {len(want)} distinct pairs exact")
+            want[(int(a), int(b))] = want.get((int(a), int(b)), 0) + 1
+    for pack in (True, False):
+        got = {(r["a"], r["b"]): r["co"]
+               for r in pair_counts(spark, small, pack=pack).collect()}
+        assert got == want, (
+            f"pair multiset mismatch (pack={pack}): "
+            f"{len(got)} spark vs {len(want)} brute")
+    print(f"sf0.01 brute-force parity: {len(want)} distinct pairs exact "
+          f"on both the packed and the wide-partkey fallback path")
 
     # -- linearity + flat per-pair cost across scales ------------------
     dirs = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
@@ -104,10 +105,12 @@ def main() -> None:
     assert max(ratios) / min(ratios) < 3, (
         f"pair volume is not ~linear in rows: pairs/row {ratios}")
     per_pair = [s[3] * 1e6 / s[2] for s in stats]
-    # the LARGEST scale must be the cheapest per pair (floor amortizes);
-    # allow the small scales to be up to 40x worse (pure job floor)
-    assert per_pair[-1] == min(per_pair), (
-        f"per-pair cost did not amortize with scale: {per_pair}")
+    # per-pair cost must not GROW with scale (1.5x noise allowance per
+    # step — the strict-min form was both flaky under co-tenant noise
+    # at the top scale and blind to a mid-scale blow-up; review r7)
+    for prev, cur in zip(per_pair, per_pair[1:]):
+        assert cur <= prev * 1.5, (
+            f"per-pair cost grew with scale: {per_pair}")
     print(f"pair_volume_linear=true per_pair_amortizes=true "
           f"(pairs/row {[round(r, 2) for r in ratios]}, "
           f"s/1Mpairs {[round(p, 3) for p in per_pair]})")

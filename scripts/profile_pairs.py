@@ -77,15 +77,11 @@ def main() -> None:
     # skips SortMergeJoin's two fact-side sorts.  Same-session A/B at
     # sf1 (bench conf): SMJ-on-distinct 5.2-6.1 s, this 2.6-2.9 s,
     # collect_set baskets 5.4-10.3 s.
+    from tracker_trainer_spark.queries_recs_ext import copurchase_pairs
+
     ob2 = (li.repartition("l_orderkey")
            .dropDuplicates(["l_orderkey", "l_partkey"]))
-    a2 = ob2.alias("a"); b2 = ob2.hint("shuffle_hash").alias("b")
-    sj2 = (a2.join(b2, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-           .select((F.shiftleft(F.col("a.l_partkey").cast("bigint"), 32)
-                    + F.col("b.l_partkey")).alias("pk"))
-           .groupBy("pk").agg(F.count(F.lit(1)).alias("co"))
-           .where(F.col("co") >= 3))
+    sj2 = copurchase_pairs(ob2).where(F.col("co") >= 3)
     t("ALT repart+SHJ self-join (shipped r7)", lambda: sj2.count())
 
     # alternative shape B: explode without array_sort (sort_array inside

@@ -277,3 +277,44 @@ def test_table_row_count_matches_spark(spark, sf_dir):
         assert table_row_count(sf_dir, t) == want
         assert table_row_count(sf_dir, t) == want  # memo path
         assert (sf_dir, t) in _ROW_COUNT_CACHE
+
+
+def test_table_column_max_matches_spark(spark, sf_dir):
+    """Parquet-footer column maxima must equal a real Spark max —
+    they gate the copurchase pair pack (queries_recs_ext)."""
+    from pyspark.sql import functions as F
+
+    from tracker_trainer_spark.queries import table_column_max
+
+    for t, c in (("lineitem", "l_partkey"), ("orders", "o_orderkey")):
+        want = (spark.read.parquet(f"{sf_dir}/{t}.parquet")
+                .agg(F.max(c)).collect()[0][0])
+        assert table_column_max(sf_dir, t, c) == want
+        assert table_column_max(sf_dir, t, c) == want  # memo path
+
+
+def test_copurchase_pairs_pack_and_fallback_agree(spark, sf_dir):
+    """The packed-BIGINT and wide-partkey fallback key paths of the
+    shipped co-purchase pair generator must produce the identical
+    (a, b, co) relation — the fallback is what runs when partkey
+    footer stats exceed 2^31 (or are absent), so it must not be a
+    dead branch."""
+    from pyspark.sql import functions as F
+
+    from tracker_trainer_spark.queries_recs_ext import copurchase_pairs
+
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_partkey"))
+    ob = (li.repartition("l_orderkey")
+          .dropDuplicates(["l_orderkey", "l_partkey"]))
+    packed = {(r.a, r.b): r.co
+              for r in copurchase_pairs(ob, pack=True).collect()}
+    wide = {(r.a, r.b): r.co
+            for r in copurchase_pairs(ob, pack=False).collect()}
+    assert packed == wide and len(packed) > 0
+    # and the wide path survives keys past the 32-bit pack boundary
+    big = ob.withColumn(
+        "l_partkey", F.col("l_partkey").cast("bigint") + F.lit(2 ** 33))
+    shifted = {(r.a - 2 ** 33, r.b - 2 ** 33): r.co
+               for r in copurchase_pairs(big, pack=False).collect()}
+    assert shifted == packed

@@ -71,6 +71,37 @@ def table_row_count(sf_dir: str, name: str) -> int:
     return _ROW_COUNT_CACHE[key]
 
 
+def table_column_max(sf_dir: str, name: str, column: str):
+    """Exact column maximum from parquet FOOTER statistics — zero Spark
+    jobs, same soundness argument and memo bounds as table_row_count.
+    Returns None when any row group lacks the statistic (caller must
+    take its conservative path)."""
+    key = (sf_dir, name, column)
+    if key not in _ROW_COUNT_CACHE:
+        import pyarrow.parquet as pq
+        from pathlib import Path
+
+        path = Path(f"{sf_dir}/{name}.parquet")
+        files = sorted(path.glob("**/*.parquet")) if path.is_dir() else [path]
+        best = None
+        for fp in files:
+            md = pq.ParquetFile(str(fp)).metadata
+            idx = md.schema.names.index(column)
+            for rg in range(md.num_row_groups):
+                stats = md.row_group(rg).column(idx).statistics
+                if stats is None or not stats.has_min_max:
+                    best = None
+                    break
+                best = stats.max if best is None else max(best, stats.max)
+            else:
+                continue
+            break
+        if len(_ROW_COUNT_CACHE) >= _ROW_COUNT_CACHE_MAX:
+            _ROW_COUNT_CACHE.pop(next(iter(_ROW_COUNT_CACHE)))
+        _ROW_COUNT_CACHE[key] = best
+    return _ROW_COUNT_CACHE[key]
+
+
 def r4(c):
     return F.round(c, 4)
 

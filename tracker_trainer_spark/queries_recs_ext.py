@@ -3,11 +3,13 @@
 - ``part_affinity_recs`` — item-item collaborative filtering: top
   recommendations per seed part by co-purchase cosine
   (co / sqrt(n_a·n_b)), the classic "customers who bought X also
-  bought Y" operator. Co-occurrence pairs generate scan-side from
-  per-order sorted part arrays (the basket-HOF posture — no fact
-  self-join); cosine ranks are cross-engine safe because every input
-  is an exact integer and sqrt/division are correctly-rounded IEEE
-  ops evaluated in the same order.
+  bought Y" operator. Co-occurrence pairs generate from a shuffle-hash
+  self-join of the deduped co-partitioned (order, part) relation
+  (``copurchase_pairs`` — ONE fact exchange serves the dedup and both
+  join sides; r7, replacing the collect_set basket explode whose array
+  aggregation dominated the query); cosine ranks are cross-engine safe
+  because every input is an exact integer and sqrt/division are
+  correctly-rounded IEEE ops evaluated in the same order.
 - ``cohort_ltv_curve`` — cumulative lifetime-value curves per signup
   cohort: users cohorted by first-seen week, cumulative purchase
   cents per cohort through each week-age k, and LTV per user in exact
@@ -41,6 +43,48 @@ _RECS_TOPN = 30
 _RECS_MIN_CO = 3
 
 
+def copurchase_pairs(ob, pack: bool = True):
+    """Unordered co-purchase pair counts from a deduped (order, part)
+    relation: ``(a, b, co)`` with a < b, one row per distinct pair.
+
+    THE shipped pair-generation subtree (part_affinity_recs, the pair
+    soak, and the stage profiler all call this one function — a shape
+    change here is automatically what the soak certifies):
+
+    - the caller hands in ``ob`` already repartitioned on
+      ``l_orderkey`` and deduped, so the shuffle-hash self-join rides
+      that single fact exchange (AQE stage reuse serves both sides);
+    - the a<b convention lives in the join condition (half-volume
+      stream);
+    - ``pack=True`` packs the pair into one BIGINT key for the count
+      agg (primitive-long hashing, the supplier_shared_parts
+      convention) and unpacks after — EXACT only while partkey < 2³¹
+      (TPC-H partkey = 200k × SF crosses that near SF ~10,000; the
+      caller checks the actual key bound from parquet footer stats and
+      passes ``pack=False`` past it, where the agg groups the (a, b)
+      ints directly: same result, ~2× slower hashing, no overflow).
+    """
+    x, y = ob.alias("x"), ob.hint("shuffle_hash").alias("y")
+    joined = x.join(y, (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+                    & (F.col("x.l_partkey") < F.col("y.l_partkey")))
+    if pack:
+        return (
+            joined.select(
+                (F.shiftleft(F.col("x.l_partkey").cast("bigint"), 32)
+                 + F.col("y.l_partkey")).alias("pk"))
+            .groupBy("pk")
+            .agg(F.count(F.lit(1)).cast("long").alias("co"))
+            .select(F.expr("shiftright(pk, 32)").alias("a"),
+                    F.expr("pk & 4294967295").alias("b"), "co")
+        )
+    return (
+        joined.select(F.col("x.l_partkey").cast("bigint").alias("a"),
+                      F.col("y.l_partkey").cast("bigint").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+    )
+
+
 def part_affinity_recs(spark, sf_dir):
     """Top-N item-item recommendations by co-purchase cosine: for each
     seed part, the strongest co-purchased parts with
@@ -65,8 +109,8 @@ def part_affinity_recs(spark, sf_dir):
       sides from that single materialization — the fact crosses the
       network exactly once, same as the basket shape.
     - the a<b convention lives in the join condition, so the generated
-      stream is half-volume, packed into one BIGINT key for the count
-      agg (the supplier_shared_parts convention).
+      stream is half-volume; key packing for the count agg (and its
+      partkey-width fallback) lives in ``copurchase_pairs``.
     - ``shuffle_hash`` hint: the join is already co-partitioned, and a
       hash probe generates pairs without SortMergeJoin's two 6M-row
       sorts (A/B at sf1: SMJ 6.1 s vs SHJ 2.9 s full-query warm).
@@ -79,23 +123,23 @@ def part_affinity_recs(spark, sf_dir):
     the RAW fact with both directions kept); on the deduped
     co-partitioned relation it is strictly less work than the basket
     explode — same pair stream, no array materialization."""
+    from tracker_trainer_spark.queries import table_column_max
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     ob = (li.repartition("l_orderkey")
           .dropDuplicates(["l_orderkey", "l_partkey"]))
-    x, y = ob.alias("x"), ob.hint("shuffle_hash").alias("y")
-    half = (
-        x.join(y, (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-               & (F.col("x.l_partkey") < F.col("y.l_partkey")))
-        .select((F.shiftleft(F.col("x.l_partkey").cast("bigint"), 32)
-                 + F.col("y.l_partkey")).alias("pk"))
-        .groupBy("pk")
-        .agg(F.count(F.lit(1)).cast("long").alias("co"))
-        .where(F.col("co") >= _RECS_MIN_CO)
-    )
+    # BIGINT pair pack is exact only while partkey < 2^31; check the
+    # real bound from parquet footer stats (zero Spark jobs) and fall
+    # back to 2-int grouping past it — or when the stat is absent
+    # (review r7: TPC-H partkey = 200k x SF overflows the pack near
+    # SF ~10,000, which is inside the stated 100 TB posture).
+    max_pk = table_column_max(sf_dir, "lineitem", "l_partkey")
+    half = copurchase_pairs(
+        ob, pack=max_pk is not None and int(max_pk) < 2 ** 31,
+    ).where(F.col("co") >= _RECS_MIN_CO)
     sym = half.select(
         F.explode(F.expr(
-            "array(struct(shiftright(pk, 32) AS a, (pk & 4294967295) AS b, co), "
-            "struct((pk & 4294967295) AS a, shiftright(pk, 32) AS b, co))")).alias("p")
+            "array(struct(a, b, co), struct(b AS a, a AS b, co))")).alias("p")
     ).select("p.a", "p.b", "p.co")
     # per-part distinct-order counts (the cosine norms) ride the same
     # deduped relation; the partkey exchange map-side-combines 6M rows
