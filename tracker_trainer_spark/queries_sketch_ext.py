@@ -882,6 +882,18 @@ def supplier_shared_parts(spark, sf_dir):
     ascending IS (s1, s2) lexicographic ascending — the same
     deterministic tiebreak both engines use."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    # Loud pack-width guard from parquet footer stats (zero Spark
+    # jobs): suppkey = 10k x SF stays under 2^31 through SF ~214k, but
+    # a silent alias past it would merge unrelated pairs — same
+    # fail-fast convention as basket.check_pack_width (review r7).
+    from tracker_trainer_spark.queries import table_column_max
+
+    _max_sk = table_column_max(sf_dir, "lineitem", "l_suppkey")
+    if _max_sk is not None and int(_max_sk) >= 2 ** 31:
+        raise ValueError(
+            "supplier_shared_parts: l_suppkey max "
+            f"{_max_sk} overflows the 32-bit pair pack — widen the pack"
+        )
     # r7: no sort_array — the s1<s2 convention moves into the pack via
     # least/greatest, saving the per-part set sort (the pair stream and
     # its agg are identical; this query stays WORK-BOUND on the ~83M
