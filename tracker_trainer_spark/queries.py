@@ -3249,7 +3249,10 @@ _DRIVER_CERTIFIED = frozenset({
     #      supplier_shared_parts
     #      theil_sen_price_slope
     #    (the four pair-miners were re-certified green in r6 and
-    #    rewritten AGAIN in r7 onto the mask-histogram/no-sort plans;
+    #    rewritten AGAIN in r7: brand miners onto mask-histogram plans,
+    #    supplier_shared_parts onto the no-sort pack, and
+    #    part_affinity_recs onto the co-partitioned shuffle-hash
+    #    self-join with the partkey-width pack guard;
     #    revenue-identical results, new physical plans — re-certify.
     #    theil_sen/spearman changed only their construction-time
     #    count jobs to parquet-footer counts — identical integers —
