@@ -199,6 +199,21 @@ def test_q2_pushes_part_filter_and_no_nlj(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_q2_semi_join_below_fact_agg(spark, sf_dir):
+    """VERDICT r7 item 1: the selective part predicate must prune
+    lineitem BEFORE the (partkey, suppkey) fact aggregate — the
+    LeftSemi join has to sit BELOW the first Aggregate in the
+    optimized plan, not above it.  In the tree string a child prints
+    after its parent, so the first (l_partkey, l_suppkey) Aggregate
+    must appear before the LeftSemi node it consumes."""
+    df = QUERIES["q2_min_cost_supplier"](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in opt
+    agg_pos = opt.index("Aggregate [l_partkey")
+    semi_pos = opt.index("LeftSemi")
+    assert agg_pos < semi_pos, "part semi-join is not below the fact agg"
+
+
 def test_q9_pushes_name_contains(spark, sf_dir):
     fs = pushed_filters(QUERIES["q9_product_profit"](spark, sf_dir))
     assert any("StringContains" in f and "p_name" in f for f in fs)

@@ -46,10 +46,19 @@ def q2_min_cost_supplier(spark, sf_dir):
     (min of raw values — no float arithmetic, so the equality filter
     against the per-part minimum is bit-stable across engines).
 
-    Plan: one (partkey, suppkey) hash agg; region restriction applied
-    BEFORE the per-part window-min so the correlation matches the
-    subquery; the window reuses the partkey-side shuffle. part join
-    stays AQE-decided (scales with SF); nation/region pinned broadcast.
+    Plan (r8, VERDICT r7 item 1): the selective part predicate
+    (PROMO & size<=15) is pushed BELOW the fact aggregate as a
+    LEFT SEMI join of the filtered partkeys into lineitem — the
+    per-part window-min partitions by partkey, so dropping other
+    partkeys' rows before the agg is semantics-preserving and prunes
+    the (partkey, suppkey) agg, the supplier join, and the window by
+    the part-filter selectivity.  Region restriction stays BEFORE the
+    window-min so the correlation matches the subquery; the window
+    reuses the partkey-side shuffle.  The final part join (attaching
+    p_name) stays AQE-decided; the semi side is the same filtered scan
+    projected to one int column — broadcastable at any SF where the
+    predicate keeps its TPC-H-like selectivity, AQE-promoted rather
+    than pinned in case it does not.  nation/region pinned broadcast.
     """
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
@@ -59,7 +68,12 @@ def q2_min_cost_supplier(spark, sf_dir):
         (F.col("p_type") == "PROMO") & (F.col("p_size") <= 15)
     )
 
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+    li_pruned = li.join(
+        part.select("p_partkey"),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    cost = li_pruned.groupBy("l_partkey", "l_suppkey").agg(
         F.min("l_extendedprice").alias("supp_cost")
     )
     eligible = (
