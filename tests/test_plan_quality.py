@@ -109,7 +109,7 @@ def test_loader_pushes_orphan_filter_and_prunes(spark, tmp_path):
     ("q19_disjunctive_revenue", 2),     # part broadcast; scalar agg
     ("q21_sole_returned_supplier", 4),  # 2-level profile agg + semi-joins + name agg
     ("events_before_purchase", 3),      # (user,bin) join + purchase agg + reattach
-    ("revenue_rollup_nation_year", 2),  # joins broadcast at SF; one grouping-set agg
+    ("revenue_rollup_nation_year", 3),  # r8: orderkey pre-agg exchange (4:1 fact cut) + (nation,year) agg + rollup
     ("order_value_percentiles", 1),     # one grouped percentile pass
     ("order_value_histogram", 2),       # envelope agg (broadcast) + bucket agg
     ("windowed_event_stats", 1),        # tumbling-window agg: exactly one exchange
@@ -181,7 +181,7 @@ def test_scoring_path_no_shuffle(spark, timeline):
 @pytest.mark.parametrize("name,max_shuffles", [
     ("q2_min_cost_supplier", 2),   # (part,supp) agg + partkey window; dims/part broadcast
     ("q8_market_share", 2),        # star joins broadcast at SF; year agg + sort
-    ("q9_product_profit", 2),      # star joins broadcast at SF; (nation,year) agg + sort
+    ("q9_product_profit", 3),      # r8: (orderkey,nation) pre-agg exchange + (nation,year) agg + sort
     ("q16_supplier_counts", 3),    # two-phase distinct agg + sort; blacklist broadcast
     ("q20_promotion_suppliers", 3),  # suppkey agg + semi-join + name sort
 ])
@@ -197,6 +197,24 @@ def test_q2_pushes_part_filter_and_no_nlj(spark, sf_dir):
     assert any("p_size" in f for f in fs)
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name,agg_marker", [
+    ("revenue_rollup_nation_year", "Aggregate [l_orderkey"),
+    ("q3_top_revenue_orders", "Aggregate [l_orderkey"),
+    ("q9_product_profit", "Aggregate [l_orderkey"),
+    ("q10_returned_items", "Aggregate [o_custkey"),
+])
+def test_partial_agg_pushed_below_join(spark, sf_dir, name, agg_marker):
+    """VERDICT r7 item 2: the lineitem partial aggregate must sit BELOW
+    the downstream join — in the optimized tree string a child prints
+    after its parent, so the pre-agg Aggregate node must appear AFTER
+    the first Join that consumes it (i.e. the Join is the parent)."""
+    df = QUERIES[name](spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    agg_pos = opt.index(agg_marker)
+    join_pos = opt.index("Join ")
+    assert join_pos < agg_pos, f"{name}: pre-agg is not below the join"
 
 
 def test_q2_semi_join_below_fact_agg(spark, sf_dir):

