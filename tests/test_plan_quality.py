@@ -1015,6 +1015,22 @@ def test_mta_window_is_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_mta_window_runs_in_join_partitions(spark, sf_dir):
+    """VERDICT r7 item 3: the anchored bin join must leave the ranking
+    window exchange-free — matches of one purchase all land in its
+    (user, anchor-bin) partition, so the ONLY hash exchanges are the
+    two pinned join-input repartitions and the final (tiny) channel
+    agg.  A hashpartitioning on purchase_id reappearing means the
+    anchoring regressed.  The join must be the profiled shuffle-hash,
+    not sort-merge (the window re-sorts anyway)."""
+    from tracker_trainer_spark.plans import physical_plan
+    plan = physical_plan(QUERIES["multitouch_attribution"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(purchase_id" not in plan
+    assert count_shuffles(QUERIES["multitouch_attribution"](spark, sf_dir)) <= 4
+
+
 def test_fk_audit_single_lineitem_scan(spark, sf_dir):
     """VERDICT r6 item 3 done-criterion: the three lineitem FK edges
     must melt out of ONE fact scan (the r6 shape touched lineitem ~6

@@ -118,6 +118,99 @@ def test_oracle_agreement_against_theta_join(spark, frames):
 
 
 # ---------------------------------------------------------------------------
+# anchored interval join (fixed-width lookback, exchange-free consumer)
+# ---------------------------------------------------------------------------
+
+def _anchored_pairs(points, intervals, bin_seconds, max_len):
+    from tracker_trainer_spark.functions.range_join import anchored_interval_join
+    out = anchored_interval_join(points, intervals, "ts", "lo", "hi",
+                                 on=["user_id"], bin_seconds=bin_seconds,
+                                 max_interval_seconds=max_len)
+    return sorted((r.ivid, r.pid) for r in out.collect())
+
+
+def test_anchored_matches_interval_join(frames):
+    """Same matches, each exactly once — the flip changes only which
+    side explodes and what the output is clustered by."""
+    points, intervals = frames
+    # iv2 is 3 days individual — bound must cover it
+    assert _anchored_pairs(points, intervals, 86400, 3 * 86400) == EXPECTED
+
+
+def test_anchored_differential_vs_theta(spark):
+    import random
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    pts = [(rng.randrange(5), base + dt.timedelta(seconds=rng.randrange(0, 10 * 86400)), f"p{i}")
+           for i in range(300)]
+    ivs = []
+    for i in range(60):
+        lo = base + dt.timedelta(seconds=rng.randrange(0, 9 * 86400))
+        ivs.append((rng.randrange(5), lo,
+                    lo + dt.timedelta(seconds=rng.randrange(1, 2 * 86400)), f"iv{i}"))
+    points = spark.createDataFrame(pts, "user_id long, ts timestamp, pid string")
+    intervals = spark.createDataFrame(ivs, "user_id long, lo timestamp, hi timestamp, ivid string")
+    got = _anchored_pairs(points, intervals, 86400, 2 * 86400)
+    want = sorted(
+        (r.ivid, r.pid)
+        for r in intervals.alias("i")
+        .join(points.alias("p"),
+              (F.col("i.user_id") == F.col("p.user_id"))
+              & F.col("p.ts").between(F.col("i.lo"), F.col("i.hi")))
+        .collect()
+    )
+    assert got == want and len(got) > 50
+
+
+def test_anchored_interval_too_long_fails_loud(frames):
+    """An interval longer than max_interval_seconds would silently lose
+    matches — the kernel must raise, not under-join."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from tracker_trainer_spark.functions.range_join import anchored_interval_join
+    points, intervals = frames  # iv2 is 2.75 days long
+    out = anchored_interval_join(points, intervals, "ts", "lo", "hi",
+                                 on=["user_id"], bin_seconds=86400,
+                                 max_interval_seconds=86400)
+    with pytest.raises(SparkRuntimeException, match="max_interval_seconds"):
+        out.collect()
+
+
+def test_anchored_downstream_window_needs_no_exchange(frames):
+    """The reason this variant exists: a per-interval window keyed
+    (*on, _anchor_bin, interval-id) must reuse the join's own
+    partitioning — no hashpartitioning on the interval id anywhere."""
+    from pyspark.sql.window import Window
+
+    from tracker_trainer_spark.functions.range_join import anchored_interval_join
+    points, intervals = frames
+    out = anchored_interval_join(points, intervals, "ts", "lo", "hi",
+                                 on=["user_id"], bin_seconds=4 * 86400,
+                                 max_interval_seconds=4 * 86400,
+                                 num_partitions=4)
+    w = Window.partitionBy("user_id", "_anchor_bin", "ivid").orderBy("ts", "pid")
+    ranked = out.select("ivid", "pid", F.row_number().over(w).alias("r"))
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(ivid" not in plan
+    # exactly the two pinned input repartitions
+    assert plan.count("Exchange hashpartitioning") == 2
+    ranked.collect()
+
+
+def test_anchored_rejects_bad_params():
+    from tracker_trainer_spark.functions.range_join import anchored_interval_join
+    for bad in (0, -1, 2.5, float("nan")):
+        with pytest.raises(ValueError, match="whole second"):
+            anchored_interval_join(None, None, "ts", "lo", "hi",
+                                   on=["k"], bin_seconds=bad)
+    with pytest.raises(ValueError, match="max_interval_seconds"):
+        anchored_interval_join(None, None, "ts", "lo", "hi",
+                               on=["k"], bin_seconds=60,
+                               max_interval_seconds=0)
+
+
+# ---------------------------------------------------------------------------
 # interval × interval overlap join
 # ---------------------------------------------------------------------------
 

@@ -100,6 +100,103 @@ def interval_join(
     return iv.join(p, [*on, "_bin"]).where(pt.between(lo, hi)).drop("_bin")
 
 
+def anchored_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_time: str,
+    interval_start: str,
+    interval_end: str,
+    on: list[str],
+    bin_seconds: int,
+    max_interval_seconds: int | None = None,
+    num_partitions: int | None = None,
+    prefer_shuffle_hash: bool = False,
+) -> DataFrame:
+    """`interval_join` with the explosion FLIPPED: points explode to
+    every bin a matching interval's END (anchor) could occupy, and each
+    interval maps to exactly ONE bin — ``floor(end / W)``.
+
+    Same matches, same exactly-once argument (each pair meets only in
+    the interval's unique anchor bin), same no-theta-join scaling.  The
+    point of the flip is the OUTPUT PARTITIONING: rows arrive hashed by
+    ``(*on, _anchor_bin)``, and every match of a given interval shares
+    that key — so a downstream per-interval window or aggregate keyed
+    ``(*on, "_anchor_bin", <interval id>)`` is already clustered and
+    plans WITHOUT another exchange (Spark's HashPartitioning satisfies
+    a ClusteredDistribution that is a superset of its expressions).
+    `interval_join` clusters by the POINT's bin instead, which splits
+    one interval's matches across two bins and forces the consumer to
+    re-shuffle by interval id — the exchange this variant deletes
+    (profiled in multitouch_attribution: a 39.6 MB purchase-keyed
+    exchange + one stage level at sf1, scripts/profile_mta.py).
+
+    Output keeps the ``_anchor_bin`` column — the consumer must include
+    it (plus the `on` keys) in its window/groupBy partitioning for the
+    exchange-free plan, then drop it.
+
+    `max_interval_seconds` bounds the point-side explosion:
+    ceil(max_len/W) + 1 candidate anchor bins per point (pass the exact
+    interval length for fixed-width lookbacks — with W == len that is
+    2 bins).  Defaults to `bin_seconds` (the fixed-width case).  The
+    residual re-checks the exact span, so a LONGER true interval is a
+    correctness error only if it exceeds this bound — guarded by a
+    loud runtime check folded into the residual: intervals longer than
+    the bound would silently lose matches, so they fail the join with
+    a raised error instead (see `_too_long` below).
+
+    `prefer_shuffle_hash` hints the interval (build) side to a
+    shuffled hash join — skips BOTH sort-merge sorts.  Right when the
+    consumer's window re-sorts anyway (the SMJ sort order (*on, bin)
+    is a strict prefix of the window sort, so SMJ buys nothing) and
+    the per-partition interval build fits memory (intervals are the
+    SMALLER side by construction; the bin in the key shards hot keys).
+    A/B at sf1 in multitouch_attribution: 1.13 s → 0.95 s min-of-4.
+    """
+    if (isinstance(bin_seconds, float) and not math.isfinite(bin_seconds)) \
+            or bin_seconds != int(bin_seconds) or int(bin_seconds) < 1:
+        raise ValueError(
+            f"bin_seconds must be a whole second >= 1, got {bin_seconds}")
+    if max_interval_seconds is None:
+        max_interval_seconds = int(bin_seconds)
+    if max_interval_seconds != int(max_interval_seconds) \
+            or int(max_interval_seconds) < 1:
+        raise ValueError(
+            "max_interval_seconds must be a whole second >= 1, "
+            f"got {max_interval_seconds}")
+
+    bin_us = F.lit(int(bin_seconds) * 1_000_000)
+    max_us = int(max_interval_seconds) * 1_000_000
+    pt = F.unix_micros(F.col(point_time).cast("timestamp"))
+    lo = F.unix_micros(F.col(interval_start).cast("timestamp"))
+    hi = F.unix_micros(F.col(interval_end).cast("timestamp"))
+
+    # a point t matches intervals with hi ∈ [t, t + max_len] → anchor
+    # bins floor(t/W) .. floor((t + max_len)/W)
+    p = points.withColumn(
+        "_anchor_bin",
+        F.explode(F.sequence(F.floor(pt / bin_us),
+                             F.floor((pt + F.lit(max_us)) / bin_us))),
+    )
+    # fail LOUD on intervals longer than the declared bound (they would
+    # silently lose matches): raise_error inside the anchor expression
+    _too_long = F.when(
+        hi - lo > F.lit(max_us),
+        F.raise_error(F.concat(
+            F.lit("anchored_interval_join: interval longer than "
+                  "max_interval_seconds="), F.lit(str(max_interval_seconds)),
+            F.lit("s: [") , F.col(interval_start).cast("string"),
+            F.lit(", "), F.col(interval_end).cast("string"), F.lit("]"),
+        )).cast("long"),
+    ).otherwise(F.floor(hi / bin_us))
+    iv = intervals.withColumn("_anchor_bin", _too_long)
+    if num_partitions:
+        p = p.repartition(num_partitions, *on, "_anchor_bin")
+        iv = iv.repartition(num_partitions, *on, "_anchor_bin")
+    if prefer_shuffle_hash:
+        iv = iv.hint("shuffle_hash")
+    return iv.join(p, [*on, "_anchor_bin"]).where(pt.between(lo, hi))
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

@@ -60,14 +60,30 @@ def multitouch_attribution(spark, sf_dir):
     Parity: credits are single divisions of exact integers evaluated
     through the identical CASE text on both engines; channel sums
     differ only in summation order and the r4 output absorbs that
-    (the per-row credits themselves are bit-equal). Scale: window
-    membership is the bin-bucketed interval equi-join; ranking adds
-    ONE purchase-keyed exchange.  Both the join and the ranking
-    exchange are pinned to spark.sql.shuffle.partitions (r7): their
-    stages are CPU-bound (µs residual + a 2.2M-row two-window sort at
-    sf1) over few BYTES, so AQE's byte-based coalescer was collapsing
-    them onto ~3 cores — 1.9 s → 1.0 s at sf1."""
-    from tracker_trainer_spark.functions.range_join import interval_join
+    (the per-row credits themselves are bit-equal).
+
+    Scale/wall (r8, VERDICT r7 item 3 — profiled first,
+    scripts/profile_mta.py): the r7 shape's sf1 wall split into the
+    two event scans (~0.5 s), the bin join stage (12.5 s executor /
+    7.1 s CPU across 32 tasks), and a 39.6 MB purchase-keyed exchange
+    + 2.2M-row window sort (5.0 s executor) — stage-chain depth, not
+    one hot operator.  The fix: window membership now rides the
+    ANCHORED bin join (`anchored_interval_join`) — points explode to
+    candidate anchor bins, each purchase maps to its ONE anchor bin —
+    so every match of a purchase lands in the same (user, anchor-bin)
+    partition and the ranking window, partitioned by
+    (user_id, _anchor_bin, purchase_id), plans with NO exchange: the
+    purchase-keyed shuffle and its stage level are gone.  Join inputs
+    stay pinned to spark.sql.shuffle.partitions (r7): the stage is
+    CPU-bound over few bytes and AQE's byte-based coalescer would
+    collapse it onto ~3 cores.  The join itself is hinted shuffle-hash
+    (the window re-sorts regardless, so SMJ's sorts buy nothing; same
+    profiled call as part_affinity's r7 rewrite).  Measured sf1
+    walls, min-of-4 interleaved: r7 shape 1.75 s → anchored 1.13 s →
+    anchored+SHJ 0.95 s; remaining wall is the two 3-task event scans
+    (single 12 MB file at sf1 — harness split granularity, not plan)
+    plus the fused join→window→agg stage."""
+    from tracker_trainer_spark.functions.range_join import anchored_interval_join
 
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ev = _t(spark, sf_dir, "events")
@@ -83,14 +99,16 @@ def multitouch_attribution(spark, sf_dir):
     touches = ev.where(F.col("event_type") != "purchase").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    matched = interval_join(
+    matched = anchored_interval_join(
         touches, intervals, "ts", "w_start", "p_ts",
         on=["user_id"], bin_seconds=_MTA_WINDOW_DAYS * 86400,
-        num_partitions=n_shuffle,
+        num_partitions=n_shuffle, prefer_shuffle_hash=True,
     )
-    wp = Window.partitionBy("purchase_id")
+    # partitioning (user_id, _anchor_bin) satisfies this clustering —
+    # rank/count run in the join's own output partitions, no exchange
+    wp = Window.partitionBy("user_id", "_anchor_bin", "purchase_id")
     wr = wp.orderBy("ts", "event_id")
-    ranked = matched.repartition(n_shuffle, "purchase_id").select(
+    ranked = matched.select(
         "purchase_id", "event_type",
         F.row_number().over(wr).alias("r"),
         F.count(F.lit(1)).over(wp).alias("k"),
