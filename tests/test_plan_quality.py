@@ -714,7 +714,10 @@ def test_kmeans_assignment_is_codegen(spark, sf_dir):
     ("customer_hierarchy_rollup", 2), # recursive frontier joins + one depth rollup
     ("user_running_distinct", 2),     # both windows + final agg share the user_id hash
     ("theil_sen_price_slope", 5),     # pair sort rank + scalar attach + 2 spread round-robins
-    ("supplier_shared_parts", 3),     # per-part set agg + pair agg (+ top-k window)
+    # r8: dedup exchange (inside the cached lineage) + 2 join-side
+    # re-exchanges of the capped edges (InMemoryRelation under AQE
+    # loses partitioning) + pair agg; top-k is TakeOrdered
+    ("supplier_shared_parts", 4),
     ("cms_join_size_estimate", 6),    # freq agg feeds exact + sketch branches (all ≤4k rows after)
     ("daily_revenue_autocorr", 3),    # daily agg + one ordered window + 2-group rollup
     ("event_trigram_patterns", 2),    # one user window + trigram rollup (+ top-k)
@@ -758,25 +761,24 @@ def test_cms_counters_built_from_keys_not_rows(spark, sf_dir):
 
 
 def test_shared_parts_pairs_are_scan_side(spark, sf_dir):
-    """Bipartite pair generation is a HOF over the per-part supplier
-    array — never a partkey self-join — and the explode stage is fed by
-    the fanout rebalance: AQE coalesces the compact set-agg output by
-    bytes and cannot see the ~C(d,2)/d-fold pair amplification, so a
-    round-robin exchange must sit between the agg and the Generate."""
+    """r8 shape: bipartite pair generation is a co-partitioned
+    SHUFFLE-HASH self-join of the persisted deduped edge relation
+    (the r7 array explode spent 141 s of sf1 executor CPU on per-pair
+    ArrayData allocation — see the query docstring) — pure codegen
+    probe, no Generate, no sort-merge sorts, no cartesian; the degree
+    cap rides a window over the same partkey partitioning, and every
+    consumer reads the persisted edges (compute-once, the AQE stage
+    reuse that was measured not to fire)."""
     from tracker_trainer_spark.plans import physical_plan
     plan = physical_plan(QUERIES["supplier_shared_parts"](spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "RoundRobinPartitioning" in plan, plan
-    tree = plan.split("\n\n")[0]
-    gen = tree.find("Generate")
-    assert gen != -1, tree
-    agg = tree.find("HashAggregate", gen)
-    exch = tree.find("Exchange", gen)
-    assert exch != -1 and (agg == -1 or exch < agg), (
-        "pair explode not fed by the fanout rebalance:\n" + tree
-    )
+    assert "ShuffledHashJoin" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    # no array pair generation anywhere
+    assert "Generate" not in plan, plan
+    assert "collect_set" not in plan, plan
 
 
 def test_fanout_rebalances_to_all_cores(spark):
@@ -1065,10 +1067,13 @@ def test_recs_pairs_single_fact_exchange(spark, sf_dir):
     deduped co-partitioned (order, part) relation (r7 shape — profiled
     2-3x faster than the basket/collect_set explode at sf1, whose array
     aggregation dominated the query). Pin the load-bearing properties:
-    the fact crosses the network on exactly ONE orderkey exchange
-    (HashPartitioning(okey) satisfies the dedup AND both join sides —
-    AQE reuses the stage), the join is a hash probe (no 6M-row
-    SortMergeJoin sorts), and nothing is a cartesian product."""
+    the deduped fact is computed ONCE and served to all three
+    consumers (both self-join sides + n_part) from the persisted
+    relation — r8 replaced the AQE-stage-reuse reliance after stage
+    accounting showed the reuse NOT firing in the 3-consumer shape
+    (the 66 MB dedup exchange ran twice at sf1; see the query
+    docstring) — the join is a hash probe (no 6M-row SortMergeJoin
+    sorts), and nothing is a cartesian product."""
     from tracker_trainer_spark.plans import physical_plan
     df = QUERIES["part_affinity_recs"](spark, sf_dir)
     plan = physical_plan(df)
@@ -1077,13 +1082,12 @@ def test_recs_pairs_single_fact_exchange(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     # no array aggregation anywhere in the pair path
     assert "collect_set" not in plan, plan
-    # statically the okey exchange is planned once per consumer (x/y
-    # join sides + the two n_part branches); at runtime AQE must fuse
-    # them into one materialized fact exchange
+    # every consumer reads the persisted dedup relation; the okey
+    # exchange lives only inside the cached lineage
+    assert "InMemoryTableScan" in plan, plan
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in executed or "ReusedQueryStage" in executed, (
-        executed)
+    assert "InMemoryTableScan" in executed, executed
 
 
 def test_ltv_curve_shuffle_budget(spark, sf_dir):

@@ -809,14 +809,20 @@ def basket_pair_lift(spark, sf_dir, min_support: int = BASKET_MIN_SUPPORT,
     indexed = li.join(
         part.select("l_partkey", b2i[F.col("p_brand")].alias("bi")),
         "l_partkey").select("l_orderkey", "bi")
-    mhist = mask_histogram(indexed, "l_orderkey", "bi",
-                           domain_size=len(brands))
+    from pyspark import StorageLevel
+
     # Three consumers (pairs, marginals, order total) hang off the SAME
-    # mhist subtree: both of its exchanges dedupe via ReusedExchange,
-    # so the 6M-row chain runs once inside ONE job — no cache, no
-    # separate fill/count job (the r6 shape spent an extra job there).
-    # n_orders rides as a broadcast 1-row relation instead of a
-    # collected scalar for the same reason.
+    # mhist subtree.  r8: PERSIST it — stage accounting at sf1 showed
+    # AQE's stage reuse deduping the first (orderkey) exchange but NOT
+    # the downstream (mask, cnt) exchange, so the 6M-row bit_or chain
+    # ran TWICE (16.5 s + 11 s executor CPU for identical work; the
+    # same multi-consumer reuse miss as part_affinity_recs r8).  The
+    # cached relation is DOMAIN-bounded (≤ |distinct masks| rows, ~6 MB
+    # at sf1) — a safe persist at any fact scale.  n_orders rides as a
+    # broadcast 1-row relation instead of a collected scalar.
+    mhist = mask_histogram(indexed, "l_orderkey", "bi",
+                           domain_size=len(brands)
+                           ).persist(StorageLevel.MEMORY_AND_DISK)
     decoded = mhist.withColumn("bs", bits_expr(len(brands)))
     pair_counts = (
         decoded.select(F.explode(packed_pairs_expr()).alias("pk"), "cnt")

@@ -122,12 +122,31 @@ def part_affinity_recs(spark, sf_dir):
     Self-join here is NOT the r5 anti-pattern (that was a self-join of
     the RAW fact with both directions kept); on the deduped
     co-partitioned relation it is strictly less work than the basket
-    explode — same pair stream, no array materialization."""
+    explode — same pair stream, no array materialization.
+
+    r8: ``ob`` is PERSISTED.  Stage accounting at sf1 (UI REST metrics)
+    showed the single-fact-exchange claim broken in the 3-consumer
+    shape: AQE's stage reuse served the self-join's two sides from one
+    materialization when they were the ONLY consumers, but with the
+    n_part branch as a third consumer the 66 MB dedup exchange ran
+    TWICE (classic ReuseExchange with AQE off deduplicates it, so the
+    subtrees are canonically equal — the miss is AQE stage-cache
+    behavior, not plan shape).  persist() restores compute-once for
+    all three consumers the way reuse should have: sf1 full-query
+    min-of-3 4.21 s → 2.18 s (A/B'd against an independent
+    countDistinct n_part branch too: 2.87 s — persist wins).  At
+    100 TB the cached relation is fact-sized; MEMORY_AND_DISK spills
+    blocks to executor-local disk, which is exactly where the reused
+    shuffle files would have lived — same storage posture, one fact
+    network crossing either way."""
+    from pyspark import StorageLevel
+
     from tracker_trainer_spark.queries import table_column_max
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     ob = (li.repartition("l_orderkey")
-          .dropDuplicates(["l_orderkey", "l_partkey"]))
+          .dropDuplicates(["l_orderkey", "l_partkey"])
+          .persist(StorageLevel.MEMORY_AND_DISK))
     # BIGINT pair pack is exact only while partkey < 2^31; check the
     # real bound from parquet footer stats (zero Spark jobs) and fall
     # back to 2-int grouping past it — or when the stat is absent

@@ -60,15 +60,6 @@ def _spread(df, n=None):
     return spread(df, n)
 
 
-def _fanout(df, n=None):
-    """session.fanout: re-spread a compact post-agg relation before an
-    explode that multiplies it (AQE coalesces by observed bytes and
-    cannot see the amplification — see its contract)."""
-    from tracker_trainer_spark.session import fanout
-
-    return fanout(df, n)
-
-
 def _hash28(col):
     """The repo's portable 28-bit md5-prefix hash (one spelling:
     functions/text.py), == DuckDB ``('0x' || substr(md5(x),1,7))::BIGINT``."""
@@ -865,22 +856,41 @@ def supplier_shared_parts(spark, sf_dir):
     suppliers are dropped BEFORE pair generation (the same
     degree-bounding that makes the triangle count hub-proof), so the
     pair volume is ≤ C(40,2)·|parts| regardless of how skewed the
-    hottest part is.  Instead of a partkey self-join (2 extra
-    exchanges + a recomputed distinct), the per-part supplier set is
-    collected ONCE (collect_set = the distinct, map-side combined) and
-    unordered pairs are generated scan-side from the sorted array with
-    nested transform/slice — 3 total exchanges: per-part set,
-    pre-explode rebalance, pair agg (+ top-k).
+    hottest part is.
 
-    The pair is PACKED into one BIGINT ((s1 << 32) | s2) for the
-    explode + aggregation: at sf1 the projection emits 83M pairs, and
-    a primitive-long array explode feeding a single-long-key hash agg
-    shuffles half the bytes and hashes ~2× faster than the struct
-    spelling (measured 15.9 s → 8 s wall at sf1; suppkey < 2³¹ keeps
-    the pack exact at any TPC-H scale).  Unpacking happens on the 20
+    r8 pair generation (stage-profiled, then A/B'd): the r7 shape
+    collected per-part supplier SETS and exploded pairs from nested
+    transform/slice arrays; UI stage metrics at sf1 put 141 s of
+    executor CPU in that explode+partial-agg stage — the per-pair
+    ArrayData allocation, not the aggregation, was the overhead.
+    Pairs now stream out of a co-partitioned SHUFFLE-HASH SELF-JOIN of
+    the deduped (part, supplier) edge relation (a < b in the join
+    condition): pure codegen probe, zero array materialization — the
+    copurchase_pairs shape, with the hub cap as a window count over
+    the same partkey partitioning (no extra exchange).  The edge
+    relation is PERSISTED: it feeds both join sides and the degree
+    window, and AQE's stage reuse was measured NOT to fire for the
+    multi-consumer shape (same finding as part_affinity_recs r8).
+    A/B at sf1, min-of-3 interleaved, identical top-20: arrays 6.40 s
+    → self-join 4.95 s.
+
+    WORK-BOUND adjudication (VERDICT r7 item 4): what remains is the
+    pair aggregation itself — ~83M probe emissions hashed into ~31M
+    distinct packed-BIGINT keys (the map-side partial reduces only
+    1.3:1 by pigeonhole, so ~492 MB of partials cross the shuffle
+    regardless of how pairs are generated; a pre-repartition-by-pk
+    variant that skips the useless partial was A/B'd too: no better).
+    No algorithmic prefilter exists — supplier degrees all exceed any
+    top-20 support threshold, so every pair's exact count is needed.
+
+    The pair is PACKED into one BIGINT ((s1 << 32) | s2); suppkey <
+    2³¹ keeps the pack exact at any TPC-H scale, and the footer-stat
+    guard below fails loud past it.  Unpacking happens on the 20
     survivor rows only.  Top-20 orders by (count DESC, pk ASC), and pk
     ascending IS (s1, s2) lexicographic ascending — the same
     deterministic tiebreak both engines use."""
+    from pyspark import StorageLevel
+
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     # Loud pack-width guard from parquet footer stats (zero Spark
     # jobs): suppkey = 10k x SF stays under 2^31 through SF ~214k, but
@@ -894,31 +904,31 @@ def supplier_shared_parts(spark, sf_dir):
             "supplier_shared_parts: l_suppkey max "
             f"{_max_sk} overflows the 32-bit pair pack — widen the pack"
         )
-    # r7: no sort_array — the s1<s2 convention moves into the pack via
-    # least/greatest, saving the per-part set sort (the pair stream and
-    # its agg are identical; this query stays WORK-BOUND on the ~83M
-    # dense pairs at sf1 — no algorithmic prefilter exists because
-    # supplier degrees all exceed any top-20 support threshold).
-    sets = (
-        li.groupBy("l_partkey")
-        .agg(F.collect_set("l_suppkey").alias("ss"))
-        .where((F.size("ss") >= 2) & (F.size("ss") <= 40))
+    edges = li.repartition("l_partkey").dropDuplicates(
+        ["l_partkey", "l_suppkey"])
+    wdeg = Window.partitionBy("l_partkey")
+    # persist AFTER the degree filter: InMemoryRelation under AQE loses
+    # the cached plan's output partitioning, so each cache consumer
+    # re-exchanges — persisting `kept` (not `edges`) computes the
+    # dedup + window ONCE and re-exchanges only the capped 15 MB-class
+    # relation per join side (A/B at sf1: 9.40 s vs 6.74 s min-of-3
+    # on the same loaded box)
+    kept = (
+        edges.withColumn("_deg", F.count(F.lit(1)).over(wdeg))
+        .where((F.col("_deg") >= 2) & (F.col("_deg") <= 40))
+        .select("l_partkey", "l_suppkey")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # the pair explode below multiplies rows ~C(d,2)/d-fold, invisible
-    # to AQE's coalesce estimator (measured 2.4 s → 1.0 s at sf0.1)
-    sets = _fanout(sets)
-    pair_expr = F.explode(
-        F.flatten(
-            F.expr(
-                "transform(ss, (x, i) -> transform("
-                "slice(ss, i + 2, size(ss)), "
-                "y -> (CAST(least(x, y) AS BIGINT) << 32)"
-                " + greatest(x, y)))"
-            )
-        )
+    a, b = kept.alias("a"), kept.hint("shuffle_hash").alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.l_partkey") == F.col("b.l_partkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
     )
     pairs = (
-        sets.select(pair_expr.alias("pk"))
+        joined.select(
+            (F.shiftleft(F.col("a.l_suppkey").cast("bigint"), 32)
+             + F.col("b.l_suppkey")).alias("pk"))
         .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("shared_parts"))
     )
