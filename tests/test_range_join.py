@@ -379,11 +379,28 @@ def test_table_column_max_matches_spark(spark, sf_dir):
 
     from tracker_trainer_spark.queries import table_column_max
 
+    from tracker_trainer_spark.queries import table_column_min
+
     for t, c in (("lineitem", "l_partkey"), ("orders", "o_orderkey")):
         want = (spark.read.parquet(f"{sf_dir}/{t}.parquet")
                 .agg(F.max(c)).collect()[0][0])
         assert table_column_max(sf_dir, t, c) == want
         assert table_column_max(sf_dir, t, c) == want  # memo path
+        want_min = (spark.read.parquet(f"{sf_dir}/{t}.parquet")
+                    .agg(F.min(c)).collect()[0][0])
+        assert table_column_min(sf_dir, t, c) == want_min
+
+
+def test_table_column_stats_none_for_inexact_types(sf_dir):
+    """BYTE_ARRAY string footer stats may be writer-truncated bounds —
+    the exactness contract (ADVICE r7) demands None for them, so a
+    caller gating pack safety on a string column takes the
+    conservative path instead of trusting a possibly-inexact value."""
+    from tracker_trainer_spark.queries import (
+        table_column_max, table_column_min)
+
+    assert table_column_max(sf_dir, "part", "p_brand") is None
+    assert table_column_min(sf_dir, "part", "p_brand") is None
 
 
 def test_copurchase_pairs_pack_and_fallback_agree(spark, sf_dir):

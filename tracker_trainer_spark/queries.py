@@ -71,28 +71,36 @@ def table_row_count(sf_dir: str, name: str) -> int:
     return _ROW_COUNT_CACHE[key]
 
 
-def table_column_max(sf_dir: str, name: str, column: str):
-    """Exact column maximum from parquet FOOTER statistics — zero Spark
-    jobs, same soundness argument and memo bounds as table_row_count.
-    Returns None when any row group lacks the statistic (caller must
-    take its conservative path)."""
-    key = (sf_dir, name, column)
+# parquet physical types whose footer min/max is EXACT; BYTE_ARRAY /
+# FIXED_LEN_BYTE_ARRAY stats may be truncated bounds (the writer is
+# allowed to shorten them), and float stats have NaN-ordering caveats —
+# callers here gate pack-width safety on these values, so anything
+# non-exact returns None (ADVICE r7)
+_EXACT_STAT_TYPES = {"INT32", "INT64", "INT96", "BOOLEAN"}
+
+
+def _table_column_stat(sf_dir: str, name: str, column: str, which: str):
+    key = (sf_dir, name, column, which)
     if key not in _ROW_COUNT_CACHE:
         import pyarrow.parquet as pq
         from pathlib import Path
 
         path = Path(f"{sf_dir}/{name}.parquet")
         files = sorted(path.glob("**/*.parquet")) if path.is_dir() else [path]
+        pick = max if which == "max" else min
         best = None
         for fp in files:
             md = pq.ParquetFile(str(fp)).metadata
             idx = md.schema.names.index(column)
             for rg in range(md.num_row_groups):
-                stats = md.row_group(rg).column(idx).statistics
-                if stats is None or not stats.has_min_max:
+                col = md.row_group(rg).column(idx)
+                stats = col.statistics
+                if (stats is None or not stats.has_min_max
+                        or str(col.physical_type) not in _EXACT_STAT_TYPES):
                     best = None
                     break
-                best = stats.max if best is None else max(best, stats.max)
+                v = stats.max if which == "max" else stats.min
+                best = v if best is None else pick(best, v)
             else:
                 continue
             break
@@ -100,6 +108,24 @@ def table_column_max(sf_dir: str, name: str, column: str):
             _ROW_COUNT_CACHE.pop(next(iter(_ROW_COUNT_CACHE)))
         _ROW_COUNT_CACHE[key] = best
     return _ROW_COUNT_CACHE[key]
+
+
+def table_column_max(sf_dir: str, name: str, column: str):
+    """Exact column maximum from parquet FOOTER statistics — zero Spark
+    jobs, same soundness argument and memo bounds as table_row_count.
+    EXACT only for integer/boolean physical types: BYTE_ARRAY string
+    stats may be writer-truncated upper bounds, so non-integer columns
+    return None (ADVICE r7), as does any row group lacking the
+    statistic — the caller must take its conservative path."""
+    return _table_column_stat(sf_dir, name, column, "max")
+
+
+def table_column_min(sf_dir: str, name: str, column: str):
+    """Exact column minimum from parquet FOOTER statistics — the
+    pack-eligibility twin of table_column_max (ADVICE r7: a negative
+    key would corrupt a BIGINT pack whose max-only gate passes). Same
+    None-means-unknown contract and integer-only exactness."""
+    return _table_column_stat(sf_dir, name, column, "min")
 
 
 def r4(c):

@@ -147,14 +147,21 @@ def part_affinity_recs(spark, sf_dir):
     ob = (li.repartition("l_orderkey")
           .dropDuplicates(["l_orderkey", "l_partkey"])
           .persist(StorageLevel.MEMORY_AND_DISK))
-    # BIGINT pair pack is exact only while partkey < 2^31; check the
-    # real bound from parquet footer stats (zero Spark jobs) and fall
-    # back to 2-int grouping past it — or when the stat is absent
-    # (review r7: TPC-H partkey = 200k x SF overflows the pack near
-    # SF ~10,000, which is inside the stated 100 TB posture).
+    # BIGINT pair pack is exact only while 0 <= partkey < 2^31; check
+    # BOTH bounds from parquet footer stats (zero Spark jobs) and fall
+    # back to 2-int grouping outside them — or when either stat is
+    # absent (review r7: TPC-H partkey = 200k x SF overflows the pack
+    # near SF ~10,000, inside the stated 100 TB posture; ADVICE r7: a
+    # NEGATIVE partkey's sign bits would bleed into the high word while
+    # a max-only gate passes — TPC-H keys are positive, but the guard
+    # exists precisely for non-TPC-H inputs).
+    from tracker_trainer_spark.queries import table_column_min
+
     max_pk = table_column_max(sf_dir, "lineitem", "l_partkey")
+    min_pk = table_column_min(sf_dir, "lineitem", "l_partkey")
     half = copurchase_pairs(
-        ob, pack=max_pk is not None and int(max_pk) < 2 ** 31,
+        ob, pack=(max_pk is not None and int(max_pk) < 2 ** 31
+                  and min_pk is not None and int(min_pk) >= 0),
     ).where(F.col("co") >= _RECS_MIN_CO)
     sym = half.select(
         F.explode(F.expr(

@@ -896,13 +896,21 @@ def supplier_shared_parts(spark, sf_dir):
     # jobs): suppkey = 10k x SF stays under 2^31 through SF ~214k, but
     # a silent alias past it would merge unrelated pairs — same
     # fail-fast convention as basket.check_pack_width (review r7).
-    from tracker_trainer_spark.queries import table_column_max
+    # ADVICE r7: ABSENT stats take the fail-fast path too (this query
+    # has no unpacked fallback, so "can't prove the pack safe" must
+    # raise, not run unguarded), and the min bound is checked because
+    # a negative suppkey's sign bits would bleed into the high word.
+    from tracker_trainer_spark.queries import table_column_max, table_column_min
 
     _max_sk = table_column_max(sf_dir, "lineitem", "l_suppkey")
-    if _max_sk is not None and int(_max_sk) >= 2 ** 31:
+    _min_sk = table_column_min(sf_dir, "lineitem", "l_suppkey")
+    if (_max_sk is None or int(_max_sk) >= 2 ** 31
+            or _min_sk is None or int(_min_sk) < 0):
         raise ValueError(
-            "supplier_shared_parts: l_suppkey max "
-            f"{_max_sk} overflows the 32-bit pair pack — widen the pack"
+            "supplier_shared_parts: cannot prove l_suppkey fits the "
+            f"32-bit pair pack (footer min={_min_sk}, max={_max_sk}; "
+            "need exact integer stats with 0 <= min and max < 2^31) — "
+            "widen the pack or repair the footer statistics"
         )
     edges = li.repartition("l_partkey").dropDuplicates(
         ["l_partkey", "l_suppkey"])
