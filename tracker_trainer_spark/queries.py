@@ -3298,185 +3298,166 @@ ORACLES.update(_SKETCH_ORACLES)
 # the change. The rule evicts on behavioral reach, not on transitive
 # import of a helper whose changed branch cannot execute.
 _DRIVER_CERTIFIED = frozenset({
-    # ---- r7 state: the union of every green driver row from
-    # CORRECTNESS_r01-r06 (all 177 queries lifetime-certified by r6),
-    # MINUS the exactly-50-slot r7 window, which holds:
+    # ---- r8 state: the union of every green driver row from
+    # CORRECTNESS_r01-r07 (all 177 queries lifetime-certified; the r7
+    # window came back 49 green + train_encode_events rows-only),
+    # MINUS the exactly-50-slot r8 window, which holds:
     #
-    # 1. CHANGED THIS ROUND (eviction rule, now enforced mechanically
-    #    by tests/test_cert_hash_guard.py): the r7 perf/oracle
-    #    rewrites —
-    #      basket_pair_lift
-    #      doc_pack_assignments
-    #      fk_integrity_audit
-    #      frequent_brand_triples
-    #      media_image_features
-    #      multitouch_attribution
-    #      part_affinity_recs
-    #      spearman_price_corr
-    #      supplier_shared_parts
-    #      theil_sen_price_slope
-    #    (the four pair-miners were re-certified green in r6 and
-    #    rewritten AGAIN in r7: brand miners onto mask-histogram plans,
-    #    supplier_shared_parts onto the no-sort pack, and
-    #    part_affinity_recs onto the co-partitioned shuffle-hash
-    #    self-join with the partkey-width pack guard;
-    #    revenue-identical results, new physical plans — re-certify.
-    #    theil_sen/spearman changed only their construction-time
-    #    count jobs to parquet-footer counts — identical integers —
-    #    but the eviction rule is representation-agnostic.)
+    # 1. CHANGED THIS ROUND (eviction rule, enforced mechanically by
+    #    tests/test_cert_hash_guard.py) - the r8 perf rewrites:
+    #      q2_min_cost_supplier          (part semi-join below the fact agg)
+    #      q3_top_revenue_orders         (partial agg below the orders join)
+    #      q5_nation_revenue             (docstring A/B note; body re-fingerprints)
+    #      q9_product_profit             (partial agg below the orders join)
+    #      q10_returned_items            (partial agg below the customer join)
+    #      revenue_rollup_nation_year    (partial agg below the orders join)
+    #      multitouch_attribution        (anchored interval join, no window exchange)
+    #      part_affinity_recs            (persisted dedup relation)
+    #      supplier_shared_parts         (self-join pair gen + persisted edges)
+    #      basket_pair_lift              (persisted mask histogram)
     #
-    # 2. STALENESS ROTATION: every remaining r1/r2-era cert,
-    #    including the judge-flagged revenue_rollup_nation_year
-    #    (rewritten in r6 commit d03aaf2 but wrongly kept certified —
-    #    the process failure the hash guard now prevents) —
-    #      revenue_rollup_nation_year
-    #      reward_summary_stats
-    #      semantic_text_dedup
-    #      session_window_sessions
-    #      top3_orders_per_customer
-    #      train_encode_events
-    #      user_sessions
-    #      value_purchase_auc
-    #      weekly_auc_drift
-    #      windowed_event_stats
+    # 2. TRANSITIVE HELPER CHANGE (the hash guard's documented blind
+    #    spot, certify.py - rotation is the driver-level backstop):
+    #    plan_groom was batched to one action; both groom scenarios
+    #    re-certify -
+    #      groom_concurrent_ingest
+    #      groom_fixpoint_check
     #
-    # 3. AGE ROTATION: 30 of the 33 r3-era certs (the remaining 3 —
-    #      sliding_event_counts, user_activity_streaks, user_decayed_value —
-    #    rotate in r8; no slot left this round).
-    #
-    # Shared-code adjudication (r4 rule): supplier_cosupply_bfs /
-    # supplier_cheapest_paths transitively ride the changed helper
-    # _bfs_sparsified_weighted_edges, whose only change replaces a
-    # Spark count() job with the parquet-footer count — the SAME
-    # integer on immutable testdata, so no certified query's
-    # computable behavior changed; both retained, local 3-scale
-    # hash-strict gate re-run green after the change.
+    # 3. AGE ROTATION: the last 3 r3-era certs -
+    #      sliding_event_counts, user_activity_streaks, user_decayed_value
+    #    plus 35 of the 40 remaining r4-era certs; the 5 r4-era certs
+    #    left for the r9 window are exactly:
+    #      user_running_distinct, cms_join_size_estimate,
+    #      daily_revenue_autocorr, event_trigram_patterns,
+    #      bootstrap_mean_ci
+    #    After r8 returns green, every cert in the registry is r5+ and
+    #    newer than its query's last source change.
     "ab_test_lift",
     "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
     "ann_lsh_bucketed",
-    "ann_pq_topk",
-    "bloom_filter_audit",
+    "ann_lsh_multiprobe",
     "bootstrap_mean_ci",
-    "bpe_first_merges",
     "cms_join_size_estimate",
     "cohort_ltv_curve",
     "contrastive_negative_pairs",
-    "conversion_latency_quantiles",
     "corpus_curation",
+    "corpus_decontamination",
     "corpus_mixture_weights",
     "corpus_train_holdout",
-    "countmin_frequency_topk",
-    "customer_hierarchy_rollup",
+    "cube_orders_margin",
+    "customer_mahalanobis_outliers",
+    "customer_order_sequences",
     "customer_pareto_frontier",
+    "customer_retention_setops",
     "customer_rfm_segments",
     "customer_spend_quartiles",
+    "daily_anomaly_zscore",
     "daily_revenue_autocorr",
     "daily_value_ewma",
     "decision_training_rows",
     "dedup_cluster_survivors",
     "dedup_embedding_cosine",
     "dedup_exact_documents",
-    "dedup_minhash_candidates",
+    "dedup_incremental_batch",
     "dedup_minhash_clusters",
+    "dedup_minhash_estimate",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "doc_bigram_perplexity",
-    "doc_bigram_pmi",
+    "doc_bm25_search",
     "doc_centrality_pagerank",
     "doc_fingerprint_lang",
-    "doc_pii_scan",
+    "doc_pack_assignments",
     "doc_repetition_stats",
     "doc_text_stats",
+    "doc_tfidf_top_terms",
     "doc_token_chunks",
     "doc_unigram_logprob",
+    "doc_zipf_fit",
     "duplicate_cluster_histogram",
-    "embedding_isotropy",
     "embedding_similar_pairs",
     "embedding_top_pc",
-    "event_burst_dedup",
     "event_pattern_match",
+    "event_transition_matrix",
     "event_trigram_patterns",
-    "events_before_purchase",
+    "events_daily_pivot",
+    "events_json_value_stats",
     "events_type_stats",
     "feature_pit_join",
     "feature_quantile_bins",
-    "feature_robust_scaling",
+    "fk_integrity_audit",
+    "frequent_brand_triples",
     "funnel_view_click_purchase",
-    "groom_concurrent_ingest",
-    "groom_fixpoint_check",
-    "hll_distinct_users",
-    "hll_merge_daily",
     "holt_backtest",
     "holt_linear_forecast",
+    "ipw_weight_diagnostics",
     "isotonic_calibration",
     "jaccard_prefix_join",
     "k_anonymity_audit",
     "key_skew_audit",
     "km_conversion_survival",
-    "kmeans_embedding_clusters",
-    "ksuid_decode_partition",
+    "knn_join_topk",
     "l_diversity_audit",
-    "lineitem_benford_deviation",
+    "lineitem_measures_unpivot",
+    "lineitem_stats_profile",
     "mann_whitney_u",
+    "media_image_features",
     "merge_rewarded_events",
     "merged_quantile_audit",
     "monthly_order_stats",
-    "nation_spend_gini",
     "nations_with_customers_and_suppliers",
-    "next_event_after_purchase",
-    "oof_target_encoding",
-    "order_priority_chi2",
     "order_value_histogram",
     "order_value_percentiles",
+    "orders_profile",
+    "part_name_editdist_pairs",
     "partition_freshness_audit",
+    "price_quantity_regression",
     "propensity_explode_events",
-    "propensity_training_weights",
     "purchase_attribution_asof",
-    "purchase_moving_avg",
-    "q10_returned_items",
+    "purchase_daily_gapfill",
+    "q11_important_parts",
     "q12_priority_by_returnflag",
     "q13_customer_order_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
+    "q16_supplier_counts",
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q1_pricing_summary",
+    "q20_promotion_suppliers",
     "q21_sole_returned_supplier",
     "q22_idle_customers",
-    "q3_top_revenue_orders",
     "q4_order_priority",
-    "q5_nation_revenue",
     "q6_revenue_forecast",
     "q7_volume_shipping",
+    "q8_market_share",
+    "retention_cohorts",
     "revenue_cusum_shift",
+    "reward_summary_stats",
     "ridge_price_fit",
     "score_calibration_curve",
-    "sliding_event_counts",
-    "stratified_sample_by_lang",
-    "stream_distinct_users",
+    "semantic_text_dedup",
+    "session_window_sessions",
+    "spearman_price_corr",
     "stream_reward_join",
     "stream_session_stats",
-    "stream_windowed_counts",
     "supplier_cheapest_paths",
     "supplier_cosupply_bfs",
-    "supplier_triangle_count",
+    "theil_sen_price_slope",
     "tokenizer_oov_rate",
+    "top3_orders_per_customer",
     "train_e2e_metrics",
-    "user_activity_streaks",
-    "user_decayed_value",
-    "user_event_entropy",
+    "train_encode_events",
     "user_running_distinct",
+    "user_sessions",
     "user_state_cdc_merge",
-    "user_tier_scd2",
-    "value_drift_ks",
-    "value_drift_psi",
+    "value_purchase_auc",
     "variant_ucb_ranking",
     "weekday_seasonality",
-    "weighted_doc_sample",
+    "weekly_auc_drift",
     "weighted_median_price",
+    "windowed_event_stats",
     "zone_map_pruning_audit",
 })
 
