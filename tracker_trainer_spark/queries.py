@@ -2918,10 +2918,26 @@ LIMIT 100
 def train_encode_events(spark, sf_dir, max_features: int = 20, model_seed: int = 1):
     """The real trainer encode path over the events table: JSON flatten
     (Arrow kernel) → feature selection agg → string tables → vector
-    encode. No SQL oracle — this IS the non-SQL-expressible surface
-    (driver records the weaker rows-only check); it exists so BENCH
-    measures the flagship training-encode throughput against the
-    reference's ≳1,100 records/s envelope (BASELINE.md derived targets).
+    encode.  Exists so BENCH measures the flagship training-encode
+    throughput against the reference's ≳1,100 records/s envelope
+    (BASELINE.md derived targets).
+
+    r8 oracle upgrade (VERDICT r7 item 8): the output now exposes the
+    assembled vector's NUMERIC slots — ``v_uid``/``v_k`` (flatten
+    passthroughs) and ``v_t`` (the appended timestamp extra) — read
+    back out of the REAL encode UDF's array by position, with the
+    positions derived from the live selection result (never
+    hardcoded).  Those slots are exactly SQL-derivable from the raw
+    table, so the driver's full rows+schema+hash gate now certifies
+    flatten → selection → assembly end-to-end.  The ONE slot that
+    stays outside the oracle is the xxh3 string target-encode of
+    ``context.et`` (``v_et`` is intentionally NOT in the output): the
+    xxh3-64 port cannot be expressed in pure ANSI SQL and the driver's
+    DuckDB connection accepts no registered UDFs — that arithmetic is
+    pinned instead by the golden-vector bit-parity suite
+    (tests/test_hashing_parity.py) and the local 3-scale encode tests.
+    This documented slot-level adjudication replaces the old
+    whole-query rows-only status.
     """
     from tracker_trainer_spark.trainer.encode import TIMESTAMP_KEY, encode_to_vectors
     from tracker_trainer_spark.trainer.flatten import flatten_merged
@@ -2962,11 +2978,43 @@ def train_encode_events(spark, sf_dir, max_features: int = 20, model_seed: int =
             prior_mean=0.0, prior_count=0,
         )
         encoded = encode_to_vectors(flat, selected, tables, model_seed)
+        # vector layout = selected + extras (encode_to_vectors contract);
+        # positions resolved from the live selection so a data change
+        # re-orders the projection instead of silently reading the
+        # wrong slot
+        names = list(selected) + [TIMESTAMP_KEY]
+        proj = [
+            F.element_at("features", names.index(f) + 1).alias(alias)
+            for f, alias in (("context.uid", "v_uid"), ("item.k", "v_k"),
+                             (TIMESTAMP_KEY, "v_t"))
+            if f in names
+        ]
         return encoded.select(
-            "decision_id", F.size("features").cast("long").alias("n_features")
+            "decision_id", F.size("features").cast("long").alias("n_features"),
+            *proj,
         )
     finally:
         flat.unpersist()
+
+
+# train_encode_events oracle: replays the NUMERIC vector slots straight
+# from the raw table (flatten passthroughs + the timestamp extra).  The
+# feature space of the events corpus is {context.et, context.uid,
+# item.k} (+ the appended `t`), all present on every non-purchase row,
+# so selection keeps all of them and the dense vector is 4 wide; a
+# generator change that altered the feature space would shift
+# n_features and fail this oracle loudly at the local 3-scale gate.
+# The xxh3 string slot is deliberately absent — see the query
+# docstring's slot-level adjudication.
+TRAIN_ENCODE_SQL = """
+SELECT CAST(event_id AS VARCHAR) AS decision_id,
+       CAST(4 AS BIGINT) AS n_features,
+       CAST(user_id AS DOUBLE) AS v_uid,
+       CAST(json_extract_string(props, '$.k') AS DOUBLE) AS v_k,
+       CAST(epoch(date_trunc('second', ts)) AS DOUBLE) AS v_t
+FROM events
+WHERE event_type <> 'purchase'
+"""
 
 
 def train_e2e_metrics(spark, sf_dir, model_seed: int = 7, max_features: int = 15):
@@ -3207,6 +3255,7 @@ ORACLES = {
     "q19_disjunctive_revenue": Q19_SQL,
     "q21_sole_returned_supplier": Q21_SQL,
     "events_before_purchase": EVENTS_BEFORE_PURCHASE_SQL,
+    "train_encode_events": TRAIN_ENCODE_SQL,
     "revenue_rollup_nation_year": ROLLUP_SQL,
     "order_value_percentiles": PERCENTILES_SQL,
     "order_value_histogram": HISTOGRAM_SQL,
