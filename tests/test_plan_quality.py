@@ -108,7 +108,10 @@ def test_loader_pushes_orphan_filter_and_prunes(spark, tmp_path):
     ("q17_small_quantity_revenue", 2),  # semi-join narrow, per-part agg + self-join
     ("q19_disjunctive_revenue", 2),     # part broadcast; scalar agg
     ("q21_sole_returned_supplier", 4),  # 2-level profile agg + semi-joins + name agg
-    ("events_before_purchase", 3),      # (user,bin) join + purchase agg + reattach
+    # r8: 2 pinned anchored-join inputs + 2 reattach exchanges of the
+    # TINY per-purchase agg (AQE broadcasts at runtime) — the old
+    # match-volume purchase agg exchange is gone
+    ("events_before_purchase", 4),
     ("revenue_rollup_nation_year", 3),  # r8: orderkey pre-agg exchange (4:1 fact cut) + (nation,year) agg + rollup
     ("order_value_percentiles", 1),     # one grouped percentile pass
     ("order_value_histogram", 2),       # envelope agg (broadcast) + bucket agg
@@ -142,11 +145,21 @@ def test_q10_filters_pushed_and_topk(spark, sf_dir):
 
 def test_interval_join_query_is_hash_join(spark, sf_dir):
     """The attribution query must plan as a bucketed equi-join — a theta
-    join would appear as BroadcastNestedLoopJoin/CartesianProduct."""
+    join would appear as BroadcastNestedLoopJoin/CartesianProduct.
+    r8: anchored — the per-purchase agg must reuse the join's own
+    (user, anchor-bin) partitioning: in the plan tree the aggregate
+    pair sits directly between the last upstream Exchange (the
+    re-attach join's, over the tiny agg output) and the shuffle-hash
+    bin join, i.e. no match-volume exchange feeds the agg."""
     from tracker_trainer_spark.plans import physical_plan
     plan = physical_plan(QUERIES["events_before_purchase"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" in plan
+    tree = plan.split("\n\n")[0]
+    shj = tree.index("ShuffledHashJoin")
+    seg = tree[tree.rindex("Exchange", 0, shj):shj]
+    assert "HashAggregate" in seg, tree
 
 
 def test_q21_no_expand_and_no_self_join_explosion(spark, sf_dir):
@@ -815,7 +828,9 @@ def test_hll_registers_never_move_raw_rows(spark, sf_dir):
     ("revenue_cusum_shift", 2),       # same calendar-bounded shape
     ("variant_ucb_ranking", 4),       # variant agg + 1-row N + rank window
     ("ridge_price_fit", 1),           # ONE single-pass moment sketch
-    ("frequent_brand_triples", 3),    # basket agg + support agg + top-k
+    # basket agg + fanout round-robin (r8: single-task C(b,3) explode
+    # guard) + support agg + top-k
+    ("frequent_brand_triples", 4),
     ("supplier_cosupply_bfs", 4),     # basket + weight aggs + top-M merge
 ])
 def test_stats_ext_shuffle_budgets(spark, sf_dir, name, max_shuffles):

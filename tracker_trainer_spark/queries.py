@@ -2438,15 +2438,22 @@ def events_before_purchase(spark, sf_dir):
     """Interval join: per purchase, count + value-sum of the same user's
     events in the 24 h window ending at the purchase.
 
-    Runs through functions/range_join.py's bin-bucketed interval join —
-    (user_id, day-bin) equi-join + exact residual — NOT a theta join:
-    the plan must contain no nested-loop/cartesian operator, and a hot
-    user's timeline shards across executors by time bin. Zero-event
+    r8 shape: the ANCHORED bin join (functions/range_join.py — points
+    explode to candidate anchor bins, each purchase maps to its ONE
+    end-anchor bin) — still a (user_id, bin) equi-join + exact
+    residual, NOT a theta join, and a hot user's timeline still shards
+    by bin; the flip makes every match of a purchase land in the same
+    partition, so the per-purchase aggregate below runs WITHOUT its
+    own exchange (the same stage-level fix profiled for
+    multitouch_attribution, scripts/profile_mta.py).  Join inputs pin
+    to spark.sql.shuffle.partitions and the join is shuffle-hash (the
+    hash agg consumer makes SMJ's sorts pure overhead).  Zero-event
     purchases are re-attached by a left join against the (small)
     purchase table after the agg.
     """
-    from tracker_trainer_spark.functions.range_join import interval_join
+    from tracker_trainer_spark.functions.range_join import anchored_interval_join
 
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ev = _t(spark, sf_dir, "events")
     purchases = ev.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
@@ -2455,12 +2462,16 @@ def events_before_purchase(spark, sf_dir):
     )
     intervals = purchases.withColumn("w_start", F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
     points = ev.select("user_id", "ts", "event_id", "value")
-    matched = interval_join(
-        points, intervals, "ts", "w_start", "p_ts", on=["user_id"], bin_seconds=86400
+    matched = anchored_interval_join(
+        points, intervals, "ts", "w_start", "p_ts", on=["user_id"],
+        bin_seconds=86400, num_partitions=n_shuffle,
+        prefer_shuffle_hash=True,
     ).where(F.col("event_id") != F.col("purchase_id"))
-    agg = matched.groupBy("purchase_id").agg(
+    # partitioning (user_id, _anchor_bin) satisfies this grouping —
+    # the agg runs in the join's own output partitions, no exchange
+    agg = matched.groupBy("user_id", "_anchor_bin", "purchase_id").agg(
         F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_v")
-    )
+    ).select("purchase_id", "_n", "_v")
     return (
         purchases.join(agg, "purchase_id", "left_outer")
         .select(

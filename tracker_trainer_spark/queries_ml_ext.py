@@ -823,6 +823,11 @@ def basket_pair_lift(spark, sf_dir, min_support: int = BASKET_MIN_SUPPORT,
     mhist = mask_histogram(indexed, "l_orderkey", "bi",
                            domain_size=len(brands)
                            ).persist(StorageLevel.MEMORY_AND_DISK)
+    # NO fanout before the C(b,2) explode: A/B'd at sf0.1 AND sf1
+    # (plain 1.01/1.02 s vs fanout 1.39/1.41 s min-of-3) — the ~6x
+    # pair amplification of the small histogram is cheaper than the
+    # extra exchange.  frequent_brand_triples DOES fanout: its ~35x
+    # C(b,3) amplification ran 0.75 s single-task (profiled r8).
     decoded = mhist.withColumn("bs", bits_expr(len(brands)))
     pair_counts = (
         decoded.select(F.explode(packed_pairs_expr()).alias("pk"), "cnt")

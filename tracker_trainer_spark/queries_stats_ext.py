@@ -538,11 +538,23 @@ def frequent_brand_triples(spark, sf_dir):
         part.select(F.col("p_partkey").alias("l_partkey"),
                     b2i[F.col("p_brand")].alias("bi")),
         "l_partkey").select("l_orderkey", "bi")
-    decoded = (
+    # fanout before the C(b,3) explode: AQE coalesces the ~0.5 MB
+    # histogram to ONE task by bytes and cannot see the ~35x triple
+    # amplification — profiled at sf0.1: the explode+agg stage ran
+    # single-task at 0.75 s of a 2.1 s wall (r8; session.fanout's
+    # documented hazard).  Interleaved A/B: sf0.1 1.44 s -> 1.19 s
+    # (win), sf1 1.35 s -> 1.49 s (the bigger histogram already gets
+    # partitions; the exchange costs ~0.14 s) — kept because the
+    # explode-amplification failure mode is the one that gets WORSE
+    # with skewed/denser baskets, and the sf1 delta is a bounded
+    # constant while the single-task stage is not.  basket_pair_lift's
+    # ~6x pair explode measured cheaper WITHOUT fanout at both scales.
+    from tracker_trainer_spark.session import fanout
+
+    decoded = fanout(
         mask_histogram(indexed, "l_orderkey", "bi", min_bits=3,
                        domain_size=len(brands))
-        .withColumn("bs", bits_expr(len(brands)))
-    )
+    ).withColumn("bs", bits_expr(len(brands)))
     triples = decoded.select(
         F.explode(packed_triples_expr()).alias("tk"), "cnt")
     counts = triples.groupBy("tk").agg(F.sum("cnt").alias("support"))
