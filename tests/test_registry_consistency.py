@@ -12,11 +12,11 @@ def test_every_oracle_has_a_query():
 def test_queries_without_oracle_are_the_declared_exceptions():
     # non-SQL-expressible ops only — anything else missing an oracle is
     # a silent hole in the correctness gate
-    # media_image_features left this set in r7: the portable stub
-    # decode (md5-chain + dyadic pixels) made its feature math exactly
-    # expressible in SQL, so it now carries a hash-matched oracle
+    # media_image_features left this set in r7 (portable stub decode →
+    # SQL-expressible); train_encode_events left in r8 (numeric vector
+    # slots exposed → full oracle; the xxh3 string slot stays outside,
+    # adjudicated in its docstring)
     assert set(QUERIES) - set(ORACLES) == {
-        "train_encode_events",    # Arrow encode kernels
         "train_e2e_metrics",      # model fits + inference (r6)
     }
 

@@ -14,10 +14,11 @@ from tracker_trainer_spark.queries import (
 )
 
 DRIVER_WINDOW = 50
-# non-SQL-expressible by design: Arrow encode kernels / model fits
-# (media_image_features left this set in r7 — the portable dyadic stub
-# decode gave it a real hash-matched SQL oracle)
-ROWS_ONLY = {"train_encode_events", "train_e2e_metrics"}
+# non-SQL-expressible by design: model fits + inference
+# (media_image_features left this set in r7 — portable dyadic stub
+# decode; train_encode_events left in r8 — numeric vector slots gave
+# it a full oracle, the xxh3 string slot adjudicated in its docstring)
+ROWS_ONLY = {"train_e2e_metrics"}
 
 
 def test_every_query_has_an_oracle_or_is_documented_rows_only():

@@ -3375,6 +3375,15 @@ _DRIVER_CERTIFIED = frozenset({
     #      part_affinity_recs            (persisted dedup relation)
     #      supplier_shared_parts         (self-join pair gen + persisted edges)
     #      basket_pair_lift              (persisted mask histogram)
+    #      events_before_purchase        (anchored join, exchange-free agg;
+    #                                     was already in the window as an
+    #                                     r4 rotation)
+    #      train_encode_events           (numeric-slot oracle upgrade; was
+    #                                     already in the window from r7
+    #                                     rows-only)
+    #      frequent_brand_triples        (fanout before the C(b,3) explode —
+    #                                     evicted by the hash guard, swapped
+    #                                     in for stream_distinct_users)
     #
     # 2. TRANSITIVE HELPER CHANGE (the hash guard's documented blind
     #    spot, certify.py - rotation is the driver-level backstop):
@@ -3385,11 +3394,12 @@ _DRIVER_CERTIFIED = frozenset({
     #
     # 3. AGE ROTATION: the last 3 r3-era certs -
     #      sliding_event_counts, user_activity_streaks, user_decayed_value
-    #    plus 35 of the 40 remaining r4-era certs; the 5 r4-era certs
+    #    plus 34 of the 40 remaining r4-era certs; the 6 r4-era certs
     #    left for the r9 window are exactly:
     #      user_running_distinct, cms_join_size_estimate,
     #      daily_revenue_autocorr, event_trigram_patterns,
-    #      bootstrap_mean_ci
+    #      bootstrap_mean_ci, stream_distinct_users (swapped out to make
+    #      room for the frequent_brand_triples eviction)
     #    After r8 returns green, every cert in the registry is r5+ and
     #    newer than its query's last source change.
     "ab_test_lift",
@@ -3446,7 +3456,7 @@ _DRIVER_CERTIFIED = frozenset({
     "feature_pit_join",
     "feature_quantile_bins",
     "fk_integrity_audit",
-    "frequent_brand_triples",
+    "stream_distinct_users",
     "funnel_view_click_purchase",
     "holt_backtest",
     "holt_linear_forecast",
