@@ -39,8 +39,31 @@ def normalize_ns_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# DataFrame memo for the immutable testdata tables: every fresh
+# ``spark.read.parquet`` schedules a small file-listing/footer job (a
+# 1-task 0.0 s stage that still pays the ~50-100 ms job floor), and a
+# 6-table star query construction was paying SIX of them per call —
+# measured at sf1, q5_nation_revenue ran 13 jobs for ONE real stage
+# (r8 stage accounting).  Reusing the DataFrame object reuses its
+# resolved file index, exactly what a production catalog (metastore
+# file-index cache) provides.  Keyed by the owning SparkSession so a
+# restarted session never sees another session's plans; bounded FIFO
+# like the sibling memos.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+_TABLE_CACHE_MAX = 256
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return normalize_ns_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    # applicationId, not id(spark): a recycled CPython id after session
+    # GC must never resurrect a dead session's plans
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = normalize_ns_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+            _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+        _TABLE_CACHE[key] = df
+    return df
 
 
 # Exact row counts of the immutable input tables, straight from parquet
