@@ -82,7 +82,10 @@ def multitouch_attribution(spark, sf_dir):
     walls, min-of-4 interleaved: r7 shape 1.75 s → anchored 1.13 s →
     anchored+SHJ 0.95 s; remaining wall is the two 3-task event scans
     (single 12 MB file at sf1 — harness split granularity, not plan)
-    plus the fused join→window→agg stage."""
+    plus the fused join→window→agg stage.  Replacing the two scans
+    with one persisted events read was A/B'd and LOST (0.80 s two
+    scans vs 1.18 s persist min-of-4 — cache materialization costs
+    more than re-scanning 12 MB), so the two-branch scan stays."""
     from tracker_trainer_spark.functions.range_join import anchored_interval_join
 
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
