@@ -2212,11 +2212,15 @@ def propensity_training_weights(spark, sf_dir, topk: int = 50):
 
     ev = _t(spark, sf_dir, "events").where(F.col("event_type") != "purchase")
     k = F.get_json_object("props", "$.k").cast("long")
-    # byte-small events file = ONE input split: spread the narrow scan
-    # so the JSON extraction + two md5 hash uniforms run on all cores
-    # (no-op at real scale where splits parallelize the scan)
-    base = _spread(
-        ev.select("event_id", k.alias("n_candidates"))
+    # byte-small events file = few input splits: spread the RAW rows
+    # FIRST, then JSON-parse — the r7 spelling parsed inside the
+    # 3-task scan stage, serializing ~5 s of get_json_object CPU onto
+    # 3 cores before the exchange (stage-profiled r8; A/B at sf1
+    # min-of-4: 1.76 s → 1.32 s).  No-op at real scale where splits
+    # parallelize the scan and the parse rides them either way.
+    base = (
+        _spread(ev.select("event_id", "props"))
+        .select("event_id", k.alias("n_candidates"))
         .where(F.col("n_candidates") >= 1)
     )
     mean_k = F.broadcast(base.agg(F.avg("n_candidates").alias("_mean_k")))
