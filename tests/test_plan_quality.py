@@ -112,7 +112,10 @@ def test_loader_pushes_orphan_filter_and_prunes(spark, tmp_path):
     # TINY per-purchase agg (AQE broadcasts at runtime) — the old
     # match-volume purchase agg exchange is gone
     ("events_before_purchase", 4),
-    ("revenue_rollup_nation_year", 3),  # r8: orderkey pre-agg exchange (4:1 fact cut) + (nation,year) agg + rollup
+    # r8: orderkey pre-agg exchange (4:1 fact cut) + orders-side
+    # exchange (shuffle-hash hint - SMJ sorts buy nothing before a
+    # hash agg) + (nation,year) agg + rollup
+    ("revenue_rollup_nation_year", 4),
     ("order_value_percentiles", 1),     # one grouped percentile pass
     ("order_value_histogram", 2),       # envelope agg (broadcast) + bucket agg
     ("windowed_event_stats", 1),        # tumbling-window agg: exactly one exchange
@@ -194,7 +197,9 @@ def test_scoring_path_no_shuffle(spark, timeline):
 @pytest.mark.parametrize("name,max_shuffles", [
     ("q2_min_cost_supplier", 2),   # (part,supp) agg + partkey window; dims/part broadcast
     ("q8_market_share", 2),        # star joins broadcast at SF; year agg + sort
-    ("q9_product_profit", 3),      # r8: (orderkey,nation) pre-agg exchange + (nation,year) agg + sort
+    # r8: (orderkey,nation) pre-agg exchange + orders-side exchange
+    # (shuffle-hash hint) + supplier join + (nation,year) agg + sort
+    ("q9_product_profit", 5),
     ("q16_supplier_counts", 3),    # two-phase distinct agg + sort; blacklist broadcast
     ("q20_promotion_suppliers", 3),  # suppkey agg + semi-join + name sort
 ])

@@ -2548,9 +2548,16 @@ def revenue_rollup_nation_year(spark, sf_dir):
     the join's fact side by the lineitem:orders row ratio (~4:1 at
     TPC-H ratios), and at 100 TB shrinks the orderkey join exchange by
     the same factor (the pre-agg itself combines map-side before its
-    one exchange)."""
+    one exchange).  The orders join is hinted shuffle-hash: the
+    consumer is a hash aggregate, so SMJ's two 1.5M-row sorts buy
+    nothing (A/B at sf1 min-of-4: 1.30 s → 0.95 s; the same hint
+    measured neutral in q3/q10, whose filtered orders sides broadcast
+    at runtime anyway — left unhinted there).  Build side is orders /
+    shuffle-partitions per task — bounded by sizing shuffle
+    partitions, the normal 100 TB lever (the part_affinity r7
+    convention)."""
     li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").hint("shuffle_hash")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     units = (F.round(F.col("l_extendedprice") * 100).cast("long")
