@@ -1,4 +1,4 @@
-"""Skew-stress: the two places key skew could break the 100 TB story.
+"""Skew-stress: the places key skew could break the 100 TB story.
 
 1. Hot-key merge — ONE decision_id receiving 10⁶ reward partials (viral
    decision / duplicate-delivery storm) on top of a normal background.
@@ -161,6 +161,62 @@ def asof_hot_user(spark, hot_events: int) -> dict:
             "events_per_s": round(n / dt)}
 
 
+def anchored_hot_user(spark, hot_events: int) -> dict:
+    """Fourth skew surface (r8): the ANCHORED interval join — the
+    kernel multitouch_attribution / events_before_purchase ride.  A
+    celebrity user with 10⁶ events against a fixed 1-hour lookback:
+    the join key is (user, anchor_bin), so the hot user's timeline
+    shards across ~|range|/W bins instead of fusing into one task,
+    and the downstream per-purchase aggregate runs IN the join's own
+    partitions (no purchase-keyed exchange to re-skew).  The run
+    proves the hot user is bin-sharded (matches flow, no OOM, wall
+    bounded) and that the exchange-free agg returns exactly one row
+    per matching purchase."""
+    from tracker_trainer_spark.functions.range_join import anchored_interval_join
+
+    n_background_users = 50_000
+    bg = spark.range(n_background_users).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("user_id"),
+        (F.col("id") % 86_400).cast("timestamp").alias("ts"),
+        F.lit("view").alias("event_type"),
+    )
+    hot = spark.range(hot_events).select(
+        F.lit("celebrity").alias("user_id"),
+        (F.col("id") % 86_400).cast("timestamp").alias("ts"),
+        F.when(F.pmod(F.col("id"), F.lit(50)) == 0, F.lit("purchase"))
+        .otherwise(F.lit("view")).alias("event_type"),
+    )
+    ev = (bg.unionByName(hot)
+          .withColumn("event_id", F.monotonically_increasing_id())
+          .repartition(64).cache())
+    n = ev.count()
+
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"))
+    intervals = purchases.withColumn(
+        "w_start", F.col("p_ts") - F.expr("INTERVAL 1 HOURS"))
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_id")
+    matched = anchored_interval_join(
+        touches, intervals, "ts", "w_start", "p_ts", on=["user_id"],
+        bin_seconds=3600, num_partitions=64, prefer_shuffle_hash=True)
+    agg = matched.groupBy("user_id", "_anchor_bin", "purchase_id").agg(
+        F.count(F.lit(1)).alias("n_prior"))
+    t0 = time.perf_counter()
+    n_purch = agg.count()
+    dt = time.perf_counter() - t0
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    no_requeue = "hashpartitioning(purchase_id" not in plan
+    n_bins = matched.select("_anchor_bin").distinct().count()
+    ev.unpersist()
+    return {"scenario": "anchored_hot_user", "events": n,
+            "hot_user_events": hot_events,
+            "purchases_with_priors": n_purch, "anchor_bins": n_bins,
+            "agg_in_join_partitions": no_requeue,
+            "s": round(dt, 2), "events_per_s": round(n / dt)}
+
+
 def main():
     hot = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     mega = int(sys.argv[2]) if len(sys.argv) > 2 else 3_000
@@ -174,6 +230,7 @@ def main():
     print(json.dumps(hot_key_merge(spark, hot)), flush=True)
     print(json.dumps(lsh_mega_bucket(spark, mega)), flush=True)
     print(json.dumps(asof_hot_user(spark, hot)), flush=True)
+    print(json.dumps(anchored_hot_user(spark, hot)), flush=True)
     spark.stop()
 
 
