@@ -22,11 +22,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n = 3
-    for a in sys.argv[1:]:
+    argv, args, n = sys.argv[1:], [], 3
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--n"):
-            n = int(a.split("=", 1)[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                n = int(a.split("=", 1)[1])
+            else:  # bare "--n 5": consume the value token too
+                n = int(argv[i + 1])
+                i += 1
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     sf_dir, names = args[0], args[1:]
 
     spark = get_spark("qtime", master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",

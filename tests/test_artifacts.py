@@ -104,3 +104,29 @@ def test_publish_archive_and_latest(spark, tmp_path):
     assert os.path.exists(archive1) and os.path.exists(archive2)
     assert os.path.realpath(latest) == os.path.realpath(archive2)
     assert not os.path.exists(os.path.join(repo, "models", "latest", ".bandit.tmp"))
+
+
+def test_publish_same_tick_never_merges(tmp_path):
+    """Fifty publishes of an artifact with the SAME created_at (the
+    worst-case stamp collision — r8's red test saw two save_model calls
+    land in one millisecond) must produce fifty distinct archive dirs via
+    the -N de-collision suffix, with latest tracking the final one."""
+    from tracker_trainer_spark.trainer.artifacts import (
+        METADATA_FILE,
+        publish_model,
+    )
+
+    art = str(tmp_path / "art")
+    os.makedirs(art)
+    with open(os.path.join(art, METADATA_FILE), "w") as f:
+        json.dump({"created_at": time.time()}, f)
+    with open(os.path.join(art, "model.bin"), "wb") as f:
+        f.write(b"\x00" * 64)
+
+    repo = str(tmp_path / "repo")
+    dirs = [publish_model(art, repo, "m") for _ in range(50)]
+    assert len(set(dirs)) == 50
+    for d in dirs:
+        assert os.path.exists(os.path.join(d, "model.bin.gz"))
+    latest = os.path.join(repo, "models", "latest", "m")
+    assert os.path.realpath(latest) == os.path.realpath(dirs[-1])

@@ -96,10 +96,12 @@ def table_row_count(sf_dir: str, name: str) -> int:
 
 # parquet physical types whose footer min/max is EXACT; BYTE_ARRAY /
 # FIXED_LEN_BYTE_ARRAY stats may be truncated bounds (the writer is
-# allowed to shorten them), and float stats have NaN-ordering caveats —
-# callers here gate pack-width safety on these values, so anything
-# non-exact returns None (ADVICE r7)
-_EXACT_STAT_TYPES = {"INT32", "INT64", "INT96", "BOOLEAN"}
+# allowed to shorten them), float stats have NaN-ordering caveats, and
+# INT96 stats are deprecated with UNDEFINED sort order (byte-wise compare
+# does not match timestamp order; Spark itself ignores INT96 stats for
+# pushdown) — callers here gate pack-width safety on these values, so
+# anything non-exact returns None (ADVICE r7, r8)
+_EXACT_STAT_TYPES = {"INT32", "INT64", "BOOLEAN"}
 
 
 def _table_column_stat(sf_dir: str, name: str, column: str, which: str):

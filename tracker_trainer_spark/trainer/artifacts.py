@@ -160,8 +160,12 @@ def publish_model(artifact_dir: str, repo_dir: str, model_name: str) -> str:
     a symlink can, so readers always resolve a complete publish (old or
     new, never absent or half-written). Returns the archive directory.
 
-    The stamp carries millisecond precision: two publishes within one
-    second must land in distinct archive directories, not silently merge.
+    The stamp carries microsecond precision, and an existing archive
+    directory forces a ``-N`` de-collision suffix: two publishes of
+    artifacts created within the same tick must land in distinct archive
+    directories, not silently merge (the reference de-collides partition
+    filenames the same way, with a uuid4 component — reference:
+    src/ingest/partition.py:88-91).
 
     Driver-side by design: artifacts are capped driver-side structures
     (the reference publishes from a single Lambda for the same reason).
@@ -172,10 +176,21 @@ def publish_model(artifact_dir: str, repo_dir: str, model_name: str) -> str:
     with open(os.path.join(artifact_dir, METADATA_FILE)) as f:
         created_at = json.load(f)["created_at"]
     stamp = time.strftime("%Y%m%dT%H%M%S", time.gmtime(created_at))
-    stamp += f".{int(created_at * 1000) % 1000:03d}Z"
+    stamp += f".{int(created_at * 1_000_000) % 1_000_000:06d}Z"
 
-    archive = os.path.join(repo_dir, "models", "archive", model_name, stamp)
-    os.makedirs(archive, exist_ok=True)
+    base = os.path.join(repo_dir, "models", "archive", model_name, stamp)
+    archive, suffix = base, 0
+    while True:
+        try:
+            os.makedirs(archive)
+            break
+        except FileExistsError:
+            # Same created_at tick (or a re-publish of the same artifact):
+            # never merge into an existing archive dir — take the next
+            # free "-N" suffix. makedirs without exist_ok is the atomic
+            # claim, so two racing publishers cannot pick the same dir.
+            suffix += 1
+            archive = f"{base}-{suffix}"
     for root, _dirs, files in os.walk(artifact_dir):
         rel = os.path.relpath(root, artifact_dir)
         for fn in files:
