@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from tracker_trainer_spark.queries import ORACLES, QUERIES  # noqa: E402
+from tracker_trainer_spark.queries import ORACLES, QUERIES, release_caches  # noqa: E402
 from tracker_trainer_spark.session import get_spark  # noqa: E402
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -94,6 +94,7 @@ def main() -> None:
         # queries' worth of pinned InMemoryRelations would otherwise
         # accumulate for the whole run
         spark.catalog.clearCache()
+        release_caches()  # drain the tracked-persist registry (ADVICE r8)
         # localCheckpoint blocks (jaccard's pinned prefix, the traversal
         # edge sets) are NOT covered by clearCache — they release only
         # when the constructed DataFrame's RDD is GC'd and the

@@ -32,7 +32,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tracker_trainer_spark.queries import ORACLES, QUERIES  # noqa: E402
+from tracker_trainer_spark.queries import ORACLES, QUERIES, release_caches  # noqa: E402
 from tracker_trainer_spark.session import get_spark  # noqa: E402
 
 SCALED_TABLES = {"region", "nation", "customer", "supplier", "part",
@@ -117,6 +117,7 @@ def main() -> None:
             # intermediates (e.g. basket relations) must not occupy
             # storage memory during every subsequent timing
             spark.catalog.clearCache()
+            release_caches()  # drain the tracked-persist registry
             # localCheckpoint blocks release via ContextCleaner once the
             # constructed DataFrames are GC'd (ADVICE r5 — see bench.py)
             gc.collect()

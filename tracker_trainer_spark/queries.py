@@ -66,6 +66,39 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Registry of persisted relations still live after a query returned its
+# DataFrame (ADVICE r8): a registry query cannot unpersist inside its own
+# body — the terminal action happens in the caller — so queries that
+# persist a shared relation register it here and long-running harnesses
+# (bench.py, scripts/sf1_bench.py, scripts/qtime.py) call
+# ``release_caches()`` between queries.  A harness that never calls it
+# (the per-round driver) falls back to Spark's LRU block eviction —
+# MEMORY_AND_DISK blocks are evictable, so accumulation degrades to the
+# shuffle-file storage posture the persists replaced, never OOM.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame, level=None) -> DataFrame:
+    """persist() + registration for :func:`release_caches`."""
+    from pyspark import StorageLevel
+
+    _LIVE_CACHES.append(df)
+    return df.persist(level or StorageLevel.MEMORY_AND_DISK)
+
+
+def release_caches() -> int:
+    """Unpersist every tracked relation; returns how many were released."""
+    n = 0
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return n
+
+
 # Exact row counts of the immutable input tables, straight from parquet
 # FOOTER metadata — zero Spark jobs (the r6 `li.count()` spelling cost
 # one scheduled job per query construction; VERDICT r7 item 4).  Sound
@@ -2984,11 +3017,21 @@ def train_encode_events(spark, sf_dir, max_features: int = 20, model_seed: int =
     """
     from tracker_trainer_spark.trainer.encode import TIMESTAMP_KEY, encode_to_vectors
     from tracker_trainer_spark.trainer.flatten import flatten_merged
-    from tracker_trainer_spark.trainer.selection import select_features
-    from tracker_trainer_spark.trainer.string_tables import build_string_tables, string_stats
+    from tracker_trainer_spark.trainer.selection import combined_feature_string_stats
+    from tracker_trainer_spark.trainer.string_tables import build_string_tables
 
     ev = _t(spark, sf_dir, "events").where(F.col("event_type") != "purchase")
-    base = ev.select(
+    # The sf-scale events file is byte-small → few input splits, and cache()
+    # freezes those partitions into every downstream stage. Spread the RAW
+    # columns FIRST and shape rows (to_json context assembly, timestamp
+    # cast) ABOVE the exchange: Catalyst keeps Projects above a round-robin
+    # repartition, so the per-row to_json CPU runs 32-wide instead of
+    # inside the 3-task scan stage (r9 stage profile: the scan stage
+    # dropped 2.35 s → ~0.5 s CPU).  No-op at real scale where input
+    # splits parallelize the scan.
+    raw = _spread(ev.select("event_id", "props", "event_type", "user_id",
+                            "ts", "value"))
+    base = raw.select(
         F.col("event_id").cast("string").alias("decision_id"),
         F.col("props").alias("item"),
         F.to_json(
@@ -2998,11 +3041,6 @@ def train_encode_events(spark, sf_dir, max_features: int = 20, model_seed: int =
         F.col("value").alias("y"),
         F.lit(1.0).alias("w"),
     )
-    # The sf-scale events file is byte-small → one input split, and cache()
-    # freezes that single partition into every downstream stage. Spread the
-    # cheap raw rows across cores before the Arrow flatten kernel (no-op
-    # when input splits already parallelize the scan).
-    base = _spread(base)
     flat = (
         base.withColumn(
             "_f", flatten_merged([("context", "context"), ("item", "item")])
@@ -3014,11 +3052,26 @@ def train_encode_events(spark, sf_dir, max_features: int = 20, model_seed: int =
         )
         .cache()
     )
+    # r9 (SURVEY §7.4 item 4): selection and string-stats share ONE scan
+    # of the cached flat relation — combined_feature_string_stats emits
+    # (feature, value|NULL) stats once; the top-k selection re-aggregates
+    # its tiny output (exact: w=1.0 partials) and the string tables read
+    # the value IS NOT NULL slice.  pairstats is domain-bounded
+    # (distinct (feature,value) pairs), so its persist is safe at any
+    # fact scale and released in the finally.
+    pairstats = combined_feature_string_stats(flat).persist()
     try:
-        selected = select_features(flat, max_features)
+        top = (
+            pairstats.groupBy("feature")
+            .agg(F.sum("weight").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("feature"))
+            .limit(max_features)
+            .collect()
+        )
+        selected = [r["feature"] for r in top]
         tables = build_string_tables(
-            string_stats(flat), model_seed, allowed_features=selected,
-            prior_mean=0.0, prior_count=0,
+            pairstats.where(F.col("value").isNotNull()), model_seed,
+            allowed_features=selected, prior_mean=0.0, prior_count=0,
         )
         encoded = encode_to_vectors(flat, selected, tables, model_seed)
         # vector layout = selected + extras (encode_to_vectors contract);
@@ -3037,6 +3090,7 @@ def train_encode_events(spark, sf_dir, max_features: int = 20, model_seed: int =
             *proj,
         )
     finally:
+        pairstats.unpersist()
         flat.unpersist()
 
 

@@ -817,8 +817,6 @@ def basket_pair_lift(spark, sf_dir, min_support: int = BASKET_MIN_SUPPORT,
     indexed = li.join(
         part.select("l_partkey", b2i[F.col("p_brand")].alias("bi")),
         "l_partkey").select("l_orderkey", "bi")
-    from pyspark import StorageLevel
-
     # Three consumers (pairs, marginals, order total) hang off the SAME
     # mhist subtree.  r8: PERSIST it — stage accounting at sf1 showed
     # AQE's stage reuse deduping the first (orderkey) exchange but NOT
@@ -826,11 +824,13 @@ def basket_pair_lift(spark, sf_dir, min_support: int = BASKET_MIN_SUPPORT,
     # ran TWICE (16.5 s + 11 s executor CPU for identical work; the
     # same multi-consumer reuse miss as part_affinity_recs r8).  The
     # cached relation is DOMAIN-bounded (≤ |distinct masks| rows, ~6 MB
-    # at sf1) — a safe persist at any fact scale.  n_orders rides as a
-    # broadcast 1-row relation instead of a collected scalar.
-    mhist = mask_histogram(indexed, "l_orderkey", "bi",
-                           domain_size=len(brands)
-                           ).persist(StorageLevel.MEMORY_AND_DISK)
+    # at sf1) — a safe persist at any fact scale; tracked_persist
+    # (ADVICE r8) lets harnesses release it between queries.  n_orders
+    # rides as a broadcast 1-row relation instead of a collected scalar.
+    from tracker_trainer_spark.queries import tracked_persist
+
+    mhist = tracked_persist(mask_histogram(indexed, "l_orderkey", "bi",
+                                           domain_size=len(brands)))
     # NO fanout before the C(b,2) explode: A/B'd at sf0.1 AND sf1
     # (plain 1.01/1.02 s vs fanout 1.39/1.41 s min-of-3) — the ~6x
     # pair amplification of the small histogram is cheaper than the

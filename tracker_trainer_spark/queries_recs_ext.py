@@ -138,15 +138,25 @@ def part_affinity_recs(spark, sf_dir):
     100 TB the cached relation is fact-sized; MEMORY_AND_DISK spills
     blocks to executor-local disk, which is exactly where the reused
     shuffle files would have lived — same storage posture, one fact
-    network crossing either way."""
-    from pyspark import StorageLevel
+    network crossing either way.  Both persists ride
+    ``tracked_persist`` (ADVICE r8): harnesses release them between
+    queries via ``release_caches()``; under a harness that doesn't,
+    LRU block eviction is the documented release mechanism.
 
-    from tracker_trainer_spark.queries import table_column_max
+    r9: ``n_part`` is persisted too — the executed sf1 plan showed the
+    degree AGGREGATION running TWICE (the na/nb lookups are two
+    different projections of the same agg subtree, which AQE stage
+    reuse does not dedupe — same miss as the r8 3-consumer case):
+    stages of 26 s + 11 s CPU re-scanning the ob cache and re-agging.
+    Persisting the part-keyed degree relation (part-table-sized,
+    bounded) computes it once; sf1 full-query min-of-4 1.97 s → 1.31 s.
+    """
+    from tracker_trainer_spark.queries import table_column_max, tracked_persist
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    ob = (li.repartition("l_orderkey")
-          .dropDuplicates(["l_orderkey", "l_partkey"])
-          .persist(StorageLevel.MEMORY_AND_DISK))
+    ob = tracked_persist(
+        li.repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"]))
     # BIGINT pair pack is exact only while 0 <= partkey < 2^31; check
     # BOTH bounds from parquet footer stats (zero Spark jobs) and fall
     # back to 2-int grouping outside them — or when either stat is
@@ -169,8 +179,9 @@ def part_affinity_recs(spark, sf_dir):
     ).select("p.a", "p.b", "p.co")
     # per-part distinct-order counts (the cosine norms) ride the same
     # deduped relation; the partkey exchange map-side-combines 6M rows
-    # onto |part| keys before it moves.
-    n_part = (
+    # onto |part| keys before it moves.  Persisted (r9, see docstring):
+    # consumed twice under different projections, which AQE won't dedupe.
+    n_part = tracked_persist(
         ob.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )

@@ -889,8 +889,6 @@ def supplier_shared_parts(spark, sf_dir):
     survivor rows only.  Top-20 orders by (count DESC, pk ASC), and pk
     ascending IS (s1, s2) lexicographic ascending — the same
     deterministic tiebreak both engines use."""
-    from pyspark import StorageLevel
-
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     # Loud pack-width guard from parquet footer stats (zero Spark
     # jobs): suppkey = 10k x SF stays under 2^31 through SF ~214k, but
@@ -920,12 +918,15 @@ def supplier_shared_parts(spark, sf_dir):
     # re-exchanges — persisting `kept` (not `edges`) computes the
     # dedup + window ONCE and re-exchanges only the capped 15 MB-class
     # relation per join side (A/B at sf1: 9.40 s vs 6.74 s min-of-3
-    # on the same loaded box)
-    kept = (
+    # on the same loaded box).  tracked_persist (ADVICE r8): harnesses
+    # release it between queries; otherwise LRU block eviction is the
+    # documented release mechanism.
+    from tracker_trainer_spark.queries import tracked_persist
+
+    kept = tracked_persist(
         edges.withColumn("_deg", F.count(F.lit(1)).over(wdeg))
         .where((F.col("_deg") >= 2) & (F.col("_deg") <= 40))
         .select("l_partkey", "l_suppkey")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = kept.alias("a"), kept.hint("shuffle_hash").alias("b")
     joined = a.join(
