@@ -3444,63 +3444,54 @@ ORACLES.update(_SKETCH_ORACLES)
 # the change. The rule evicts on behavioral reach, not on transitive
 # import of a helper whose changed branch cannot execute.
 _DRIVER_CERTIFIED = frozenset({
-    # ---- r8 state: the union of every green driver row from
-    # CORRECTNESS_r01-r07 (all 177 queries lifetime-certified; the r7
-    # window came back 49 green + train_encode_events rows-only),
-    # MINUS the exactly-50-slot r8 window, which holds:
+    # ---- r9 state: the union of every green driver row from
+    # CORRECTNESS_r01-r08 (the r8 window came back 50/50 green, zero
+    # errors), MINUS the exactly-50-slot r9 window, which holds:
     #
-    # 1. CHANGED THIS ROUND (eviction rule, enforced mechanically by
-    #    tests/test_cert_hash_guard.py) - the r8 perf rewrites:
-    #      q2_min_cost_supplier          (part semi-join below the fact agg)
-    #      q3_top_revenue_orders         (partial agg below the orders join)
-    #      q5_nation_revenue             (docstring A/B note; body re-fingerprints)
-    #      q9_product_profit             (partial agg below the orders join)
-    #      q10_returned_items            (partial agg below the customer join)
-    #      revenue_rollup_nation_year    (partial agg below the orders join)
-    #      multitouch_attribution        (anchored interval join, no window exchange)
-    #      part_affinity_recs            (persisted dedup relation)
-    #      supplier_shared_parts         (self-join pair gen + persisted edges)
-    #      basket_pair_lift              (persisted mask histogram)
-    #      events_before_purchase        (anchored join, exchange-free agg;
-    #                                     was already in the window as an
-    #                                     r4 rotation)
-    #      train_encode_events           (numeric-slot oracle upgrade; was
-    #                                     already in the window from r7
-    #                                     rows-only)
-    #      frequent_brand_triples        (fanout before the C(b,3) explode —
-    #                                     evicted by the hash guard, swapped
-    #                                     in for stream_distinct_users)
+    # 1. CHANGED SINCE THEIR LAST CERT (eviction rule, enforced
+    #    mechanically by tests/test_cert_hash_guard.py):
+    #      train_encode_events           (r8 numeric-slot oracle NEVER
+    #                                     driver-executed — the ADVICE r8
+    #                                     process finding — plus the r9
+    #                                     shared-stats-pass rewrite; its
+    #                                     r8 addition to this set was a
+    #                                     bookkeeping error, corrected here)
+    #      propensity_training_weights   (r9: one md5 digest for both
+    #                                     uniforms; oracle spells the
+    #                                     identical hi/lo split)
+    #      part_affinity_recs            (r9: persisted n_part + tracked_persist)
+    #      supplier_shared_parts         (r9: tracked_persist refactor)
+    #      basket_pair_lift              (r9: tracked_persist refactor)
+    #      q9_product_profit             (r9: integer-cents partial sums —
+    #                                     ADVICE r8 reassociation-stability note)
     #
-    # 2. TRANSITIVE HELPER CHANGE (the hash guard's documented blind
-    #    spot, certify.py - rotation is the driver-level backstop):
-    #    plan_groom was batched to one action; both groom scenarios
-    #    re-certify -
-    #      groom_concurrent_ingest
-    #      groom_fixpoint_check
-    #
-    # 3. AGE ROTATION: the last 3 r3-era certs -
-    #      sliding_event_counts, user_activity_streaks, user_decayed_value
-    #    plus 34 of the 40 remaining r4-era certs; the 6 r4-era certs
-    #    left for the r9 window are exactly:
+    # 2. RESERVED r4-ERA CERTS (the last 6, promised to r9 in the r8
+    #    comment):
     #      user_running_distinct, cms_join_size_estimate,
     #      daily_revenue_autocorr, event_trigram_patterns,
-    #      bootstrap_mean_ci, stream_distinct_users (swapped out to make
-    #      room for the frequent_brand_triples eviction)
-    #    After r8 returns green, every cert in the registry is r5+ and
-    #    newer than its query's last source change.
-    "ab_test_lift",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
+    #      bootstrap_mean_ci, stream_distinct_users
+    #
+    # 3. AGE ROTATION: all 35 remaining r5-era certs (ab_test_lift ...
+    #    zone_map_pruning_audit) plus 3 r6-era picks — ann_cosine_topk,
+    #    ann_lsh_bucketed, and weighted_median_price (the sf0.1 watch
+    #    item from VERDICT r8 finding #4).  After r9 returns green,
+    #    every cert in the registry is r6+ and newer than its query's
+    #    last source change, and train_encode_events' numeric-slot
+    #    oracle finally has a driver value-check.
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
     "ann_lsh_multiprobe",
-    "bootstrap_mean_ci",
-    "cms_join_size_estimate",
-    "cohort_ltv_curve",
+    "ann_pq_topk",
+    "bloom_filter_audit",
+    "bpe_first_merges",
     "contrastive_negative_pairs",
+    "conversion_latency_quantiles",
     "corpus_curation",
     "corpus_decontamination",
-    "corpus_mixture_weights",
     "corpus_train_holdout",
+    "countmin_frequency_topk",
     "cube_orders_margin",
+    "customer_hierarchy_rollup",
     "customer_mahalanobis_outliers",
     "customer_order_sequences",
     "customer_pareto_frontier",
@@ -3508,69 +3499,71 @@ _DRIVER_CERTIFIED = frozenset({
     "customer_rfm_segments",
     "customer_spend_quartiles",
     "daily_anomaly_zscore",
-    "daily_revenue_autocorr",
-    "daily_value_ewma",
-    "decision_training_rows",
     "dedup_cluster_survivors",
     "dedup_embedding_cosine",
     "dedup_exact_documents",
     "dedup_incremental_batch",
+    "dedup_minhash_candidates",
     "dedup_minhash_clusters",
     "dedup_minhash_estimate",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "doc_bigram_perplexity",
+    "doc_bigram_pmi",
     "doc_bm25_search",
     "doc_centrality_pagerank",
     "doc_fingerprint_lang",
     "doc_pack_assignments",
+    "doc_pii_scan",
     "doc_repetition_stats",
     "doc_text_stats",
     "doc_tfidf_top_terms",
     "doc_token_chunks",
-    "doc_unigram_logprob",
     "doc_zipf_fit",
-    "duplicate_cluster_histogram",
+    "embedding_isotropy",
     "embedding_similar_pairs",
-    "embedding_top_pc",
-    "event_pattern_match",
+    "event_burst_dedup",
     "event_transition_matrix",
-    "event_trigram_patterns",
+    "events_before_purchase",
     "events_daily_pivot",
     "events_json_value_stats",
     "events_type_stats",
-    "feature_pit_join",
     "feature_quantile_bins",
+    "feature_robust_scaling",
     "fk_integrity_audit",
-    "stream_distinct_users",
+    "frequent_brand_triples",
     "funnel_view_click_purchase",
-    "holt_backtest",
-    "holt_linear_forecast",
+    "groom_concurrent_ingest",
+    "groom_fixpoint_check",
+    "hll_distinct_users",
+    "hll_merge_daily",
     "ipw_weight_diagnostics",
     "isotonic_calibration",
-    "jaccard_prefix_join",
     "k_anonymity_audit",
-    "key_skew_audit",
-    "km_conversion_survival",
+    "kmeans_embedding_clusters",
     "knn_join_topk",
-    "l_diversity_audit",
+    "ksuid_decode_partition",
+    "lineitem_benford_deviation",
     "lineitem_measures_unpivot",
     "lineitem_stats_profile",
-    "mann_whitney_u",
     "media_image_features",
     "merge_rewarded_events",
-    "merged_quantile_audit",
     "monthly_order_stats",
+    "multitouch_attribution",
+    "nation_spend_gini",
     "nations_with_customers_and_suppliers",
+    "next_event_after_purchase",
+    "oof_target_encoding",
+    "order_priority_chi2",
     "order_value_histogram",
     "order_value_percentiles",
     "orders_profile",
     "part_name_editdist_pairs",
-    "partition_freshness_audit",
     "price_quantity_regression",
     "propensity_explode_events",
     "purchase_attribution_asof",
     "purchase_daily_gapfill",
+    "purchase_moving_avg",
+    "q10_returned_items",
     "q11_important_parts",
     "q12_priority_by_returnflag",
     "q13_customer_order_distribution",
@@ -3583,38 +3576,35 @@ _DRIVER_CERTIFIED = frozenset({
     "q1_pricing_summary",
     "q20_promotion_suppliers",
     "q21_sole_returned_supplier",
-    "q22_idle_customers",
-    "q4_order_priority",
-    "q6_revenue_forecast",
-    "q7_volume_shipping",
+    "q2_min_cost_supplier",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
     "q8_market_share",
     "retention_cohorts",
-    "revenue_cusum_shift",
+    "revenue_rollup_nation_year",
     "reward_summary_stats",
-    "ridge_price_fit",
     "score_calibration_curve",
     "semantic_text_dedup",
     "session_window_sessions",
+    "sliding_event_counts",
     "spearman_price_corr",
-    "stream_reward_join",
-    "stream_session_stats",
-    "supplier_cheapest_paths",
-    "supplier_cosupply_bfs",
+    "stratified_sample_by_lang",
+    "stream_windowed_counts",
+    "supplier_triangle_count",
     "theil_sen_price_slope",
-    "tokenizer_oov_rate",
     "top3_orders_per_customer",
     "train_e2e_metrics",
-    "train_encode_events",
-    "user_running_distinct",
+    "user_activity_streaks",
+    "user_decayed_value",
+    "user_event_entropy",
     "user_sessions",
-    "user_state_cdc_merge",
+    "user_tier_scd2",
+    "value_drift_ks",
+    "value_drift_psi",
     "value_purchase_auc",
-    "variant_ucb_ranking",
-    "weekday_seasonality",
     "weekly_auc_drift",
-    "weighted_median_price",
+    "weighted_doc_sample",
     "windowed_event_stats",
-    "zone_map_pruning_audit",
 })
 
 

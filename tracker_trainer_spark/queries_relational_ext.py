@@ -212,8 +212,7 @@ ORDER BY o_year
 def q9_product_profit(spark, sf_dir):
     """TPC-H Q9 shape: profit per supplier-nation per year for a part
     family. No ps_supplycost → cost proxied as 0.6 × p_retailprice ×
-    l_quantity (written identically in the oracle so the float expression
-    trees match).
+    l_quantity (written identically in the oracle).
 
     r8 shape (VERDICT r7 item 2 family): after the selective part join
     prunes the fact, the profit terms are partially aggregated to
@@ -226,38 +225,57 @@ def q9_product_profit(spark, sf_dir):
     agg, SMJ's sorts buy nothing: 1.03 s → 0.90 s min-of-4; build =
     orders/shuffle-partitions per task, the normal 100 TB sizing
     lever).  nation pinned broadcast.
-    """
+
+    r9 (ADVICE r8): the pre-agg adds a reassociation level to what was
+    a float sum, so profit moves to the repo's EXACT integer
+    1e-4-dollar convention (price/discount/retailprice all carry 2
+    decimals, l_quantity is integral → every term is an exact
+    1e-4-unit integer; revenue_rollup_nation_year hit 4th-decimal
+    oracle divergence from exactly this addition-tree change).  The
+    per-order partial stays int64 (≤7 lineitems × ~1e9 units); the
+    final regroup sums as decimal(38,0) — int64 would wrap near
+    SF ~1000 (DuckDB's BIGINT sum is already exact via hugeint)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders").hint("shuffle_hash")
 
-    amount = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    units = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        - F.lit(60) * F.round(F.col("p_retailprice") * 100).cast("long")
+        * F.col("l_quantity").cast("long")
     )
     per_on = (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("l_orderkey", "n_name")
-        .agg(F.sum(amount).alias("_a"))
+        .agg(F.sum(units).alias("_a"))
     )
     return (
         per_on.join(orders, per_on.l_orderkey == orders.o_orderkey)
         .select("n_name", F.year("o_orderdate").alias("o_year"), "_a")
         .groupBy("n_name", "o_year")
-        .agg(r4(F.sum("_a")).alias("sum_profit"))
+        .agg(F.sum(F.col("_a").cast("decimal(38,0)")).alias("_u"))
+        .select(
+            "n_name", "o_year",
+            r4(F.col("_u").cast("double") / 10000.0).alias("sum_profit"),
+        )
         .orderBy("n_name", F.desc("o_year"))
     )
 
 
 Q9_SQL = """
-SELECT n_name, o_year, round(sum(amount), 4) AS sum_profit
+SELECT n_name, o_year,
+       round(CAST(sum(u) AS DOUBLE) / 10000.0, 4) AS sum_profit
 FROM (
   SELECT n_name, year(o_orderdate) AS o_year,
-         l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity AS amount
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           - 60 * CAST(round(p_retailprice * 100) AS BIGINT)
+                * CAST(l_quantity AS BIGINT) AS u
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
   JOIN supplier ON l_suppkey = s_suppkey
