@@ -13,10 +13,30 @@ have, which is what an ENGINE-BOUND Spark-vs-DuckDB ratio needs (both
 engines read the identical files; absolute query RESULTS differ from a
 "real" sf1, but the workload does not).
 
-documents/embeddings are NOT replicated: near-dup text copies would
-inflate every dedup cluster quadratically and distort that family's
-workload instead of scaling it — the sf1 bench (scripts/sf1_bench.py)
-covers the relational + events families only and says so.
+documents/embeddings replicate with a PER-COPY PERTURBATION (r9,
+VERDICT r8 item 6) instead of verbatim copies: verbatim text copies
+would be exact cross-copy duplicates — every dedup cluster inflates
+C× in membership (quadratically in pair volume), distorting the
+family's workload instead of scaling it.  Perturbed copies scale it:
+
+- documents: every 3rd token of copy c>0 gets a copy-specific suffix
+  ("tok~c"), so cross-copy 3-gram Jaccard collapses to ~0.15 (below
+  every dup threshold — copies are NOT near-dups of each other) while
+  WITHIN-copy near-dup structure is preserved exactly (the same
+  positional rewrite applies to both members of any near-dup pair, so
+  their mutual shingle overlap is untouched).  n_chars is recomputed.
+- embeddings: copy c>0 adds deterministic seeded N(0, 0.5·std) noise
+  and keeps float32 — cross-copy cosine drops out of the near-dup
+  band, within-copy geometry (cluster structure, neighbor ranks) is
+  preserved up to the noise floor.
+- doc_id and vec_id share ONE offset base (max of both domains) so
+  equal-id cross-modal joins keep matching within every copy.
+
+Workload effect: group-bys see C× groups, LSH bands see C× buckets of
+the ORIGINAL size, ANN sees a C× corpus — linear scaling, no
+quadratic dup inflation.  Absolute RESULTS differ from a "real" sf1
+(as with the relational replicas); both engines read identical files,
+which is what the engine-bound ratio needs.
 
 Usage: python scripts/make_sf_scale.py [copies] [out_dir]
          (defaults: 10 /tmp/sf1)
@@ -81,6 +101,62 @@ COPY (
         n = con.execute(
             f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows ({copies} copies)")
+
+    scale_text_tables(con, copies, out)
+
+
+def scale_text_tables(con, copies: int, out: Path) -> None:
+    """Perturbed replication of documents + embeddings (see module
+    docstring): deterministic, pure pandas/numpy — no RNG leaks into
+    repo code, only into this offline generator."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = con.execute(f"SELECT * FROM '{SRC}/documents.parquet'").df()
+    embs = con.execute(f"SELECT * FROM '{SRC}/embeddings.parquet'").df()
+    # one shared offset base keeps equal-id cross-modal joins aligned
+    base = int(max(docs["doc_id"].max(), embs["vec_id"].max())) + 1
+
+    def perturb_text(text: str, c: int) -> str:
+        toks = text.split(" ")
+        return " ".join(
+            f"{t}~{c}" if i % 3 == 0 else t for i, t in enumerate(toks))
+
+    doc_copies = []
+    for c in range(copies):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + c * base
+        if c > 0:
+            d["text"] = d["text"].map(lambda s, c=c: perturb_text(s, c))
+            d["n_chars"] = d["text"].str.len().astype("int64")
+        doc_copies.append(d)
+    all_docs = pd.concat(doc_copies, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(all_docs, preserve_index=False),
+                   f"{out}/documents.parquet")
+    print(f"documents: {len(all_docs)} rows ({copies} perturbed copies)")
+
+    mat = np.stack(embs["embedding"].to_numpy()).astype(np.float64)
+    sigma = 0.5 * float(mat.std())
+    emb_copies = []
+    for c in range(copies):
+        e = embs.copy()
+        e["vec_id"] = e["vec_id"] + c * base
+        if c > 0:
+            noise = np.random.default_rng(c).normal(0.0, sigma, mat.shape)
+            pert = (mat + noise).astype(np.float32)
+            e["embedding"] = list(pert)
+        emb_copies.append(e)
+    all_embs = pd.concat(emb_copies, ignore_index=True)
+    tbl = pa.Table.from_pandas(all_embs, preserve_index=False)
+    # keep the float32 list dtype of the source file
+    idx = tbl.schema.get_field_index("embedding")
+    tbl = tbl.set_column(
+        idx, "embedding",
+        tbl.column("embedding").cast(pa.list_(pa.float32())))
+    pq.write_table(tbl, f"{out}/embeddings.parquet")
+    print(f"embeddings: {len(all_embs)} rows ({copies} perturbed copies)")
 
 
 if __name__ == "__main__":

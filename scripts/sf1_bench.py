@@ -8,12 +8,16 @@ consistent key offsets), where DuckDB baselines reach 0.5-10 s and the
 job floor amortizes, and reports the ENGINE-BOUND ratio the plans
 actually earn.
 
-Scope: queries whose oracle SQL touches only the scaled relational +
-events tables. documents/embeddings are not replicated (near-dup text
-copies would quadratically inflate the dedup family's workload, not
-scale it), so text/ANN/dedup queries are out of scope here — their
-engine-bound story is the sf0.1 bench plus the family soaks
-(ann_soak/cluster_soak), which scale the corpus without duplicating it.
+Scope (r9, VERDICT r8 item 6): the FULL oracle-backed registry.
+documents/embeddings now scale via PER-COPY PERTURBED replication
+(make_sf_scale.scale_text_tables — copy-specific token suffixes /
+seeded embedding noise), which scales the dedup/ANN/text workload
+linearly WITHOUT the cross-copy exact-duplicate inflation that verbatim
+copies would cause (every 3-token shingle window of a copy c>0 contains
+a rewritten token, so cross-copy shingle Jaccard is 0).  Rows-only
+queries (no oracle SQL — model fits, streaming drains, groom loops)
+stay out of a Spark-vs-DuckDB ratio by construction; the artifact
+lists them under "rows_only_excluded" so the cut is explicit.
 
 Usage: python scripts/sf1_bench.py [sf_dir] [min_duck_s]
        (defaults: /tmp/sf1 0.05)
@@ -26,7 +30,6 @@ from __future__ import annotations
 import gc
 import json
 import os
-import re
 import sys
 import time
 
@@ -36,16 +39,11 @@ from tracker_trainer_spark.queries import ORACLES, QUERIES, release_caches  # no
 from tracker_trainer_spark.session import get_spark  # noqa: E402
 
 SCALED_TABLES = {"region", "nation", "customer", "supplier", "part",
-                 "orders", "lineitem", "events"}
-UNSCALED = {"documents", "embeddings"}
+                 "orders", "lineitem", "events", "documents", "embeddings"}
 
 
 def eligible(name: str) -> bool:
-    sql = ORACLES.get(name)
-    if sql is None:                       # rows-only queries have no oracle
-        return False
-    words = set(re.findall(r"[a-z_]+", sql.lower()))
-    return not (words & UNSCALED)
+    return ORACLES.get(name) is not None  # rows-only: no oracle to race
 
 
 def main() -> None:
@@ -132,6 +130,8 @@ def main() -> None:
         "unit": "x",
         "sf": 1.0,
         "n_queries_run": len(names),
+        "rows_only_excluded": sorted(n for n in QUERIES
+                                     if ORACLES.get(n) is None),
         "skipped": skipped,
         "engine_bound": {
             "n_queries": len(eb),
@@ -141,8 +141,8 @@ def main() -> None:
         },
         "spark_total_s": round(sum(timings.values()), 3),
         "duckdb_total_s": round(sum(duck.values()), 3),
-        "queries": {n: timings[n] for n in eb},
-        "duckdb": {n: round(duck[n], 4) for n in eb},
+        "queries": dict(sorted(timings.items())),
+        "duckdb": {n: round(duck[n], 4) for n in sorted(duck) if n in timings},
     }
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "BENCH_SF1.json"), "w") as f:

@@ -245,6 +245,7 @@ def with_ntile(df: DataFrame, buckets: int, order_by: Sequence[Column],
 def with_cumsum(df: DataFrame, value: Column, order_by: Sequence[Column],
                 part_cols: Sequence[str] = (), *, bucket_key: Column,
                 cum_col: str = "cum",
+                total_col: str | None = None,
                 boundaries: Sequence[float] | None = None,
                 boundary_key: tuple | None = None,
                 num_buckets: int | None = None) -> DataFrame:
@@ -253,7 +254,13 @@ def with_cumsum(df: DataFrame, value: Column, order_by: Sequence[Column],
     a single-task sort.  Exact when ``value`` is integral (addition
     order-insensitive); callers must pre-scale floats to integer units
     for cross-engine parity (registry convention).  ``bucket_key`` must
-    be non-null (see ``with_global_rank``)."""
+    be non-null (see ``with_global_rank``).
+
+    ``total_col``, if given, exposes the per-group GRAND total of
+    ``value`` — the offsets relation already aggregates it (``_N``
+    rides every offsets row for ntile); naming it here saves callers
+    that need cum AND total (weighted median's crossing predicate) a
+    third full aggregation of ``df`` plus its broadcast join."""
     bkt = _bucketed(df, bucket_key, part_cols, boundaries, num_buckets,
                     boundary_key)
     bkt = bkt.withColumn(_VAL, value)
@@ -261,11 +268,13 @@ def with_cumsum(df: DataFrame, value: Column, order_by: Sequence[Column],
              .rowsBetween(Window.unboundedPreceding, 0))
     local = bkt.withColumn(_LOC, F.sum(_VAL).over(w_loc))
     offs = _offsets(bkt, part_cols, F.sum(_VAL), "sum")
-    return (
+    out = (
         local.join(F.broadcast(offs), [_BKT, *part_cols])
         .withColumn(cum_col, F.col(_LOC) + F.coalesce(F.col(_OFF), F.lit(0)))
-        .drop(_BKT, _LOC, _OFF, _N, _VAL)
     )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col(_N))
+    return out.drop(_BKT, _LOC, _OFF, _N, _VAL)
 
 
 def with_prefix_max(df: DataFrame, value: Column, order_by: Sequence[Column],

@@ -99,6 +99,32 @@ def release_caches() -> int:
     return n
 
 
+# Session memo for DETERMINISTIC driver-side training artifacts —
+# centroids, PQ codebooks, probe vectors: the k×dim float lists the
+# ANN/KMeans trainers collect at query-construction time (VERDICT r8
+# item 5: "batch or memoize" construction-job offenders).  Sound
+# because every memoized trainer is deterministic over immutable input
+# (mod-k init, fixed rounds, 6-decimal-quantized means — no RNG), so a
+# repeat construction re-collects bit-identical values; the production
+# analog is the PERSISTENT INDEX the family already ships
+# (similarity.build_ivf_index / build_ivfpq_index) — train once, probe
+# many, session-local here.  Keyed by applicationId like _t (a new
+# session always retrains); bounded FIFO like the sibling memos.
+_ARTIFACT_CACHE: dict[tuple, object] = {}
+_ARTIFACT_CACHE_MAX = 256
+
+
+def trained_artifact(spark: SparkSession, key: tuple, fn):
+    """Memoized deterministic training collect: ``fn()`` on first use
+    per (session, key), the recorded value afterwards."""
+    full_key = (spark.sparkContext.applicationId, *key)
+    if full_key not in _ARTIFACT_CACHE:
+        if len(_ARTIFACT_CACHE) >= _ARTIFACT_CACHE_MAX:
+            _ARTIFACT_CACHE.pop(next(iter(_ARTIFACT_CACHE)))
+        _ARTIFACT_CACHE[full_key] = fn()
+    return _ARTIFACT_CACHE[full_key]
+
+
 # Exact row counts of the immutable input tables, straight from parquet
 # FOOTER metadata — zero Spark jobs (the r6 `li.count()` spelling cost
 # one scheduled job per query construction; VERDICT r7 item 4).  Sound
@@ -2166,12 +2192,21 @@ def ann_ivf_topk(spark, sf_dir, probe_vec_id: int = 0, k: int = 10, n_cells: int
     probe's inverted list and compute exact cosine inside. Scale path:
     at rest the table is partitionBy(cell) (build_ivf_index) so the cell
     prune is partition pruning; training touches only k×dim driver
-    floats per round."""
+    floats per round.
+
+    r9: the trained (centroids, probe) pair rides ``trained_artifact``
+    — Lloyd is deterministic (mod-k init, 2 rounds, round(avg, 6)
+    means), so repeat constructions in one session reuse the identical
+    k×dim floats instead of re-scheduling the two training collects;
+    a fresh session retrains (VERDICT r8 item 5 "memoize", the
+    session-local analog of build_ivf_index's persistent index)."""
     emb = _t(spark, sf_dir, "embeddings")
     # probe + dim ride round 1 of the Lloyd aggregation — no separate
     # probe first() action
-    centroids, probe = _sim.lloyd_centroids(
-        emb, k=n_cells, iters=2, probe_id=probe_vec_id)
+    centroids, probe = trained_artifact(
+        spark, ("ivf", sf_dir, n_cells, probe_vec_id),
+        lambda: _sim.lloyd_centroids(
+            emb, k=n_cells, iters=2, probe_id=probe_vec_id))
     return (
         _sim.ann_ivf_topk(emb, probe, centroids, k=k)
         .select("vec_id", r4(F.col("cosine")).alias("cosine"))
@@ -3014,6 +3049,18 @@ def train_encode_events(spark, sf_dir, max_features: int = 20, model_seed: int =
     (tests/test_hashing_parity.py) and the local 3-scale encode tests.
     This documented slot-level adjudication replaces the old
     whole-query rows-only status.
+
+    r9 profile (VERDICT r8 item 2, phase-split at sf1): the 3.9 s r8
+    wall was (a) the 3-task scan stage serializing to_json + flatten
+    input CPU (fixed: raw-column spread below, scan stage 2.35 s →
+    ~0.5 s) and (b) selection + string-stats each scanning the cached
+    flat relation (fixed: combined_feature_string_stats emits ONE
+    shared stats pass; SURVEY §7.4 item 4).  Remaining quiet-box
+    phase walls: flatten+cache ≈ 1.2 s (the Arrow kernel — the real
+    work), shared stats+top-k ≈ 0.5 s, tables ≈ 0.2 s, encode+count
+    ≈ 0.3 s.  sf1 best-of-6: 2.25 s (target <2.5 s), vs DuckDB's
+    numeric-slot-only replay 1.0 s ⇒ 2.2× on a 4-slot subset oracle
+    that skips the flatten/xxh3 work entirely.
     """
     from tracker_trainer_spark.trainer.encode import TIMESTAMP_KEY, encode_to_vectors
     from tracker_trainer_spark.trainer.flatten import flatten_merged
@@ -3471,23 +3518,38 @@ _DRIVER_CERTIFIED = frozenset({
     #      daily_revenue_autocorr, event_trigram_patterns,
     #      bootstrap_mean_ci, stream_distinct_users
     #
-    # 3. AGE ROTATION: all 35 remaining r5-era certs (ab_test_lift ...
-    #    zone_map_pruning_audit) plus 3 r6-era picks — ann_cosine_topk,
-    #    ann_lsh_bucketed, and weighted_median_price (the sf0.1 watch
-    #    item from VERDICT r8 finding #4).  After r9 returns green,
+    # 3. MORE r9 EVICTIONS (rule 1 again — each body changed this
+    #    round, displacing discretionary age-rotation slots):
+    #      isotonic_calibration          (r7 cert; driver-side PAVA tail)
+    #      kmeans_embedding_clusters, ann_ivf_topk, ann_pq_topk,
+    #      ann_ivfpq_topk                (r8 certs; trained_artifact
+    #                                     session memo of the
+    #                                     deterministic training
+    #                                     collects — VERDICT r8 item 5)
+    #    (mann_whitney_u, weighted_median_price and bootstrap_mean_ci
+    #    also changed this round, but were already window-bound via
+    #    rules 2/4.)
+    #
+    # 4. AGE ROTATION with what remains: 31 of the 35 r5-era certs
+    #    (ab_test_lift, cohort_ltv_curve, corpus_mixture_weights and
+    #    daily_value_ewma stay certified — their slots went to the
+    #    rule-3 evictions above) plus 2 r6-era picks, ann_cosine_topk
+    #    and weighted_median_price (the sf0.1 watch item from VERDICT
+    #    r8 finding #4).  After r9 returns green,
     #    every cert in the registry is r6+ and newer than its query's
     #    last source change, and train_encode_events' numeric-slot
     #    oracle finally has a driver value-check.
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
+    "ab_test_lift",
+    "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
-    "ann_pq_topk",
     "bloom_filter_audit",
     "bpe_first_merges",
+    "cohort_ltv_curve",
     "contrastive_negative_pairs",
     "conversion_latency_quantiles",
     "corpus_curation",
     "corpus_decontamination",
+    "corpus_mixture_weights",
     "corpus_train_holdout",
     "countmin_frequency_topk",
     "cube_orders_margin",
@@ -3499,6 +3561,7 @@ _DRIVER_CERTIFIED = frozenset({
     "customer_rfm_segments",
     "customer_spend_quartiles",
     "daily_anomaly_zscore",
+    "daily_value_ewma",
     "dedup_cluster_survivors",
     "dedup_embedding_cosine",
     "dedup_exact_documents",
@@ -3537,9 +3600,7 @@ _DRIVER_CERTIFIED = frozenset({
     "hll_distinct_users",
     "hll_merge_daily",
     "ipw_weight_diagnostics",
-    "isotonic_calibration",
     "k_anonymity_audit",
-    "kmeans_embedding_clusters",
     "knn_join_topk",
     "ksuid_decode_partition",
     "lineitem_benford_deviation",

@@ -1318,13 +1318,18 @@ def bootstrap_mean_ci(spark, sf_dir):
         (F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double") / 100.0)
         .alias("mean_value"),
     )
-    lo = ranked.where(F.col("_rk") == 2).select(F.col("mean_b").alias("ci_lo"))
-    hi = ranked.where(F.col("_rk") == _BOOT_B - 1).select(
-        F.col("mean_b").alias("ci_hi")
+    # r9 (VERDICT r8 item 5): ONE CI relation instead of two — the r8
+    # spelling broadcast lo and hi as separate filtered single-row
+    # relations (two broadcast builds + two joins); both order
+    # statistics now ride one conditional aggregate over the 50-row
+    # ranked relation, one broadcast.
+    ci = ranked.where(F.col("_rk").isin(2, _BOOT_B - 1)).agg(
+        F.max(F.when(F.col("_rk") == 2, F.col("mean_b"))).alias("ci_lo"),
+        F.max(F.when(F.col("_rk") == _BOOT_B - 1, F.col("mean_b")))
+        .alias("ci_hi"),
     )
     return (
-        full.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
+        full.crossJoin(F.broadcast(ci))
         .select(
             "n",
             F.lit(_BOOT_B).cast("long").alias("n_boot"),
@@ -1521,12 +1526,22 @@ def isotonic_calibration(spark, sf_dir):
     Cross-engine exactness: pooled means are single divisions of exact
     BIGINT prefix-sum differences (never float accumulations), so
     every candidate mean is bit-identical and min/max over identical
-    sets is deterministic.  The quadratic j×k enumeration runs on the
-    10-row decile relation — the fact table contributes exactly one
+    sets is deterministic.  The fact table contributes exactly one
     DISTRIBUTED ntile (functions/ranking.py: range-partitioned rank +
     offset sums, bit-identical bucket membership to the former global
-    NTILE window with none of its single-task sort) + one rollup; bin
-    count, not data volume, bounds the triple term."""
+    NTILE window with none of its single-task sort) + one rollup.
+
+    r9 (VERDICT r8 item 5): the minimax tail runs DRIVER-SIDE on the
+    collected 10-row decile histogram — the r8 in-plan spelling spent
+    ~8 of the query's 11 jobs scheduling broadcast joins and windows
+    over 10 rows (18.8× vs the oracle at sf0.1, pure job floor).
+    Bounded-metadata collect (bin count is fixed at 10 — the registry
+    convention for centroids/vocab scalars); the arithmetic stays
+    bit-identical because Python float division IS IEEE-754 double
+    division over the same exact BIGINT prefix-sum differences.
+    Measured sf0.1 best-of-5: 11 → 8 jobs, wall 1.12 → 1.09 s on a
+    noisy box — the residual wall is the distributed-ntile fact
+    machinery itself (the part that must scale), not the tail."""
     ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     bins = (
         with_ntile(
@@ -1537,47 +1552,28 @@ def isotonic_calibration(spark, sf_dir):
             boundary_key=(sf_dir, "events", "value"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("y").cast("long").alias("pos"))
+        .collect()
     )
-    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    pref = bins.select(
-        "bin",
-        "n",
-        "pos",
-        F.sum("n").over(wcum).alias("cumn"),
-        F.sum("pos").over(wcum).alias("cump"),
-    )
-    left = pref.select(
-        F.col("bin").alias("j"),
-        (F.col("cump") - F.col("pos")).alias("pj"),
-        (F.col("cumn") - F.col("n")).alias("nj"),
-    )
-    right = pref.select(
-        F.col("bin").alias("k"), F.col("cump").alias("pk"), F.col("cumn").alias("nk")
-    )
-    minmean = (
-        left.join(F.broadcast(right), F.col("k") >= F.col("j"))
-        .select(
-            "j",
-            (
-                (F.col("pk") - F.col("pj")).cast("double")
-                / (F.col("nk") - F.col("nj")).cast("double")
-            ).alias("m"),
-        )
-        .groupBy("j")
-        .agg(F.min("m").alias("minmean"))
-    )
-    iso = (
-        pref.join(F.broadcast(minmean), F.col("j") <= F.col("bin"))
-        .groupBy("bin", "n", "pos")
-        .agg(F.max("minmean").alias("iso_rate"))
-    )
-    return iso.select(
-        "bin",
-        "n",
-        "pos",
-        (F.col("pos").cast("double") / F.col("n").cast("double")).alias("raw_rate"),
-        "iso_rate",
-    )
+    rows = sorted((r["bin"], r["n"], r["pos"]) for r in bins)
+    cumn, cump, pref = 0, 0, []
+    for b, n, pos in rows:
+        cumn += n
+        cump += pos
+        pref.append((b, n, pos, cumn, cump))
+    out = []
+    for i, (b, n, pos, _, _) in enumerate(pref):
+        iso_rate = None
+        for j in range(i + 1):
+            nj = pref[j][3] - pref[j][1]
+            pj = pref[j][4] - pref[j][2]
+            minmean = min(
+                float(pref[k][4] - pj) / float(pref[k][3] - nj)
+                for k in range(j, len(pref))
+            )
+            iso_rate = minmean if iso_rate is None else max(iso_rate, minmean)
+        out.append((b, n, pos, float(pos) / float(n), iso_rate))
+    return spark.createDataFrame(
+        out, "bin int, n bigint, pos bigint, raw_rate double, iso_rate double")
 
 
 ISOTONIC_SQL = """

@@ -603,6 +603,14 @@ def _bfs_sparsified_weighted_edges(spark, sf_dir):
     shared by the hop BFS (weight dropped) and the weighted
     shortest-path query (queries_seq_ext.supplier_cheapest_paths)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # r9 A/B, DECLINED: the supplier_shared_parts codegen self-join
+    # pair gen (dropDuplicates → a⨝b on orderkey, sk<sk) measured
+    # NEUTRAL here — sf1 min-of-3 3.28 s (this HOF spelling) vs 3.54 s
+    # (self-join), sf0.1 within noise.  Unlike the part-keyed groups
+    # that cleared shared_parts, co-supply baskets hold ≤7 suppliers,
+    # so the HOF's ArrayData allocation is bounded per order and the
+    # collect_set exchange equals the dedup exchange the self-join
+    # would pay.  Kept on the measured-revert discipline.
     baskets = (
         li.groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ss"))
