@@ -60,14 +60,45 @@ def main() -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * "
             f"FROM read_parquet('{sf_dir}/{t}.parquet')")
+    # A handful of oracle SQLs are all-pairs spellings that DuckDB can
+    # only run at the driver's sf0.01 (the Spark side uses LSH/banding/
+    # blocking instead): at sf1 they spill unboundedly — the first full-
+    # registry run filled 80 GB of /  before dying.  Cap the spill so an
+    # infeasible oracle FAILS FAST and is recorded as such (the Spark
+    # side still gets timed below); the cap is generous next to every
+    # feasible oracle's footprint (none spilled at all in r8).
+    con.execute("SET temp_directory = '/tmp/duck_spill'")
+    con.execute("SET max_temp_directory_size = '24GiB'")
     duck: dict[str, float] = {}
+    oracle_failed: dict[str, str] = {}
+    # Repeat-policy: best-of-3 amortizes cold-cache noise on sub-minute
+    # oracles; an oracle past 60 s is CPU-bound (noise ≪ wall) and a
+    # single run stands — repeating the 20-minute all-pairs cosine
+    # spellings three times would burn an hour to refine a number whose
+    # error bar is seconds.  A 900 s watchdog interrupt()s a runaway
+    # oracle so one infeasible spelling cannot wedge the whole artifact.
+    import threading
     for n in names:
         runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            con.execute(ORACLES[n]).df()
-            runs.append(time.perf_counter() - t0)
-        duck[n] = min(runs)
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                timer = threading.Timer(900.0, con.interrupt)
+                timer.start()
+                try:
+                    con.execute(ORACLES[n]).df()
+                finally:
+                    timer.cancel()
+                dt = time.perf_counter() - t0
+                runs.append(dt)
+                if dt > 60.0:
+                    break
+            duck[n] = min(runs)
+        except Exception as e:  # noqa: BLE001
+            first = (str(e).splitlines() or [""])[0]
+            oracle_failed[n] = f"{type(e).__name__}: {first[:200]}"
+            print(f"[duck FAIL] {n}: {oracle_failed[n]}", flush=True)
+        print(f"[duck] {n}: {duck.get(n, 'FAILED')}", flush=True)
     con.close()
 
     # sf1 files have multiple row groups; the 4 MB split override is the
@@ -110,6 +141,9 @@ def main() -> None:
             # inside the handler that exists to survive exceptions.)
             first = (str(e).splitlines() or [""])[0]
             skipped[n] = f"{type(e).__name__}: {first[:200]}"
+            print(f"[spark FAIL] {n}: {skipped[n]}", flush=True)
+        else:
+            print(f"[spark] {n}: {timings[n]}", flush=True)
         finally:
             # cleanup runs on the skip path too: a failed query's cached
             # intermediates (e.g. basket relations) must not occupy
@@ -121,9 +155,22 @@ def main() -> None:
             gc.collect()
 
     names = [n for n in names if n in timings]
-    eb = [n for n in names if duck[n] >= min_duck]
+    # engine-bound ratio needs BOTH engines: oracle-infeasible queries
+    # (duck failed at sf1) carry a Spark wall in "queries" but stay out
+    # of the ratio — "oracle_failed" documents each cut with the error
+    eb = [n for n in names if duck.get(n, 0.0) >= min_duck]
     spark_eb = sum(timings[n] for n in eb)
     duck_eb = sum(duck[n] for n in eb)
+    # Honest-aggregate guard: a few all-pairs oracle spellings run
+    # minutes in DuckDB while the Spark side's LSH/banded plans finish
+    # in seconds — true algorithmic wins (the scale path IS the
+    # product), but three 400 s yardstick walls would drown the other
+    # 60+ ratios in the headline number.  Report the headline WITHOUT
+    # them too, so the aggregate is meaningful either way.
+    outliers = [n for n in eb if duck[n] > 60.0]
+    eb_core = [n for n in eb if n not in outliers]
+    spark_core = sum(timings[n] for n in eb_core)
+    duck_core = sum(duck[n] for n in eb_core)
     out = {
         "metric": "sf1_engine_bound_ratio",
         "value": round(spark_eb / duck_eb, 3) if duck_eb else None,
@@ -132,12 +179,23 @@ def main() -> None:
         "n_queries_run": len(names),
         "rows_only_excluded": sorted(n for n in QUERIES
                                      if ORACLES.get(n) is None),
+        "oracle_failed": oracle_failed,
         "skipped": skipped,
         "engine_bound": {
             "n_queries": len(eb),
             "min_duckdb_s": min_duck,
             "spark_total_s": round(spark_eb, 3),
             "duckdb_total_s": round(duck_eb, 3),
+        },
+        "engine_bound_excl_oracle_outliers": {
+            "note": "queries whose DuckDB oracle exceeds 60 s excluded "
+                    "(all-pairs oracle spellings vs Spark's LSH plans); "
+                    "ratio over the remaining engine-bound set",
+            "excluded": {n: round(duck[n], 1) for n in outliers},
+            "n_queries": len(eb_core),
+            "spark_total_s": round(spark_core, 3),
+            "duckdb_total_s": round(duck_core, 3),
+            "value": round(spark_core / duck_core, 3) if duck_core else None,
         },
         "spark_total_s": round(sum(timings.values()), 3),
         "duckdb_total_s": round(sum(duck.values()), 3),

@@ -3055,14 +3055,32 @@ def train_encode_events(spark, sf_dir, max_features: int = 20, model_seed: int =
     input CPU (fixed: raw-column spread below, scan stage 2.35 s →
     ~0.5 s) and (b) selection + string-stats each scanning the cached
     flat relation (fixed: combined_feature_string_stats emits ONE
-    shared stats pass; SURVEY §7.4 item 4).  Remaining quiet-box
-    phase walls: flatten+cache ≈ 1.2 s (the Arrow kernel — the real
-    work), shared stats+top-k ≈ 0.5 s, tables ≈ 0.2 s, encode+count
-    ≈ 0.3 s.  sf1 best-of-6: 2.25 s (target <2.5 s), vs DuckDB's
-    numeric-slot-only replay 1.0 s ⇒ 2.2× on a 4-slot subset oracle
-    that skips the flatten/xxh3 work entirely.
+    shared stats pass; SURVEY §7.4 item 4).
+
+    r9 follow-up (the full-registry BENCH_SF1 run re-measured the wall
+    at 3.7-5.6 s under honest toPandas + cache-drain conditions):
+    two more defects found and fixed.  (1) The in-function
+    finally-unpersist released ``flat`` BEFORE the terminal action —
+    a registry query's return is a PLAN, so the returned DataFrame
+    recomputed the whole Arrow flatten a second time (~1.5 s);
+    tracked_persist + harness release_caches() is the correct
+    lifecycle (exactly what the registry was built for this round).
+    (2) The generic encode UDF walks every row's full feature maps in
+    a Python loop (~1.8 s for 800 k rows); the flagship now uses
+    ``encode_to_vectors_columnar`` — JVM ``element_at``/``when`` slot
+    expressions + a vectorized distinct-value string encode, parity
+    pinned bit-identical by tests/test_encode_columnar.py.  Honest
+    sf1 profile after both (toPandas + drained caches, warm
+    best-of-5): flatten+cache ≈ 1.5 s (the Arrow kernel — the real
+    work), shared stats+top-k ≈ 0.45 s, tables ≈ 0.25 s, columnar
+    encode+toPandas ≈ 0.15 s ⇒ wall 2.30 s (target <2.5 s), vs
+    DuckDB's numeric-slot-only replay ~1.0 s — a subset oracle that
+    skips the flatten/xxh3 work entirely.
     """
-    from tracker_trainer_spark.trainer.encode import TIMESTAMP_KEY, encode_to_vectors
+    from tracker_trainer_spark.trainer.encode import (
+        TIMESTAMP_KEY,
+        encode_to_vectors_columnar,
+    )
     from tracker_trainer_spark.trainer.flatten import flatten_merged
     from tracker_trainer_spark.trainer.selection import combined_feature_string_stats
     from tracker_trainer_spark.trainer.string_tables import build_string_tables
@@ -3088,7 +3106,7 @@ def train_encode_events(spark, sf_dir, max_features: int = 20, model_seed: int =
         F.col("value").alias("y"),
         F.lit(1.0).alias("w"),
     )
-    flat = (
+    flat = tracked_persist(
         base.withColumn(
             "_f", flatten_merged([("context", "context"), ("item", "item")])
         )
@@ -3097,48 +3115,46 @@ def train_encode_events(spark, sf_dir, max_features: int = 20, model_seed: int =
             F.col("_f")["num"].alias("num_features"),
             F.col("_f")["str"].alias("str_features"),
         )
-        .cache()
     )
     # r9 (SURVEY §7.4 item 4): selection and string-stats share ONE scan
     # of the cached flat relation — combined_feature_string_stats emits
     # (feature, value|NULL) stats once; the top-k selection re-aggregates
     # its tiny output (exact: w=1.0 partials) and the string tables read
     # the value IS NOT NULL slice.  pairstats is domain-bounded
-    # (distinct (feature,value) pairs), so its persist is safe at any
-    # fact scale and released in the finally.
-    pairstats = combined_feature_string_stats(flat).persist()
-    try:
-        top = (
-            pairstats.groupBy("feature")
-            .agg(F.sum("weight").alias("weight"))
-            .orderBy(F.desc("weight"), F.asc("feature"))
-            .limit(max_features)
-            .collect()
-        )
-        selected = [r["feature"] for r in top]
-        tables = build_string_tables(
-            pairstats.where(F.col("value").isNotNull()), model_seed,
-            allowed_features=selected, prior_mean=0.0, prior_count=0,
-        )
-        encoded = encode_to_vectors(flat, selected, tables, model_seed)
-        # vector layout = selected + extras (encode_to_vectors contract);
-        # positions resolved from the live selection so a data change
-        # re-orders the projection instead of silently reading the
-        # wrong slot
-        names = list(selected) + [TIMESTAMP_KEY]
-        proj = [
-            F.element_at("features", names.index(f) + 1).alias(alias)
-            for f, alias in (("context.uid", "v_uid"), ("item.k", "v_k"),
-                             (TIMESTAMP_KEY, "v_t"))
-            if f in names
-        ]
-        return encoded.select(
-            "decision_id", F.size("features").cast("long").alias("n_features"),
-            *proj,
-        )
-    finally:
-        pairstats.unpersist()
-        flat.unpersist()
+    # (distinct (feature,value) pairs).  Both relations are
+    # tracked_persist, NOT finally-unpersist: the returned DataFrame's
+    # plan still references the flat InMemoryRelation, so an in-function
+    # unpersist forced the TERMINAL action to recompute the whole Arrow
+    # flatten a second time (~1.5 s at sf1 — measured, the r9 follow-up
+    # profile); the harness drains via release_caches() between queries.
+    pairstats = tracked_persist(combined_feature_string_stats(flat))
+    top = (
+        pairstats.groupBy("feature")
+        .agg(F.sum("weight").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("feature"))
+        .limit(max_features)
+        .collect()
+    )
+    selected = [r["feature"] for r in top]
+    tables = build_string_tables(
+        pairstats.where(F.col("value").isNotNull()), model_seed,
+        allowed_features=selected, prior_mean=0.0, prior_count=0,
+    )
+    encoded = encode_to_vectors_columnar(flat, selected, tables, model_seed)
+    # vector layout = selected + extras (encode contract); positions
+    # resolved from the live selection so a data change re-orders the
+    # projection instead of silently reading the wrong slot
+    names = list(selected) + [TIMESTAMP_KEY]
+    proj = [
+        F.element_at("features", names.index(f) + 1).alias(alias)
+        for f, alias in (("context.uid", "v_uid"), ("item.k", "v_k"),
+                         (TIMESTAMP_KEY, "v_t"))
+        if f in names
+    ]
+    return encoded.select(
+        "decision_id", F.size("features").cast("long").alias("n_features"),
+        *proj,
+    )
 
 
 # train_encode_events oracle: replays the NUMERIC vector slots straight

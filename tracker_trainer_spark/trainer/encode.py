@@ -143,3 +143,70 @@ def feature_order(selected: list[str], extras: tuple = (TIMESTAMP_KEY,)) -> list
         if c not in names:
             names.append(c)
     return names
+
+
+def _columnar_string_encode(table: StringTable | None, model_seed: int):
+    """Vectorized per-FEATURE string encode: one Arrow-batched UDF over
+    the single string column, encoding each DISTINCT value once per
+    batch (string-table domains are capped and xxh3 misses repeat —
+    distinct ≪ rows), instead of re-walking every row's full feature
+    map.  Same arithmetic as encode_to_vectors' per-row loop
+    (StringTable.encode / _miss_encode), pinned bit-identical by
+    tests/test_encode_columnar.py."""
+
+    @F.pandas_udf("double")
+    def _enc(s: pd.Series) -> pd.Series:
+        uniq = s.dropna().unique()
+        if table is None:
+            mapping = {v: _miss_encode(v, model_seed) for v in uniq}
+        else:
+            mapping = {v: table.encode(v) for v in uniq}
+        return s.map(mapping)
+
+    return _enc
+
+
+def encode_to_vectors_columnar(
+        df: DataFrame, feature_names: list[str],
+        string_tables: dict[str, list[int]], model_seed: int,
+        num_col: str = "num_features", str_col: str = "str_features",
+        extra_num_cols: tuple = (TIMESTAMP_KEY,),
+        out_col: str = "features") -> DataFrame:
+    """Scale-path spelling of :func:`encode_to_vectors` — bit-identical
+    output (P8/E2 parity, reference feature_encoder.py:138-226), but the
+    vector assembly stays JVM-side: one ``element_at``/``when``
+    expression chain per slot feeding a single ``F.array``, all inside
+    whole-stage codegen, with Python touched only by the vectorized
+    per-feature string encode above.  The generic per-row map-walk UDF
+    (encode_to_vectors) pays the full Arrow round-trip of BOTH feature
+    maps plus a Python loop over every row × slot; at 100 TB the
+    row-loop is the classic UDF slow path the brief forbids in hot
+    paths.  Slot semantics replicated exactly:
+
+    - str overrides num for the same key (the loop writes num first,
+      str second) → ``when(str IS NOT NULL, enc(str)).otherwise(num)``;
+    - extras (``t``) override any map entry for that key → the slot
+      reads the COLUMN, never the maps;
+    - missing everywhere → NULL: the loop prefills ``np.nan``, but the
+      pandas→Arrow return conversion of ``array<double>`` lands those
+      as nulls (observed contract, pinned by the parity suite), so the
+      columnar slots simply stay NULL (``element_at`` on a missing key)
+      rather than re-introducing a NaN the generic path never ships.
+
+    One pandas-UDF hop per STRING-bearing slot: right for the trainer
+    corpus (one string feature per the selection result); a schema with
+    dozens of string features would amortize better through the
+    one-hop generic UDF — documented trade, not a silent cliff.
+    """
+    tables = {f: StringTable(t, model_seed) for f, t in string_tables.items()}
+    names = feature_order(feature_names, extra_num_cols)
+    slots = []
+    for f in names:
+        if f in extra_num_cols:
+            slots.append(F.col(f).cast("double"))
+            continue
+        enc = _columnar_string_encode(tables.get(f), model_seed)
+        sval = F.element_at(F.col(str_col), F.lit(f))
+        nval = F.element_at(F.col(num_col), F.lit(f))
+        slots.append(F.when(sval.isNotNull(), enc(sval)).otherwise(nval))
+    return df.withColumn(out_col, F.array(*slots))
