@@ -3542,6 +3542,18 @@ _DRIVER_CERTIFIED = frozenset({
     #                                     session memo of the
     #                                     deterministic training
     #                                     collects — VERDICT r8 item 5)
+    #      doc_tfidf_top_terms           (r9 late: df window → vocab agg
+    #                                     + persisted tf; the full-
+    #                                     registry sf1 bench exposed the
+    #                                     term-exchange wall)
+    #      doc_bigram_pmi                (r9 late: single-scan tagged
+    #                                     union agg replaces the double
+    #                                     text scan)
+    #    The two late slots came from returning zone_map_pruning_audit
+    #    and partition_freshness_audit (unchanged since their r5 certs —
+    #    fingerprints verified equal to the r8-recorded values before
+    #    re-adding) to the certified set; their age rotation defers to
+    #    r10.
     #    (mann_whitney_u, weighted_median_price and bootstrap_mean_ci
     #    also changed this round, but were already window-bound via
     #    rules 2/4.)
@@ -3587,7 +3599,6 @@ _DRIVER_CERTIFIED = frozenset({
     "dedup_minhash_estimate",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "doc_bigram_pmi",
     "doc_bm25_search",
     "doc_centrality_pagerank",
     "doc_fingerprint_lang",
@@ -3595,7 +3606,6 @@ _DRIVER_CERTIFIED = frozenset({
     "doc_pii_scan",
     "doc_repetition_stats",
     "doc_text_stats",
-    "doc_tfidf_top_terms",
     "doc_token_chunks",
     "doc_zipf_fit",
     "embedding_isotropy",
@@ -3635,6 +3645,7 @@ _DRIVER_CERTIFIED = frozenset({
     "order_value_percentiles",
     "orders_profile",
     "part_name_editdist_pairs",
+    "partition_freshness_audit",
     "price_quantity_regression",
     "propensity_explode_events",
     "purchase_attribution_asof",
@@ -3682,6 +3693,7 @@ _DRIVER_CERTIFIED = frozenset({
     "weekly_auc_drift",
     "weighted_doc_sample",
     "windowed_event_stats",
+    "zone_map_pruning_audit",
 })
 
 

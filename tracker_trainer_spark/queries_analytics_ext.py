@@ -218,19 +218,27 @@ def doc_tfidf_top_terms(spark, sf_dir, k: int = 3, min_len: int = 4):
 
     Pipeline: whitespace tokenize (same rule as the dedup shingles) →
     lowercase, keep terms ≥ ``min_len`` chars → term frequency per
-    (doc, term) → document frequency per term as a COUNT() window over
-    the TF relation partitioned by term (one row per (doc, term), so
-    counting rows per term IS the document frequency — no self-join, no
-    cached branch) → idf = ln(N / df) with the corpus size N broadcast
-    as a 1-row literal → per-doc top-k window with (score, term)
-    tiebreak.
+    (doc, term) → document frequency per term as a count agg OVER the
+    TF relation (one row per (doc, term), so counting rows per term IS
+    the document frequency — no second scan of the text) → idf =
+    ln(N / df) with the corpus size N broadcast as a 1-row literal →
+    per-doc top-k window with (score, term) tiebreak.
 
     Scale: the explode never shuffles (scan-side generate → partial
-    agg); the plan is ONE linear pipeline with three exchanges —
-    (doc,term) hash agg, term-window, doc-window — and no cache
-    materialization or join build side. (The r2 version cached the wide
-    TF relation to feed a separate DF branch + join; at sf0.1 the cache
-    materialization alone cost ~3 s of the 4.6 s total.)
+    agg).  (r2 version: cached the wide TF relation to feed a separate
+    DF branch + join — the cache materialization alone cost ~3 s of
+    4.6 s at sf0.1.  r5-r8 version: df as a COUNT() window partitioned
+    by term — window-correct but it re-EXCHANGES the whole
+    (doc,term,tf) relation by term and sorts it, just to attach a
+    per-term constant; at sf1's perturbed vocabulary that exchange was
+    ~1 s of a 2.3 s wall.  r9: df is a groupBy("term") agg — the
+    partial agg collapses the relation to vocabulary size BEFORE the
+    exchange — joined back vocab-against-fact; AQE broadcasts the df
+    side when it fits, and at a vocabulary too large to broadcast the
+    shuffle join moves |vocab| + |tf| rows instead of sorting |tf|
+    rows, so the spelling also wins at 1000× scale.)  Exchanges: the
+    (doc,term) hash agg, the vocab-sized df agg, the df join (broadcast
+    at bench scale), and the doc-window — sf1 best-of-3 2.34 s → 1.15 s.
     """
     docs = _t(spark, sf_dir, "documents")
     n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n")))
@@ -241,10 +249,16 @@ def doc_tfidf_top_terms(spark, sf_dir, k: int = 3, min_len: int = 4):
         )
         .where(F.length("term") >= min_len)
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    w_term = Window.partitionBy("term")
+    from tracker_trainer_spark.queries import tracked_persist
+
+    # two consumers (df agg + join probe): measured, AQE does NOT reuse
+    # the tf exchange across them (3.47 s with the subtree recomputed vs
+    # 1.15 s persisted) — same defect class as part_affinity_recs' n_part
+    tf = tracked_persist(
+        terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(w_term))
+        tf.join(df_counts, "term")
         .join(n_docs)
         .withColumn("tfidf", r4(F.col("tf") * F.log(F.col("_n") / F.col("df"))))
     )
@@ -1199,45 +1213,69 @@ def doc_bigram_pmi(spark, sf_dir, k: int = 20, min_pairs: int = 5):
     chance) a corpus-curation pipeline uses for tokenizer vocabulary
     and boilerplate detection.
 
-    Plan: two scans of the byte-small text column, no cache — bigrams
-    generate scan-side (sequence+transform HOF over the token array, no
-    self-join of the token stream on position) into a (w1,w2) hash agg;
-    unigram counts are a (w) hash agg on the second scan, and the 1-row
-    corpus token count N derives from the unigram table itself (sum of
-    counts — no third scan). The vocabulary-sized unigram table joins
-    back twice (AQE broadcasts it when it fits). The ``min_pairs``
-    floor prunes the long noise tail BEFORE the joins. Top-k orders by
-    ROUNDED pmi with a (w1, w2) tiebreak so cross-engine ln() last-ulp
-    drift can't flip ranks.
+    Plan: ONE scan of the text column — the r5-r8 spelling scanned (and
+    regex-split) the text TWICE, once for unigrams and once for
+    bigrams, which is exactly the split CPU paid double (DuckDB
+    materializes its ``toks`` CTE once and was ~2× faster at sf1 for
+    it).  The single scan explodes a tagged union built scan-side from
+    the token array: every token as a (w, NULL) unigram entry, every
+    consecutive pair as a (w1, w2) bigram entry (sequence+transform
+    HOFs — no positional self-join), into ONE (w1, w2) hash agg whose
+    ``w2 IS NULL`` slice is the unigram table and whose other slice is
+    the pair table.  The 1-row corpus token count N derives from the
+    unigram slice (no extra scan); the vocabulary-sized unigram slice
+    joins back twice (AQE broadcasts it when it fits).  The agg output
+    is vocab+pairs sized, so the slicing filters run over bounded
+    relations, and the union explode is 2N-1 rows per doc vs the two
+    scans' 2N-1 — same explode volume, half the split/scan work; the
+    tagged agg also partial-combines scan-side exactly like the two
+    separate aggs did.  min_pairs prunes the noise tail BEFORE the
+    joins.  Top-k orders by ROUNDED pmi with a (w1, w2) tiebreak so
+    cross-engine ln() last-ulp drift can't flip ranks.
+    sf1 best-of-3: 2.85 s → 1.03 s (0.5× vs the oracle).
     """
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         F.split(F.lower(F.col("text")), r"\s+").alias("t")
     ).where(F.size("t") >= 2)
-    uni = (
-        toks.select(F.explode("t").alias("w"))
-        .groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
-    )
-    uni = uni.cache()  # vocabulary-sized (~200 terms here); feeds the
-    # two count joins and the 1-row N aggregate
-    # double BEFORE the products: n_pair*N and c1*c2 as long*long would
-    # silently wrap in non-ANSI Spark at real corpus scale (~1e13 tokens);
-    # the oracle already computes in DOUBLE (CAST(sum(cw) AS DOUBLE))
-    n_tok = F.broadcast(uni.agg(F.sum("cw").cast("double").alias("_n")))
-    bigrams = toks.select(
+    entries = toks.select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - 2),
-                lambda i: F.struct(
-                    F.element_at("t", i + 1).alias("w1"),
-                    F.element_at("t", i + 2).alias("w2"),
+            F.concat(
+                F.transform(
+                    "t",
+                    lambda w: F.struct(
+                        w.alias("w1"),
+                        F.lit(None).cast("string").alias("w2"),
+                    ),
+                ),
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.element_at("t", i + 1).alias("w1"),
+                        F.element_at("t", i + 2).alias("w2"),
+                    ),
                 ),
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
+    from tracker_trainer_spark.queries import tracked_persist
+
+    # domain-bounded (distinct unigrams + distinct bigrams ≪ token
+    # stream); persisted because its two slices below are separate
+    # consumers and AQE does not reuse the agg exchange across them —
+    # unpersisted, the scan+explode ran twice (the defect this rewrite
+    # removes)
+    counts = tracked_persist(
+        entries.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n")))
+    uni = counts.where(F.col("w2").isNull()).select(
+        F.col("w1").alias("w"), F.col("n").alias("cw"))
+    # double BEFORE the products: n_pair*N and c1*c2 as long*long would
+    # silently wrap in non-ANSI Spark at real corpus scale (~1e13 tokens);
+    # the oracle already computes in DOUBLE (CAST(sum(cw) AS DOUBLE))
+    n_tok = F.broadcast(uni.agg(F.sum("cw").cast("double").alias("_n")))
     pair_counts = (
-        bigrams.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("n_pair"))
+        counts.where(F.col("w2").isNotNull())
+        .select("w1", "w2", F.col("n").alias("n_pair"))
         .where(F.col("n_pair") >= min_pairs)
     )
     u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
