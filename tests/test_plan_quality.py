@@ -89,7 +89,10 @@ def test_loader_pushes_orphan_filter_and_prunes(spark, tmp_path):
 @pytest.mark.parametrize("name,max_shuffles", [
     ("merge_rewarded_events", 3),       # two partial aggs + join co-partition
     ("user_sessions", 3),               # one window partition + two aggs reuse it
-    ("propensity_explode_events", 0),   # pure narrow explode
+    ("propensity_explode_events", 1),   # parallelizing repartition (r9
+    #                                     _spread: the JSON parse must not
+    #                                     run at local-split width) + the
+    #                                     otherwise-narrow explode
     ("doc_token_chunks", 0),            # scan-side Generate, no exchange
     ("dedup_simhash", 1),               # parallelizing repartition + narrow HOFs
     ("doc_fingerprint_lang", 1),        # parallelizing repartition + narrow HOFs

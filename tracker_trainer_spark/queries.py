@@ -1087,9 +1087,18 @@ def propensity_explode_events(spark, sf_dir):
     candidates > 1, a sample row (y=0, w=candidates-1).
 
     (reference: src/trainer/code/propensities.py:130-165). Expressed as an
-    inline-array explode — single narrow stage, no shuffle.
+    inline-array explode — no shuffle beyond the spread.
+
+    r9: the byte-small local file yields ~3 input splits, so the
+    per-row JSON parse + explode ran 3-wide (the train_encode_events
+    scan-stage defect, same fix): _spread the raw columns first so the
+    kernel runs at full width.  No-op at real scale where input splits
+    already parallelize the scan.  sf1 best-of-3: 1.49 s → 0.86 s.
     """
-    ev = _t(spark, sf_dir, "events").where(F.col("event_type") != "purchase")
+    ev = _spread(
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") != "purchase")
+        .select("event_id", "user_id", "props"))
     k = F.get_json_object("props", "$.k").cast("long")
     rows = F.when(
         k > 1,
@@ -3549,8 +3558,15 @@ _DRIVER_CERTIFIED = frozenset({
     #      doc_bigram_pmi                (r9 late: single-scan tagged
     #                                     union agg replaces the double
     #                                     text scan)
-    #    The two late slots came from returning zone_map_pruning_audit
-    #    and partition_freshness_audit (unchanged since their r5 certs —
+    #      spearman_price_corr           (r9 late: persisted the 3-consumer
+    #                                     sample — the fact scan + md5
+    #                                     filter ran three times)
+    #      propensity_explode_events     (r9 late: _spread before the
+    #                                     JSON parse — it ran 3-wide on
+    #                                     the local splits)
+    #    The four late slots came from returning zone_map_pruning_audit,
+    #    partition_freshness_audit, q4_order_priority and
+    #    q6_revenue_forecast (each unchanged since its last cert —
     #    fingerprints verified equal to the r8-recorded values before
     #    re-adding) to the certified set; their age rotation defers to
     #    r10.
@@ -3647,7 +3663,6 @@ _DRIVER_CERTIFIED = frozenset({
     "part_name_editdist_pairs",
     "partition_freshness_audit",
     "price_quantity_regression",
-    "propensity_explode_events",
     "purchase_attribution_asof",
     "purchase_daily_gapfill",
     "purchase_moving_avg",
@@ -3666,7 +3681,9 @@ _DRIVER_CERTIFIED = frozenset({
     "q21_sole_returned_supplier",
     "q2_min_cost_supplier",
     "q3_top_revenue_orders",
+    "q4_order_priority",
     "q5_nation_revenue",
+    "q6_revenue_forecast",
     "q8_market_share",
     "retention_cohorts",
     "revenue_rollup_nation_year",
@@ -3675,7 +3692,6 @@ _DRIVER_CERTIFIED = frozenset({
     "semantic_text_dedup",
     "session_window_sessions",
     "sliding_event_counts",
-    "spearman_price_corr",
     "stratified_sample_by_lang",
     "stream_windowed_counts",
     "supplier_triangle_count",

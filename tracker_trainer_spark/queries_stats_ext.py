@@ -758,7 +758,14 @@ def spearman_price_corr(spark, sf_dir):
     from tracker_trainer_spark.queries import table_row_count
     n_rows = table_row_count(sf_dir, "lineitem")
     mod = max(60, n_rows // 10000)
-    pts = (
+    from tracker_trainer_spark.queries import tracked_persist
+
+    # the sample feeds THREE subtrees (two rank ECDFs + the moment
+    # join); unpersisted, each one re-ran the full fact scan and its
+    # per-row md5 sample filter — 3× the kernel CPU for a ~10k-row
+    # result (sf1 best-of-3: 1.98 s → 0.78 s persisted).  The persist
+    # is sample-sized (modulus-bounded at every scale), not fact-sized.
+    pts = tracked_persist(
         li.where(hash_bucket(
             F.concat(F.lit("sp"), pid.cast("string")), mod) == 0)
         .select(
