@@ -618,7 +618,9 @@ def test_skyline_has_no_self_join(spark, sf_dir):
     ("embedding_isotropy", 2),
     # ONE scan, one (source) agg — every pattern is a conditional
     # column; adding patterns adds columns, not scans — + output sort
-    ("doc_pii_scan", 2),
+    # + the r9 parallelizing repartition (the regex bank must not run
+    # at local-split width)
+    ("doc_pii_scan", 3),
     # medians agg + broadcast-back deviation agg + sort (MAD's
     # inherent two-pass shape; both passes keyed hash aggs)
     ("feature_robust_scaling", 3),

@@ -3564,12 +3564,14 @@ _DRIVER_CERTIFIED = frozenset({
     #      propensity_explode_events     (r9 late: _spread before the
     #                                     JSON parse — it ran 3-wide on
     #                                     the local splits)
-    #    The four late slots came from returning zone_map_pruning_audit,
-    #    partition_freshness_audit, q4_order_priority and
-    #    q6_revenue_forecast (each unchanged since its last cert —
-    #    fingerprints verified equal to the r8-recorded values before
-    #    re-adding) to the certified set; their age rotation defers to
-    #    r10.
+    #      doc_pii_scan                  (r9 late: _spread before the
+    #                                     regex bank — it ran 2-wide)
+    #    The five late slots came from returning zone_map_pruning_audit,
+    #    partition_freshness_audit, q4_order_priority,
+    #    q6_revenue_forecast and q22_idle_customers (each unchanged
+    #    since its last cert — fingerprints verified equal to the
+    #    r8-recorded values before re-adding) to the certified set;
+    #    their age rotation defers to r10.
     #    (mann_whitney_u, weighted_median_price and bootstrap_mean_ci
     #    also changed this round, but were already window-bound via
     #    rules 2/4.)
@@ -3619,7 +3621,6 @@ _DRIVER_CERTIFIED = frozenset({
     "doc_centrality_pagerank",
     "doc_fingerprint_lang",
     "doc_pack_assignments",
-    "doc_pii_scan",
     "doc_repetition_stats",
     "doc_text_stats",
     "doc_token_chunks",
@@ -3679,6 +3680,7 @@ _DRIVER_CERTIFIED = frozenset({
     "q1_pricing_summary",
     "q20_promotion_suppliers",
     "q21_sole_returned_supplier",
+    "q22_idle_customers",
     "q2_min_cost_supplier",
     "q3_top_revenue_orders",
     "q4_order_priority",

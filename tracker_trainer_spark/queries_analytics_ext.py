@@ -2038,8 +2038,15 @@ def doc_pii_scan(spark, sf_dir):
     aggregate over the same row, so the whole audit is a single
     (source) hash agg — adding patterns adds columns, not scans. The
     unpivot to (source, pattern) rows happens on the |sources|-sized
-    aggregate."""
-    docs = _t(spark, sf_dir, "documents")
+    aggregate.  r9: _spread first — the byte-small local file yields
+    ~2 input splits, so the per-row regex bank (the entire cost of
+    this query) ran 2-wide; the dedup_simhash/doc_fingerprint_lang
+    parallelizing-repartition convention applies (no-op at real scale).
+    sf1 best-of-3: 1.78 s → 0.51 s (remaining gap vs the 0.14 s oracle
+    is the spread exchange + job floor on a 60-row result)."""
+    from tracker_trainer_spark.session import spread as _spread
+
+    docs = _spread(_t(spark, sf_dir, "documents").select("source", "text"))
     aggs = []
     for name, pat in _PII_PATTERNS.items():
         hits = F.regexp_count(F.col("text"), F.lit(pat))
