@@ -14,7 +14,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tracker_trainer_spark.queries import ORACLES, QUERIES  # noqa: E402
+from tracker_trainer_spark.queries import (  # noqa: E402
+    ORACLES,
+    QUERIES,
+    release_caches,
+)
 from tracker_trainer_spark.session import get_spark, warm_python_workers  # noqa: E402
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -58,6 +62,11 @@ def main() -> None:
             cnt = QUERIES[name](spark, sf_dir).count()
             dt = time.monotonic() - t0
             best_s = dt if best_s is None else min(best_s, dt)
+            # drain between runs like the benches do: a tracked_persist
+            # query must re-materialize its caches every run, or run 2+
+            # times a fully-warm cache the real harness never sees
+            spark.catalog.clearCache()
+            release_caches()
         best_d = None
         sql = ORACLES.get(name)
         if sql:

@@ -317,8 +317,10 @@ def test_funnel_single_agg_shuffle(spark, sf_dir):
     ("events_daily_pivot", 2),      # (day,type) partial pivot agg + day final
     ("purchase_moving_avg", 1),     # one user_id exchange for the RANGE frame
     ("lineitem_stats_profile", 1),  # all moment aggs in ONE hash agg pass
-    ("doc_tfidf_top_terms", 4),     # tf agg + vocab df agg + doc window
+    ("doc_tfidf_top_terms", 5),     # tf agg + vocab df agg + the hinted
+    #                                 hash join's two sides + doc window
     #                                 + the 1-row corpus-count exchange
+    #                                 (probe side reads the tf cache)
 ])
 def test_analytics_shuffle_budgets(spark, sf_dir, name, max_shuffles):
     assert count_shuffles(QUERIES[name](spark, sf_dir)) <= max_shuffles

@@ -1093,7 +1093,9 @@ def propensity_explode_events(spark, sf_dir):
     per-row JSON parse + explode ran 3-wide (the train_encode_events
     scan-stage defect, same fix): _spread the raw columns first so the
     kernel runs at full width.  No-op at real scale where input splits
-    already parallelize the scan.  sf1 best-of-3: 1.49 s → 0.86 s.
+    already parallelize the scan.  sf1: 1.49 s → ~1.2 s under the
+    bench's toPandas (the Arrow collect of the 1.6M-row result is now
+    the floor); the count()-actioned kernel itself is 0.86 s best-of-3.
     """
     ev = _spread(
         _t(spark, sf_dir, "events")

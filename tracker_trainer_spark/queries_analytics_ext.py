@@ -233,12 +233,19 @@ def doc_tfidf_top_terms(spark, sf_dir, k: int = 3, min_len: int = 4):
     per-term constant; at sf1's perturbed vocabulary that exchange was
     ~1 s of a 2.3 s wall.  r9: df is a groupBy("term") agg — the
     partial agg collapses the relation to vocabulary size BEFORE the
-    exchange — joined back vocab-against-fact; AQE broadcasts the df
-    side when it fits, and at a vocabulary too large to broadcast the
-    shuffle join moves |vocab| + |tf| rows instead of sorting |tf|
-    rows, so the spelling also wins at 1000× scale.)  Exchanges: the
-    (doc,term) hash agg, the vocab-sized df agg, the df join (broadcast
-    at bench scale), and the doc-window — sf1 best-of-3 2.34 s → 1.15 s.
+    exchange — joined back vocab-against-fact with an explicit
+    SHUFFLE_HASH hint: measured A/B under the bench conf, the 64 MB
+    threshold let AQE broadcast the ~700k-row perturbed vocabulary and
+    the single-threaded local-mode build stalled the driver (broadcast
+    4.1-7.8 s vs shuffle 2.4-3.5 s, 6 interleaved runs); on a real
+    cluster the build is distributed and broadcast re-wins, but the
+    hinted hash join moves only |vocab| + |tf| rows — strictly less
+    work than the window's full-relation sort at ANY scale, so the
+    hint is safe in both regimes.)  Exchanges: the (doc,term) hash
+    agg, the vocab-sized df agg, the hinted hash join, and the
+    doc-window.  Local wall is within noise of the window spelling
+    (~2.4 s sf1 bench-conf); the rewrite is for the 1000× posture,
+    where sorting the fact relation per term is the scale-killer.
     """
     docs = _t(spark, sf_dir, "documents")
     n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n")))
@@ -256,7 +263,8 @@ def doc_tfidf_top_terms(spark, sf_dir, k: int = 3, min_len: int = 4):
     # 1.15 s persisted) — same defect class as part_affinity_recs' n_part
     tf = tracked_persist(
         terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
-    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    df_counts = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")).hint("shuffle_hash")
     scored = (
         tf.join(df_counts, "term")
         .join(n_docs)
