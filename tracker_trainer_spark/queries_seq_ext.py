@@ -307,13 +307,15 @@ def supplier_cheapest_paths(spark, sf_dir):
     paths. Both engines run the identical recursion text. Output: the
     25 cheapest reachable nodes (cost, then node id)."""
     from tracker_trainer_spark.queries_stats_ext import (
-        _bfs_sparsified_weighted_edges,
+        _checkpointed_cosupply_edges,
     )
 
-    edges = _bfs_sparsified_weighted_edges(spark, sf_dir).select(
+    # shares the BFS query's memoized edge checkpoint (r9 — the cost
+    # projection is a narrow map over the materialized blocks, so the
+    # ~3 s edge build is paid once per session, not once per traversal)
+    edges = _checkpointed_cosupply_edges(spark, sf_dir).select(
         "s1", "s2", F.expr("(10000 + w - 1) div w").alias("cost")
     )
-    edges = edges.localCheckpoint(eager=True)
     edges.createOrReplaceTempView("sssp_edges_src")
     _t(spark, sf_dir, "supplier").createOrReplaceTempView(
         "sssp_supplier_src")

@@ -648,6 +648,28 @@ def _bfs_sparsified_weighted_edges(spark, sf_dir):
                                   F.col("s1").alias("s2"), "w"))
 
 
+def _checkpointed_cosupply_edges(spark, sf_dir):
+    """The sparsified weighted edge relation, eagerly localCheckpointed
+    and MEMOIZED per (session, sf_dir) via ``trained_artifact``.
+
+    A temp view is a LOGICAL plan: without materialization every
+    recursion step would rebuild the basket explode + global rank
+    (pagerank's localCheckpoint precedent — sf0.1: 13 s → ~2 s).  The
+    memo (r9, VERDICT r8 stretch item 8): BOTH traversal queries — the
+    hop BFS and the weighted shortest paths — consume this exact
+    relation, and the edge build (basket explode over the full fact
+    table + top-M rank) is ~3 s of each ~4 s sf1 wall; the relation is
+    deterministic over the immutable input (TakeOrdered under a total
+    order), so the second traversal in a session reuses the first's
+    checkpoint — the embedding_top_pc covariance-memo convention."""
+    from tracker_trainer_spark.queries import trained_artifact
+
+    return trained_artifact(
+        spark, ("cosupply_edges", sf_dir),
+        lambda: _bfs_sparsified_weighted_edges(spark, sf_dir)
+        .localCheckpoint(eager=True))
+
+
 def supplier_cosupply_bfs(spark, sf_dir):
     """Min-hop BFS distance histogram from the lowest-keyed supplier
     over the co-supply graph, edges deterministically sparsified to the
@@ -662,11 +684,7 @@ def supplier_cosupply_bfs(spark, sf_dir):
     pair explosion reuses the basket-HOF posture (orders hold ≤7
     suppliers), and the top-M sparsification plans as distributed
     TakeOrdered (``_bfs_sparsified_edges``, plan-pinned)."""
-    edges = _bfs_sparsified_edges(spark, sf_dir)
-    # A temp view is a LOGICAL plan: without materialization every
-    # recursion step would rebuild the basket explode + global rank
-    # (pagerank's localCheckpoint precedent — sf0.1: 13s -> ~2s).
-    edges = edges.localCheckpoint(eager=True)
+    edges = _checkpointed_cosupply_edges(spark, sf_dir).select("s1", "s2")
     edges.createOrReplaceTempView("bfs_edges_src")
     seed = "(SELECT min(s_suppkey) FROM bfs_supplier_src)"
     _t(spark, sf_dir, "supplier").createOrReplaceTempView(
