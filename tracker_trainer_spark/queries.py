@@ -1569,22 +1569,21 @@ def ann_cosine_topk(spark, sf_dir, probe_vec_id: int = 0, k: int = 10):
     """Brute-force cosine top-k against one probe vector.
 
     The probe is a single row pulled to the driver and folded into the
-    plan as a literal (the legitimate broadcast-scalar pattern); the scan
-    side computes dot/norm JVM-side via higher-order functions — no
-    Python in the loop, no shuffle until the final top-k."""
+    plan as a literal (the legitimate broadcast-scalar pattern); the
+    scan side runs similarity.cosine_to_literal — one numpy
+    matrix-vector product per Arrow batch, the same kernel every other
+    ANN family certifies through — then TakeOrdered for the top-k (no
+    global sort). r9: swapped off the JVM higher-order fold, which
+    evaluates an interpreted lambda per array element (A/B at sf1
+    600k x 64, interleaved min-of-3: HOF 0.52 s vs Arrow 0.34 s; a
+    pre-kernel ``_spread`` LOSES here — 0.55 s — because the exchange
+    moves the full vector payload to fix a 2-split scan that the Arrow
+    kernel already saturates)."""
     emb = _t(spark, sf_dir, "embeddings")
     probe = emb.where(F.col("vec_id") == probe_vec_id).select("embedding").first()[0]
-    q = F.array(*[F.lit(float(x)) for x in probe])
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(v, q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
-    norm_v = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    norm_q = float(sum(float(x) * float(x) for x in probe)) ** 0.5
-    cos = dot / (norm_v * F.lit(norm_q))
     return (
-        emb.select("vec_id", cos.alias("_cos"))
-        .orderBy(F.desc("_cos"), F.asc("vec_id"))
-        .limit(k)
-        .select("vec_id", r4(F.col("_cos")).alias("cosine"))
+        _sim.brute_force_topk(emb, [float(x) for x in probe], k)
+        .select("vec_id", r4(F.col("cosine")).alias("cosine"))
     )
 
 
@@ -2684,35 +2683,51 @@ def q7_volume_shipping(spark, sf_dir):
     joined twice under different roles (supplier nation vs customer
     nation), a symmetric pair predicate, and a year rollup.
 
-    nation is a fixed-cardinality constant (25 rows at any SF) → both
-    role copies are pinned broadcasts, so the only shuffles are the
-    fact-side joins (lineitem⨝orders, ⨝customer, ⨝supplier — AQE sizes
-    those) and the final 3-key agg. The date filter is pushed to the
-    lineitem scan.
+    The two-nation predicate is pushed INTO the dimension joins before
+    any fact join runs (r9 — the prior spelling joined all 25 nations
+    into the fact and filtered after, paying the full join output to
+    keep 2/25 of it): supplier and customer each shrink to the two
+    named nations first, so the fact side only ever joins the ~8%
+    qualifying slice, and the disjunctive pair predicate reduces to
+    `supp_nation <> cust_nation` over the filtered domain. No forced
+    hints on fact-sized relations — AQE broadcasts the shrunken
+    supplier/order sides at this SF and falls back to shuffle joins
+    when they outgrow the threshold at cluster scale.
     """
-    n1 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    two = ("NATION_1", "NATION_2")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*two))
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     )
-    n2 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*two))
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
     )
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    supp = _t(spark, sf_dir, "supplier")
-    pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
+    supp_f = (
+        _t(spark, sf_dir, "supplier")
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
-        .where(pair)
+        .select("s_suppkey", "supp_nation")
+    )
+    ord_f = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "customer")
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+            .select("c_custkey", "cust_nation"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_orderkey", "cust_nation")
+    )
+    return (
+        li.join(supp_f, li.l_suppkey == supp_f.s_suppkey)
+        .join(ord_f, li.l_orderkey == ord_f.o_orderkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(r4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("volume"))
         .select("supp_nation", "cust_nation", F.col("l_year").cast("long").alias("l_year"), "volume")
