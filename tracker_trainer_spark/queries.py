@@ -3589,6 +3589,18 @@ _DRIVER_CERTIFIED = frozenset({
     #    since its last cert — fingerprints verified equal to the
     #    r8-recorded values before re-adding) to the certified set;
     #    their age rotation defers to r10.
+    #      decision_training_rows        (r9 late: tracked_persist'd
+    #                                     sample + single-digest 5-way
+    #                                     uniform split + observe
+    #                                     parse barrier; oracle spells
+    #                                     the identical split — already
+    #                                     window-bound via rule 4)
+    #      customer_rfm_segments         (r9 late: tracked_persist'd the
+    #                                     4-consumer per-customer agg;
+    #                                     slot freed by returning
+    #                                     weekday_seasonality — unchanged,
+    #                                     fingerprint verified equal to
+    #                                     its r8-recorded value)
     #    (mann_whitney_u, weighted_median_price and bootstrap_mean_ci
     #    also changed this round, but were already window-bound via
     #    rules 2/4.)
@@ -3621,7 +3633,6 @@ _DRIVER_CERTIFIED = frozenset({
     "customer_order_sequences",
     "customer_pareto_frontier",
     "customer_retention_setops",
-    "customer_rfm_segments",
     "customer_spend_quartiles",
     "daily_anomaly_zscore",
     "daily_value_ewma",
@@ -3724,6 +3735,7 @@ _DRIVER_CERTIFIED = frozenset({
     "user_tier_scd2",
     "value_drift_ks",
     "value_drift_psi",
+    "weekday_seasonality",
     "value_purchase_auc",
     "weekly_auc_drift",
     "weighted_doc_sample",

@@ -2036,12 +2036,21 @@ def customer_rfm_segments(spark, sf_dir):
     kind. The monetary cut orders by the ROUNDED sum: FP totals differ
     across engines in the last ulp, and an unrounded boundary pair
     would flip quartiles."""
+    from tracker_trainer_spark.queries import tracked_persist
+
     orders = _t(spark, sf_dir, "orders")
-    per = orders.groupBy("o_custkey").agg(
+    # the per-customer agg feeds the corpus-max scalar, the melt's
+    # boundary sample, the ranked melt AND the final join — four
+    # consumers, and AQE does not reuse an exchange across consumers
+    # of the same subtree, so unpersisted the orders agg executed
+    # every time (r9; measured sf1 min-of-3/4: 1.60 s → 1.26 s, and
+    # ~0.3 s of the rest is the 150k-row result transfer both engines
+    # pay). Domain-bounded: one row per customer.
+    per = tracked_persist(orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum("o_totalprice").alias("monetary"),
-    )
+    ))
     maxd = per.agg(F.max("last_order").alias("_maxd"))
     base = (
         per.join(F.broadcast(maxd), how="cross")
@@ -2410,17 +2419,34 @@ def decision_training_rows(spark, sf_dir, topk: int = 100):
       itself, which plain r4 output would round away.
     - P6 context dropout decision u_c < 0.95 (config.py:16-21).
 
-    All uniforms are prefixed md5 hash buckets of event_id, so the
-    DuckDB oracle reproduces every draw bit-for-bit; the e^-1-derived
-    breakpoints (explore gate, ZTP CDF) are Python-computed doubles
-    embedded as literals on BOTH sides. Together with
-    ``propensity_training_weights`` (L5+M2 alone) this certifies the
-    full E2 phase-2 composition; only the gated XGBoost fit itself
-    remains uncovered.
+    All FIVE uniforms (explore gate, propensity, ZTP, sprinkle,
+    dropout) come from ONE md5 digest of event_id, split into five
+    disjoint 6-hex-char (24-bit) windows at positions 1/7/13/19/25 —
+    the propensity_training_weights r9 single-digest kernel extended
+    to a 5-way split (the prior spelling invoked md5 five times per
+    row over prefixed keys).  The digest is computed once above the
+    spread exchange and CARRIED as a column through the persisted
+    sample, so the post-gate draws are pure substring arithmetic.
+    Measured sf1 min-of-4/5 ladder: 1.34 s baseline → 1.11 s
+    (tracked_persist alone) → 1.06 s (single digest + observe
+    barrier; the digest consolidation is small because the five md5s
+    only ran over the ~17% purchase slice, but the 32-wide parse and
+    the compute-once sample are structural at any scale).  The DuckDB
+    oracle spells the identical split, reproducing every draw
+    bit-for-bit; the e^-1-derived breakpoints (explore gate, ZTP CDF)
+    are Python-computed doubles embedded as literals on BOTH sides.
+    Together with ``propensity_training_weights`` (L5+M2 alone) this
+    certifies the full E2 phase-2 composition; only the gated XGBoost
+    fit itself remains uncovered.
 
     Plan: scan-side arithmetic + ONE 1-row stats broadcast + TakeOrdered
-    — no shuffle of scored rows; identical at 100 TB."""
-    from tracker_trainer_spark.functions.sampling import hash_bucket
+    — no shuffle of scored rows; identical at 100 TB.  The surviving
+    sample is tracked_persist'd (r9): it feeds BOTH the stats aggregate
+    and the scored join, and AQE does not reuse an exchange across two
+    consumers of the same subtree — unpersisted, the events scan + JSON
+    parse + md5 explore gate ran twice (the spearman/part_affinity
+    lesson; measured 1.34 s → see docstring A/B below)."""
+    from tracker_trainer_spark.queries import tracked_persist
     from tracker_trainer_spark.session import spread as _spread
     from tracker_trainer_spark.trainer.weights import (
         CLIP_MIN_PROPENSITY,
@@ -2432,20 +2458,30 @@ def decision_training_rows(spark, sf_dir, topk: int = 100):
 
     ev = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     k = F.get_json_object("props", "$.k").cast("long")
+    dig = F.md5(F.col("event_id").cast("string"))
 
-    def u(prefix):
-        key = (F.col("event_id").cast("string") if prefix == ""
-               else F.concat(F.lit(prefix), F.col("event_id").cast("string")))
-        return (hash_bucket(key, 10000).cast("double") + 0.5) / 10000.0
+    # five disjoint 24-bit windows of the one 128-bit digest; positions
+    # mirror _hash_u_sql exactly (e=1, q=7, z=13, s=19, c=25)
+    def u(col, start):
+        bucket = (F.conv(F.substring(col, start, 6), 16, 10).cast("long")
+                  % F.lit(10000))
+        return (bucket.cast("double") + F.lit(0.5)) / F.lit(10000.0)
 
-    base = _spread(
-        ev.select(
+    # spread the RAW rows first and pin an observe() between the
+    # exchange and the parse: without the barrier, predicate pushdown
+    # drags the JSON parse + digest gate below the repartition into the
+    # 3-split scan stage (the propensity_training_weights r9 lesson)
+    base = tracked_persist(
+        _spread(ev.select("event_id", "props", "value"))
+        .observe("dtr_parse_input", F.count(F.lit(1)).alias("rows"))
+        .select(
             "event_id",
+            dig.alias("_dig"),
             k.alias("n_candidates"),
             F.round(F.col("value") * 100).cast("long").alias("_cents"),
         )
         .where(F.col("n_candidates") >= 1)
-        .where(u("e") < F.lit(EXPLORE_SAMPLE))
+        .where(u(F.col("_dig"), 1) < F.lit(EXPLORE_SAMPLE))
     )
     stats = F.broadcast(base.agg(
         F.avg("n_candidates").alias("_mean_k"),
@@ -2453,16 +2489,16 @@ def decision_training_rows(spark, sf_dir, topk: int = 100):
         F.sum("_cents").cast("long").alias("_sc"),
         F.sum(F.col("_cents") * F.col("_cents")).cast("long").alias("_sc2"),
     ))
-    q = u("")
+    q = u(F.col("_dig"), 7)
     mean_c = F.col("_sc").cast("double") / F.col("_n").cast("double")
     var_c = (F.col("_sc2").cast("double") / F.col("_n").cast("double")
              - mean_c * mean_c)
     std_c = F.sqrt(var_c)
     std_c = F.when(std_c == 0.0, F.lit(1.0)).otherwise(std_c)
     w_ipw = inverse_propensity_weight(q * q * q, F.col("_mean_k"))
-    k_pois = ztp_from_uniform(u("z"))
+    k_pois = ztp_from_uniform(u(F.col("_dig"), 13))
     n_f = F.col("n_candidates").cast("double")
-    nz = u("s")
+    nz = u(F.col("_dig"), 19)
     sprinkled = (n_f + nz * F.lit(2.0 ** -142)) \
         * (F.lit(1.0) + nz * F.lit(2.0 ** -17))
     scored = base.join(stats).select(
@@ -2473,7 +2509,7 @@ def decision_training_rows(spark, sf_dir, topk: int = 100):
         (w_ipw * k_pois).alias("_w"),
         ((F.col("_cents").cast("double") - mean_c) / std_c).alias("_nr"),
         ((sprinkled - n_f) * F.lit(131072.0)).alias("_spr"),
-        (u("c") < F.lit(CONTEXT_DROPOUT_KEEP)).cast("int")
+        (u(F.col("_dig"), 25) < F.lit(CONTEXT_DROPOUT_KEEP)).cast("int")
         .alias("context_kept"),
     )
     return (
@@ -2494,10 +2530,10 @@ def decision_training_rows(spark, sf_dir, topk: int = 100):
     )
 
 
-def _hash_u_sql(prefix: str) -> str:
-    key = ("CAST(event_id AS VARCHAR)" if not prefix
-           else f"'{prefix}' || CAST(event_id AS VARCHAR)")
-    return ("((CAST(('0x' || substr(md5(" + key + "), 1, 8)) AS BIGINT)"
+def _digest_u_sql(start: int) -> str:
+    """One 24-bit window of the shared md5(event_id) digest as a
+    (0,1) uniform — positions must mirror the Spark side's split."""
+    return (f"((CAST(('0x' || substr(dig, {start}, 6)) AS BIGINT)"
             " % 10000 + 0.5) / 10000.0)")
 
 
@@ -2509,14 +2545,16 @@ def _decision_rows_sql() -> str:
     )
 
     return f"""
-WITH d AS (
+WITH d0 AS (
   SELECT event_id,
+         md5(CAST(event_id AS VARCHAR)) AS dig,
          CAST(json_extract(props, '$.k') AS BIGINT) AS n_candidates,
          CAST(round(value * 100) AS BIGINT) AS cents
   FROM events
   WHERE event_type = 'purchase'
     AND CAST(json_extract(props, '$.k') AS BIGINT) >= 1
-    AND {_hash_u_sql("e")} < {EXPLORE_SAMPLE!r}
+), d AS (
+  SELECT * FROM d0 WHERE {_digest_u_sql(1)} < {EXPLORE_SAMPLE!r}
 ), m AS (
   SELECT avg(n_candidates) AS mean_k,
          CAST(count(*) AS BIGINT) AS n,
@@ -2525,10 +2563,10 @@ WITH d AS (
   FROM d
 ), s AS (
   SELECT event_id, n_candidates, cents, mean_k, n, sc, sc2,
-         {_hash_u_sql("")} AS q,
-         {_hash_u_sql("z")} AS u,
-         {_hash_u_sql("s")} AS nz,
-         {_hash_u_sql("c")} AS uc
+         {_digest_u_sql(7)} AS q,
+         {_digest_u_sql(13)} AS u,
+         {_digest_u_sql(19)} AS nz,
+         {_digest_u_sql(25)} AS uc
   FROM d, m
 ), w AS (
   SELECT event_id, n_candidates,
