@@ -83,18 +83,44 @@ def plan_groom(spark: SparkSession, path: str,
                 return GroomPlan(dirty=[], total_partitions=0, part_cols=())
             raise
     part_cols = _present_part_cols(df)
-    stats = (
-        df.withColumn("_file", F.input_file_name())
-        .groupBy(*part_cols)
-        .agg(
-            F.countDistinct("_file").alias("n_files"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct("decision_id").alias("n_ids"),
-        )
-    )
     # dirty = duplicate keys to re-merge, or more files than needed —
     # evaluated driver-side on the collected partition-count-sized rows
-    all_stats = stats.collect()
+    all_stats = _stats_df(df, part_cols).collect()
+    return _plan_from_stats(all_stats, part_cols,
+                            max_records_per_file,
+                            target_files_per_partition)
+
+
+def _stats_df(df: DataFrame, part_cols: tuple,
+              with_invalid_files: bool = False,
+              now_ts: float | None = None) -> DataFrame:
+    """Per-partition groom statistics in ONE scan.  With
+    ``with_invalid_files`` the same pass also surfaces the quarantine
+    detection (S5) as a per-partition ``bad_files`` set — bounded by
+    files-per-partition, so the collected relation stays
+    partition-count-sized either way."""
+    aggs = [
+        F.countDistinct("_file").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("decision_id").alias("n_ids"),
+    ]
+    if with_invalid_files:
+        from ..ksuid import is_valid_ksuid_col
+
+        aggs.append(F.collect_set(
+            F.when(~is_valid_ksuid_col("decision_id", now_ts),
+                   F.col("_file"))
+        ).alias("bad_files"))
+    return (
+        df.withColumn("_file", F.input_file_name())
+        .groupBy(*part_cols)
+        .agg(*aggs)
+    )
+
+
+def _plan_from_stats(all_stats: list, part_cols: tuple,
+                     max_records_per_file: int,
+                     target_files_per_partition: int) -> GroomPlan:
     import math
 
     def _is_dirty(r):
@@ -126,19 +152,24 @@ def groom(spark: SparkSession, path: str,
 
 def _groom_locked(spark: SparkSession, path: str,
                   max_records_per_file: int,
-                  target_files_per_partition: int) -> int:
+                  target_files_per_partition: int,
+                  df: DataFrame | None = None,
+                  plan: GroomPlan | None = None) -> int:
     from pyspark.errors import AnalysisException
 
     # ONE read serves the planner and the rewrite (the r7 spelling
-    # re-listed the timeline between the two)
-    try:
-        df = spark.read.parquet(path)
-    except AnalysisException as e:
-        if is_absent_table_error(e):
-            return 0
-        raise
-    plan = plan_groom(spark, path, max_records_per_file,
-                      target_files_per_partition, df=df)
+    # re-listed the timeline between the two); ``df``/``plan`` let
+    # maintain_timeline hand over its fused stats scan untouched
+    if df is None:
+        try:
+            df = spark.read.parquet(path)
+        except AnalysisException as e:
+            if is_absent_table_error(e):
+                return 0
+            raise
+    if plan is None:
+        plan = plan_groom(spark, path, max_records_per_file,
+                          target_files_per_partition, df=df)
     if not plan.dirty:
         return 0
     part_cols = plan.part_cols
@@ -223,15 +254,43 @@ def maintain_timeline(spark: SparkSession, path: str,
     quarantining valid data. An absent timeline is a clean no-op that
     touches nothing (no lock dir, no listing).
     """
+    from pyspark.errors import AnalysisException
+
     from .lock import timeline_lock
-    from .quarantine import _quarantine_locked, timeline_exists
+    from .quarantine import _relocate_files, timeline_exists
 
     if not timeline_exists(spark, path):
         return {"quarantined": [], "groomed": 0}
     with timeline_lock(path):
-        quarantined = _quarantine_locked(spark, path, now_ts=now_ts)
+        # ONE fused scan computes the quarantine detection (S5) AND the
+        # groom plan stats — the r8 spelling paid two full timeline
+        # scans per maintenance cycle (quarantine's invalid-file scan,
+        # then plan_groom's stats scan).  countDistinct(decision_id)
+        # does not merge across files, so the fusion rides the same
+        # per-PARTITION grouping with a bounded per-partition
+        # ``bad_files`` set.  Only when files were actually relocated
+        # (rare: poisoned appends) are the stats stale — that path
+        # re-plans from a fresh scan, which is exactly the r8 cost.
+        try:
+            df = spark.read.parquet(path)
+        except AnalysisException as e:
+            if is_absent_table_error(e):
+                return {"quarantined": [], "groomed": 0}
+            raise
+        part_cols = _present_part_cols(df)
+        all_stats = _stats_df(df, part_cols, with_invalid_files=True,
+                              now_ts=now_ts).collect()
+        bad = sorted({f for r in all_stats for f in r["bad_files"]})
+        quarantined = _relocate_files(spark, path, bad)
+        if quarantined:
+            df, plan = None, None  # stats are stale: re-plan from disk
+        else:
+            plan = _plan_from_stats(all_stats, part_cols,
+                                    max_records_per_file,
+                                    target_files_per_partition)
         groomed = _groom_locked(spark, path, max_records_per_file,
-                                target_files_per_partition)
+                                target_files_per_partition,
+                                df=df, plan=plan)
         if verify:
             try:
                 assert_no_duplicate_keys(spark, path)

@@ -90,6 +90,14 @@ def quarantine_invalid_files(spark: SparkSession, timeline_path: str,
 def _quarantine_locked(spark: SparkSession, timeline_path: str,
                        now_ts: float | None = None) -> list[str]:
     bad = find_invalid_files(spark, timeline_path, now_ts)
+    return _relocate_files(spark, timeline_path, bad)
+
+
+def _relocate_files(spark: SparkSession, timeline_path: str,
+                    bad: list[str]) -> list[str]:
+    """Move the given file URIs under ``_unrecoverable/`` (detection
+    already done — lets a caller that found the invalid files in a
+    shared scan reuse the exact relocation semantics)."""
     if not bad:
         return []
 

@@ -1908,6 +1908,13 @@ def doc_centrality_pagerank(spark, sf_dir, iters: int = 5, damping: float = 0.85
     documents hold the teleport mass (1-d)/N. At 100 TB the rounds are
     the same two exchanges regardless of N; lineage grows linearly in
     `iters` (5), far below checkpoint-needing depth.
+
+    The out-degree is FOLDED INTO the checkpointed edge relation (one
+    agg + one join at build time): the r8 spelling recomputed the
+    degree agg and re-joined it inside every round — 5 extra aggs + 5
+    extra joins over the edge relation for a value that never changes
+    across rounds (guide §1.2 / §5: hoist loop-invariant subtrees).
+    The per-edge arithmetic stays pr/deg, bit-identical to the oracle.
     """
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()  # 1 scalar to the driver — bounded by definition
@@ -1925,11 +1932,13 @@ def doc_centrality_pagerank(spark, sf_dir, iters: int = 5, damping: float = 0.85
         .localCheckpoint()  # candidate pipeline runs ONCE, not per round
     )
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # edges+degree checkpoint: doc-degree relation is edge-count-sized,
+    # built from the already-materialized sym blocks (no pipeline rerun)
+    symd = sym.join(deg, "a").localCheckpoint()
     pr = docs.select("doc_id", F.lit(1.0 / n).alias("pr"))
     for _ in range(iters):
         contrib = (
-            sym.join(pr, sym.a == pr.doc_id)
-            .join(deg, "a")
+            symd.join(pr, symd.a == pr.doc_id)
             .groupBy("b")
             .agg(F.sum(F.col("pr") / F.col("deg")).alias("c"))
         )

@@ -2796,9 +2796,16 @@ def groom_fixpoint_check(spark, sf_dir):
     # one file per task and trip plan_groom's n_files>target condition
     # on CLEAN partitions at larger scale factors. The synthetic
     # timeline is bounded (event_id % 20), so one writer task is fine.
-    write_timeline(batch1.coalesce(1), path)
-    write_timeline(batch2.coalesce(1), path)
-    rows_before = spark.read.parquet(path).count()
+    # rows_before rides the two write jobs as observed metrics — the r8
+    # spelling paid a separate read-back listing + full-scan count job
+    # for a number the writes already stream past (guide §1/§5: don't
+    # schedule a job for a scalar an existing action can observe)
+    from pyspark.sql import Observation
+
+    obs1, obs2 = Observation(), Observation()
+    write_timeline(batch1.coalesce(1).observe(obs1, F.count(F.lit(1)).alias("n")), path)
+    write_timeline(batch2.coalesce(1).observe(obs2, F.count(F.lit(1)).alias("n")), path)
+    rows_before = int(obs1.get["n"]) + int(obs2.get["n"])
     # verify=False: the invariant is certified by the RETURNED row
     # itself (duplicates surviving groom would split n_decisions from
     # n_distinct and fail the oracle compare) — running the built-in
