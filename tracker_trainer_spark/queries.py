@@ -3610,6 +3610,13 @@ _DRIVER_CERTIFIED = frozenset({
     #                                     weekday_seasonality — unchanged,
     #                                     fingerprint verified equal to
     #                                     its r8-recorded value)
+    #      theil_sen_price_slope         (r9 late: tracked_persist'd the
+    #                                     3-consumer hash sample; slot
+    #                                     freed by returning
+    #                                     holt_backtest — unchanged,
+    #                                     fingerprint verified equal to
+    #                                     its r8-recorded value; its
+    #                                     age rotation defers to r10)
     #    (mann_whitney_u, weighted_median_price and bootstrap_mean_ci
     #    also changed this round, but were already window-bound via
     #    rules 2/4.)
@@ -3679,6 +3686,7 @@ _DRIVER_CERTIFIED = frozenset({
     "groom_fixpoint_check",
     "hll_distinct_users",
     "hll_merge_daily",
+    "holt_backtest",
     "ipw_weight_diagnostics",
     "k_anonymity_audit",
     "knn_join_topk",
@@ -3734,7 +3742,6 @@ _DRIVER_CERTIFIED = frozenset({
     "stratified_sample_by_lang",
     "stream_windowed_counts",
     "supplier_triangle_count",
-    "theil_sen_price_slope",
     "top3_orders_per_customer",
     "train_e2e_metrics",
     "user_activity_streaks",

@@ -791,14 +791,19 @@ def theil_sen_price_slope(spark, sf_dir):
     # per consumer in the static plan (measured: +6 exchanges), while
     # the literal folds into the filter. The oracle computes the
     # identical integer inline.
-    from tracker_trainer_spark.queries import table_row_count
+    from tracker_trainer_spark.queries import table_row_count, tracked_persist
     n_rows = table_row_count(sf_dir, "lineitem")
     mod = max(600, n_rows // 1000)
-    pts = keyed.where(F.col("_h") % mod == 0).select(
+    # r9: the sample feeds THREE subtrees (both pair sides + the point
+    # count) and each one re-ran the full fact scan plus the per-row md5
+    # filter — the same multi-consumer recompute spearman_price_corr
+    # paid.  The persisted relation is the ~1k-point sample (bounded by
+    # the adaptive modulus), never the fact.
+    pts = tracked_persist(keyed.where(F.col("_h") % mod == 0).select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pid"),
         "l_quantity",
         "l_extendedprice",
-    )
+    ))
     a, b = pts.alias("a"), pts.alias("b")
     # The broadcast side is the deterministic hash SAMPLE (bounded by
     # the adaptive modulus above), never the fact table.
@@ -817,6 +822,14 @@ def theil_sen_price_slope(spark, sf_dir):
             ).alias("slope"),
         )
     )
+    # r9 A/B, DECLINED: replacing this global window with the
+    # distributed-rank primitive (persisted pairs + with_global_rank)
+    # measured 2.25 s vs 1.86 s at sf0.1 — the extra boundary/offsets
+    # passes cost more than sorting the pair relation on one task,
+    # because the pair relation is BOUNDED (~500k rows at any scale by
+    # the adaptive modulus above), so the single-task sort is
+    # scale-safe by construction — the same adjudication as the window
+    # lint exemption (tests/test_window_lint.py).
     wm = Window.orderBy("slope", "pid_a", "pid_b")
     wall = Window.partitionBy()
     ranked = pairs.select(
