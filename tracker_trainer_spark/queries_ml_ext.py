@@ -1437,14 +1437,23 @@ def degree_oriented_triangles(edges):
 
     Returns ``(summary, wedges)``: summary is the 1-row
     (n_triangles, n_edges, n_vertices) DataFrame as one composed plan
-    (cross joins of three 1-row aggregates — a single action for the
+    (cross joins of two 1-row aggregates — a single action for the
     caller); wedges is the oriented wedge relation, exposed so scale
     soaks can ASSERT the degeneracy bound (a hub of degree d would
     contribute O(d²) wedges un-oriented; oriented, its out-degree — and
     so its wedge count — is bounded by graph degeneracy).
+
+    r9: the shared relations persist through the tracked registry (the
+    raw ``.cache()`` calls pre-dated it and leaked past the per-query
+    release), ``deg`` — three consumers: both orientation join sides
+    plus the vertex count — persists too (vertex-count-sized), and the
+    edge/vertex counts collapse into ONE agg over it: Σdegree = 2·|E|
+    exactly (integers), so the former separate edge-count pass is free.
     """
-    edges.cache()
-    deg = (
+    from tracker_trainer_spark.queries import tracked_persist
+
+    edges = tracked_persist(edges)
+    deg = tracked_persist(
         edges.select(F.col("a").alias("v"))
         .unionAll(edges.select(F.col("b").alias("v")))
         .groupBy("v")
@@ -1463,7 +1472,7 @@ def degree_oriented_triangles(edges):
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         )
     )
-    oriented.cache()
+    oriented = tracked_persist(oriented)
     w1 = oriented.select(F.col("src"), F.col("dst").alias("v"))
     w2 = oriented.select(F.col("src"), F.col("dst").alias("w"))
     wedges = w1.join(w2, "src").where(F.col("v") < F.col("w"))
@@ -1475,9 +1484,11 @@ def degree_oriented_triangles(edges):
     tri = wedges.join(closing, ["v", "w"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
-    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    nv = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
-    return tri.crossJoin(ne).crossJoin(nv), wedges
+    stats = deg.agg(
+        F.expr("sum(d) div 2").alias("n_edges"),
+        F.count(F.lit(1)).alias("n_vertices"),
+    )
+    return tri.crossJoin(stats), wedges
 
 
 TRIANGLE_SQL = """
