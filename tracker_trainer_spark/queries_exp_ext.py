@@ -241,6 +241,12 @@ def mann_whitney_u(spark, sf_dir):
     # value histogram is a regroup of the finer per-variant histogram,
     # and counts are exact integers, so vc now derives from pv and the
     # orders scan+agg runs once.  sf0.1 best-of-3: 0.85 → 0.72 s.
+    # r9 late A/B, DECLINED: persisting pv for its two consumer paths
+    # measured ~1.8 s vs ~1.17 s at sf0.1 — the paths share ONE
+    # identical exchange subtree, which Spark already dedupes via
+    # ReusedExchange (unlike the ≥3-consumer InMemoryRelation cases the
+    # r9 persists fixed), so the persist only added a blocking
+    # materialization.
     pv = base.groupBy("v", "cents").agg(
         F.count(F.lit(1)).cast("long").alias("n"))
     vc = pv.groupBy("cents").agg(
