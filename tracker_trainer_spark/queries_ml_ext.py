@@ -2089,15 +2089,32 @@ def customer_rfm_segments(spark, sf_dir):
     tiled = with_ntile(melt, 4, [F.asc("sortval"), F.asc("o_custkey")],
                        ["kind"], bucket_key=F.col("sortval"), bucket_col="q",
                        boundary_key=(sf_dir, "orders", "rfm-melt-sortval"))
+    # the R/F/M source values ride back out of the melt itself: sortval
+    # is recency (asc) / negated frequency / negated monetary, and IEEE
+    # sign-flip round-trips are exact (-(-x) == x bitwise, -(-0.0) ==
+    # +0.0), so reconstructing them in the quartile agg is bit-identical
+    # to re-joining `base` — which drops that whole second consumer
+    # branch of `base` plus its join exchange (r9 job-count audit:
+    # 22 → 17 jobs; sf0.1 min-of-6 pairs 1.38/1.34 and 1.60/1.48 s —
+    # a floor-count win that grows with the per-job constant)
     quarts = tiled.groupBy("o_custkey").agg(
         F.max(F.when(F.col("kind") == "r", F.col("q"))).alias("r_quartile"),
         F.max(F.when(F.col("kind") == "f", F.col("q"))).alias("f_quartile"),
         F.max(F.when(F.col("kind") == "m", F.col("q"))).alias("m_quartile"),
+        F.max(F.when(F.col("kind") == "r", F.col("sortval")))
+        .cast("int").alias("recency_days"),
+        F.max(F.when(F.col("kind") == "f", -F.col("sortval")))
+        .cast("long").alias("frequency"),
+        F.max(F.when(F.col("kind") == "m", -F.col("sortval")))
+        .alias("monetary"),
     )
     return (
-        base.join(quarts, "o_custkey")
-        .withColumn("segment", F.concat_ws(
-            "", "r_quartile", "f_quartile", "m_quartile"))
+        quarts.select(
+            "o_custkey", "recency_days", "frequency", "monetary",
+            "r_quartile", "f_quartile", "m_quartile",
+            F.concat_ws("", "r_quartile", "f_quartile",
+                        "m_quartile").alias("segment"),
+        )
         .orderBy("o_custkey")
     )
 
