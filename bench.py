@@ -88,20 +88,26 @@ def main() -> None:
             start = time.perf_counter()
             fn(spark, sf_dir).toPandas()
             runs.append(time.perf_counter() - start)
+            # r10 measurement-bug fix (VERDICT r9 item 1): the drains
+            # used to run once per QUERY, after its three repeats — so
+            # runs 2-3 of any query that persists an intermediate
+            # (CacheManager matches canonicalized plans across repeat
+            # constructions) or memoizes a training artifact skipped the
+            # construction work, and min-of-3 reported a warm-cache time
+            # the driver's single-shot runs never see.  Draining after
+            # EVERY timed run (drain cost outside the timed region)
+            # makes each repeat pay full construction:
+            # - clearCache: pinned InMemoryRelations (shingles, vocab,
+            #   baskets) must not leak into the next run/query
+            # - release_caches: tracked-persist registry (ADVICE r8)
+            #   + the trained_artifact session memo (VERDICT r9 item 1)
+            # - gc.collect: localCheckpoint blocks release only when the
+            #   dropped DataFrame's RDD is GC'd and the ContextCleaner
+            #   drains (ADVICE r5)
+            spark.catalog.clearCache()
+            release_caches()
+            gc.collect()
         timings[name] = round(min(runs), 3)
-        # queries that cache an intermediate (shingles, vocab, baskets)
-        # must not leak it into the next query's measurement — and 90
-        # queries' worth of pinned InMemoryRelations would otherwise
-        # accumulate for the whole run
-        spark.catalog.clearCache()
-        release_caches()  # drain the tracked-persist registry (ADVICE r8)
-        # localCheckpoint blocks (jaccard's pinned prefix, the traversal
-        # edge sets) are NOT covered by clearCache — they release only
-        # when the constructed DataFrame's RDD is GC'd and the
-        # ContextCleaner drains (ADVICE r5). The DataFrames are already
-        # unreferenced (never bound); gc.collect() runs their py4j
-        # finalizers now instead of whenever CPython gets around to it.
-        gc.collect()
 
     # Measure Spark's fixed per-query floor on THIS box right now:
     # best-of-5 of the smallest registry-shaped query (scan the 5-row

@@ -8,6 +8,7 @@ Usage: python scripts/qtime.py <sf_dir> <query> [query ...] [--n 3]
 
 from __future__ import annotations
 
+import gc
 import os
 import sys
 import time
@@ -64,9 +65,12 @@ def main() -> None:
             best_s = dt if best_s is None else min(best_s, dt)
             # drain between runs like the benches do: a tracked_persist
             # query must re-materialize its caches every run, or run 2+
-            # times a fully-warm cache the real harness never sees
+            # times a fully-warm cache the real harness never sees.
+            # release_caches also drains the trained_artifact memo (r10);
+            # gc frees dropped localCheckpoint blocks via ContextCleaner.
             spark.catalog.clearCache()
             release_caches()
+            gc.collect()
         best_d = None
         sql = ORACLES.get(name)
         if sql:

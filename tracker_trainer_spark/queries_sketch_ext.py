@@ -600,7 +600,7 @@ def stream_reward_join(spark, sf_dir):
     separately by tests/test_stream_join.py).
 
     The tail no-data micro-batch is suppressed for the drain
-    (``noDataMicroBatches.enabled=false``, restored after): an INNER
+    (``noDataMicroBatches.enabled=false``): an INNER
     stream-stream join emits every match eagerly inside the data
     batch's addBatch — the trailing zero-row batch only advances the
     watermark to evict state that this drain-and-return query discards
@@ -611,7 +611,12 @@ def stream_reward_join(spark, sf_dir):
     the suppression is not a local-mode trick.  Deliberately NOT
     applied to the windowed/session-window streaming queries: their
     append-mode emission happens ON the no-data watermark advance, so
-    suppressing it there would drop every row.
+    suppressing it there would drop every row.  r10 (ADVICE r9): the
+    toggle is scoped to a CHILD session (``spark.newSession()`` — own
+    SQL conf, shared SparkContext) instead of set-and-restore on the
+    caller's session, where the restore window could silently starve a
+    concurrently started append-mode streaming query of its no-data
+    watermark advance.
 
     Output uses integer-µs timestamps (the cross-engine convention);
     the purchase id and value pass through unmodified."""
@@ -621,11 +626,13 @@ def stream_reward_join(spark, sf_dir):
         decisions_rewards_join,
     )
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    child = spark.newSession()
+    child.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    schema = child.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def src():
         return (
-            spark.readStream.schema(schema)
+            child.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
@@ -638,19 +645,13 @@ def stream_reward_join(spark, sf_dir):
     joined = decisions_rewards_join(
         d, r, keys=("user_id",), max_delay="2 hours")
     name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
-    _NODATA_CONF = "spark.sql.streaming.noDataMicroBatches.enabled"
-    prior = spark.conf.get(_NODATA_CONF, "true")
-    spark.conf.set(_NODATA_CONF, "false")
-    try:
-        q = (
-            joined.writeStream.format("memory").queryName(name)
-            .outputMode("append").trigger(availableNow=True).start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set(_NODATA_CONF, prior)
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
     return (
-        spark.table(name)
+        child.table(name)
         .select(
             "user_id",
             F.unix_micros(F.col("decision_ts").cast("timestamp"))
