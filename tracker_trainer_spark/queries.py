@@ -726,11 +726,20 @@ def stream_windowed_counts(spark, sf_dir):
     tests/test_streaming_window.py's late-data cases."""
     import uuid
 
+    from .session import drain_partitions
     from .streaming.ingest_stream import windowed_event_stats
 
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # state partitions sized from the SOURCE, not the box (VERDICT r9
+    # item 4, scoped via a child session): the windowed-aggregation
+    # state store pays a per-partition open/commit in EVERY micro-batch
+    # (including the no-data watermark-advance batch this complete-mode
+    # drain still needs)
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions",
+                   str(drain_partitions(f"{sf_dir}/events.parquet")))
+    batch_schema = child.read.parquet(f"{sf_dir}/events.parquet").schema
     src = (
-        spark.readStream.schema(batch_schema)
+        child.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
@@ -742,7 +751,7 @@ def stream_windowed_counts(spark, sf_dir):
         .outputMode("complete").trigger(availableNow=True).start()
     )
     q.awaitTermination()
-    return spark.table(name).select(
+    return child.table(name).select(
         "window_start", "event_type", "n",
         r4(F.col("sum_value")).alias("sum_value"),
     )
@@ -3303,22 +3312,51 @@ def train_e2e_metrics(spark, sf_dir, model_seed: int = 7, max_features: int = 15
     )
     shutil.rmtree(base, ignore_errors=True)
     path = base + "/tl"
-    write_timeline(dec.coalesce(1), path)
-    n_timeline = spark.read.parquet(path).count()
+    # repartition(1), not coalesce(1): coalesce collapsed the WHOLE
+    # events scan + ksuid/to_json synthesis into one task (profiled
+    # 1.9 s); the exchange keeps the scan parallel and still writes one
+    # file per dt partition (r10, guide §2)
+    write_timeline(dec.repartition(1), path)
+
+    # The pipeline runs on a CHILD session (guide §6, §2.2): the bench's
+    # 4 MB maxPartitionBytes override exists to parallelize the
+    # byte-small SOURCE tables, but it leaks into this query's INTERIOR
+    # scans of its own ~1.5k-row dt-partitioned timeline — ~30 tiny
+    # files become ~30 splits, so every post-load stage (selection aggs,
+    # string stats, ~40 GBT iteration jobs) schedules ~30 tasks for a
+    # relation that fits in one.  Production split size (128 MB) packs
+    # them into one split, which is exactly what a real cluster would
+    # see; shuffle partitions follow the timeline size (the streaming-
+    # drain convention).  Metric VALUES may shift in the last decimals
+    # (rand()-based splits are partitioning-sensitive — the documented
+    # rows-only posture); every count/feature column is data-determined
+    # and unchanged.
+    from tracker_trainer_spark.session import drain_partitions
+
+    child = spark.newSession()
+    child.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    # minPartitionNum floors scan parallelism at defaultParallelism,
+    # which re-splits the tiny timeline right back to one-file-per-task
+    # regardless of maxPartitionBytes; 1 makes the 128 MB split size
+    # authoritative (large timelines still split by SIZE)
+    child.conf.set("spark.sql.files.minPartitionNum", "1")
+    child.conf.set("spark.sql.shuffle.partitions",
+                   str(drain_partitions(path)))
+    n_timeline = child.read.parquet(path).count()
 
     # small round budget: the row certifies pipeline EXECUTION, and the
     # driver/bench price must stay in seconds (full-budget throughput
     # evidence lives in scripts/train_soak.py)
-    p = train_propensity_model(spark, path, model_seed,
+    p = train_propensity_model(child, path, model_seed,
                                max_features=max_features,
                                num_rounds=6, max_depth=3)
-    d = train_decision_model(spark, path, p, model_seed,
+    d = train_decision_model(child, path, p, model_seed,
                              max_features=max_features,
                              num_rounds=6, max_depth=3)
 
     # batch inference: score the decision model back over the timeline
     frame = load_training_frame(
-        spark, path, columns=["decision_id", "item", "context", "reward"],
+        child, path, columns=["decision_id", "item", "context", "reward"],
         seed=model_seed)
     y = znormalize_reward(frame, "reward")
     flat = (

@@ -347,13 +347,20 @@ def stream_session_stats(spark, sf_dir):
     sessions (tests/test_streaming_window.py late-data cases)."""
     import uuid
 
+    from tracker_trainer_spark.session import drain_partitions
     from tracker_trainer_spark.streaming.ingest_stream import (
         session_window_stats,
     )
 
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # state partitions sized from the SOURCE, not the box (VERDICT r9
+    # item 4, scoped via a child session): session-window state merges
+    # pay a per-partition store open/commit every micro-batch
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions",
+                   str(drain_partitions(f"{sf_dir}/events.parquet")))
+    batch_schema = child.read.parquet(f"{sf_dir}/events.parquet").schema
     src = (
-        spark.readStream.schema(batch_schema)
+        child.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
@@ -367,7 +374,7 @@ def stream_session_stats(spark, sf_dir):
         .outputMode("complete").trigger(availableNow=True).start()
     )
     q.awaitTermination()
-    return spark.table(name).select(
+    return child.table(name).select(
         "user_id",
         F.unix_micros("session_start").alias("session_start_us"),
         F.col("n_events").cast("long").alias("n_events"),

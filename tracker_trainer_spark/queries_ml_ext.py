@@ -1037,18 +1037,26 @@ def corpus_decontamination(spark, sf_dir):
     one filter without changing the plan shape. Holdout docs sharing
     nothing surface with containment 0 (left join), not silently
     dropped."""
-    from tracker_trainer_spark.functions.dedup import shingle_hashes
+    from tracker_trainer_spark.functions.dedup import shingle_hashes_arrow
+    from tracker_trainer_spark.functions.text import tokens
     from tracker_trainer_spark.functions import sampling as _sampling
     from tracker_trainer_spark.session import spread as _spread
 
+    # r10 (§4.2): the interpreted shingle HOF (transform+md5+conv walk
+    # the expression tree per shingle) was this query's cold wall — the
+    # bit-identical Arrow kernel the rest of the dedup family certifies
+    # through replaces it.  The short-doc filter tests TOKEN COUNT below
+    # the spread (≥3 tokens ⟺ ≥1 shingle ⟺ the old size(sh)>0), the
+    # doc_shingles convention: a filter on the kernel's output column
+    # would re-evaluate the kernel.
     docs = (
-        _spread(_t(spark, sf_dir, "documents"))
+        _spread(_t(spark, sf_dir, "documents")
+                .where(F.size(tokens("text")) >= 3))
         .select(
             "doc_id",
             _sampling.hash_split("doc_id", holdout_pct=10).alias("split"),
-            shingle_hashes("text", 3).alias("sh"),
+            shingle_hashes_arrow("text", 3).alias("sh"),
         )
-        .where(F.size("sh") > 0)
     )
     docs.cache()
     hold = docs.where(F.col("split") == "holdout").select(

@@ -556,9 +556,17 @@ def stream_distinct_users(spark, sf_dir):
     tests/test_streaming_dedup.py's late-data cases)."""
     import uuid
 
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from tracker_trainer_spark.session import drain_partitions
+
+    # state partitions sized from the SOURCE, not the box (VERDICT r9
+    # item 4, scoped via a child session like the reward join): the
+    # dedup state store pays a per-partition open/commit each batch
+    child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions",
+                   str(drain_partitions(f"{sf_dir}/events.parquet")))
+    batch_schema = child.read.parquet(f"{sf_dir}/events.parquet").schema
     src = (
-        spark.readStream.schema(batch_schema)
+        child.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
@@ -571,7 +579,7 @@ def stream_distinct_users(spark, sf_dir):
         .outputMode("append").trigger(availableNow=True).start()
     )
     q.awaitTermination()
-    return spark.table(name).select("user_id", "event_type")
+    return child.table(name).select("user_id", "event_type")
 
 
 STREAM_DISTINCT_SQL = """
@@ -626,8 +634,17 @@ def stream_reward_join(spark, sf_dir):
         decisions_rewards_join,
     )
 
+    from tracker_trainer_spark.session import drain_partitions
+
     child = spark.newSession()
     child.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    # state partitions sized from the SOURCE, not the box (VERDICT r9
+    # item 4): interleaved min-of-3 at sf0.1 local[32] measured 5.74 s
+    # at the 32-partition session default vs 1.46-1.64 s input-sized,
+    # 713 rows bit-identical — the wall was 4 state stores x 32
+    # partitions of open/commit, not join compute
+    child.conf.set("spark.sql.shuffle.partitions",
+                   str(drain_partitions(f"{sf_dir}/events.parquet")))
     schema = child.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def src():

@@ -95,6 +95,35 @@ def spread(df, n: int | None = None):
     return df.repartition(n)
 
 
+def drain_partitions(source_path: str,
+                     bytes_per_partition: int = 128 << 20,
+                     cap: int = 4096) -> int:
+    """Shuffle/state partition count for a bounded availableNow
+    streaming drain, derived from the SOURCE size — never from the box.
+
+    Every micro-batch pays a fixed state-store open/commit per shuffle
+    partition (a stream-stream join opens four stores per partition), so
+    a drain keyed to the session default (32 here) spends its wall on
+    store bookkeeping when the source is small: measured at sf0.1
+    local[32], the reward-join drain is 5.7 s at 32 partitions vs 1.5-
+    1.6 s at the input-derived count, identical rows.  One partition per
+    128 MiB of source (the production input-split size) keeps
+    per-partition state in the tens-of-MB class; at 100 TB of source the
+    same formula saturates the cap, so this is scale-adaptive, not a
+    local[32] constant."""
+    import os
+
+    total = 0
+    if os.path.isdir(source_path):
+        for root, _, files in os.walk(source_path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, f))
+    elif os.path.exists(source_path):
+        total = os.path.getsize(source_path)
+    return max(1, min(cap, -(-total // bytes_per_partition)))
+
+
 def fanout(df, n: int | None = None):
     """Unconditionally re-spread a COMPACT relation that is about to be
     exploded/multiplied.
