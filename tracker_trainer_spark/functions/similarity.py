@@ -141,6 +141,139 @@ def hyperplane_bucket(vec_col, planes: list[list[int]]) -> Column:
     return bucket(v)
 
 
+def _seq_fold_sq_dists(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """(n, k) squared L2 distances computed with the EXACT left-to-right
+    association of the JVM fold ``aggregate(zip_with(v, c, (x-y)*(x-y)),
+    0.0, acc+x)``: one IEEE double sub/mul/add per element in index
+    order (numpy elementwise kernels neither fuse nor reassociate), so
+    every distance is bit-equal to the HOF spelling."""
+    n, k = V.shape[0], C.shape[0]
+    out = np.empty((n, k), dtype=np.float64)
+    for j in range(k):
+        acc = np.zeros(n, dtype=np.float64)
+        for t in range(C.shape[1]):
+            diff = V[:, t] - C[j, t]
+            acc = acc + diff * diff
+        out[:, j] = acc
+    return out
+
+
+def l2_assign_exact(vec_col, cid_vec_pairs: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid cid over (cid, vector) pairs (ascending cid),
+    BIT-IDENTICAL to the interpreted HOF spelling
+    ``array_min(array(struct(aggregate(zip_with(v, lit(c),
+    (x-y)*(x-y)), 0.0, acc+x) AS dist, lit(cid))))["cid"]``:
+    distances use the same left-fold association
+    (:func:`_seq_fold_sq_dists`), distances are sums of squares so
+    never -0.0, and ``np.argmin``'s first-minimum tiebreak equals the
+    lexicographic struct min over ascending-cid candidates.  Exists
+    because the HOF spelling evaluates interpreted per element AND its
+    k×dim literal tree is re-analyzed every training round (guide
+    §4.2) — this kernel is one Arrow pass per batch."""
+    cids = np.asarray([c for c, _ in cid_vec_pairs], dtype=np.int32)
+    C = np.asarray([v for _, v in cid_vec_pairs], dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.asarray(v.tolist(), dtype=np.float64)
+        d2 = _seq_fold_sq_dists(V, C)
+        return pd.Series(cids[d2.argmin(axis=1)])
+
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return assign(v)
+
+
+def ivf_assign_exact(vec_col, centroids: list[list[float]]) -> Column:
+    """Expanded-form (|c|² − 2·v·c) nearest-centroid id, BIT-IDENTICAL
+    to the HOF spelling ``lit(float(sum(c*c))) − 2.0 *
+    aggregate(zip_with(v, lit(c), x*y), 0.0, acc+x)`` with
+    ties-to-lowest-cid: |c|² is the same Python float sum the lit
+    carried, the dot product folds left-to-right (one IEEE mul/add per
+    element, numpy does not reassociate), and the final
+    ``csq − 2.0·acc`` is one sub per cell.  The training twin of
+    :func:`ivf_assign` (which computes the same argmin via matmul —
+    fine for serving, but a matmul reassociates the sum, and training
+    feeds the result back into the next round's means where the oracle
+    replays the fold spelling)."""
+    csq = np.asarray([float(sum(v * v for v in c)) for c in centroids],
+                     dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.asarray(v.tolist(), dtype=np.float64)
+        n, k = V.shape[0], C.shape[0]
+        d2 = np.empty((n, k), dtype=np.float64)
+        for j in range(k):
+            acc = np.zeros(n, dtype=np.float64)
+            for t in range(C.shape[1]):
+                acc = acc + V[:, t] * C[j, t]
+            d2[:, j] = csq[j] - 2.0 * acc
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return assign(v)
+
+
+def pq_encode_exact(vec_col, codebooks: list[list[list[float]]]) -> Column:
+    """Per-subspace nearest-code ids, BIT-IDENTICAL to the HOF spelling
+    ``array_min(array(struct(aggregate(zip_with(slice(v, s·d+1, d),
+    lit(book[s][j]), (x-y)*(x-y)), 0.0, acc+x), lit(j))))["cid"]`` per
+    subspace: direct-form distances via the exact left-fold
+    (:func:`_seq_fold_sq_dists`), first-minimum tiebreak = lowest code.
+    The training twin of :func:`pq_encode` (same direct form; that
+    kernel's broadcast-subtract ``.sum(axis=2)`` reassociates, which is
+    fine for serving but training means feed the oracle-replayed
+    fold)."""
+    B = np.asarray(codebooks, dtype=np.float64)          # (m, k, d)
+    m, _, d = B.shape
+
+    @F.pandas_udf("array<int>")
+    def enc(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.asarray(vs.tolist(), dtype=np.float64)
+        out = np.empty((X.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            d2 = _seq_fold_sq_dists(X[:, s * d:(s + 1) * d], B[s])
+            out[:, s] = d2.argmin(axis=1)
+        return pd.Series([list(map(int, r)) for r in out])
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return enc(c)
+
+
+def pq_sub_assign_exact(sv_col, sub_col, books: list[list[list[float]]]) -> Column:
+    """Nearest-code id for exploded (subspace, subvector) rows,
+    BIT-IDENTICAL to the per-subspace when-chain of interpreted HOF
+    candidates (direct (x−y)² left-fold per code, array_min ties to the
+    lowest code — see :func:`_seq_fold_sq_dists`).  The training twin of
+    the lloyd_pq_codebooks round expression: same arithmetic, one Arrow
+    pass per batch, no m×k literal tree re-analyzed per round."""
+    B = np.asarray(books, dtype=np.float64)              # (m, k, d)
+
+    @F.pandas_udf("int")
+    def assign(sv: pd.Series, sub: pd.Series) -> pd.Series:
+        if len(sv) == 0:
+            return pd.Series([], dtype="int32")
+        subs = sub.to_numpy()
+        SV = np.asarray(sv.tolist(), dtype=np.float64)
+        out = np.zeros(len(subs), dtype=np.int32)
+        for s in range(B.shape[0]):
+            mask = subs == s
+            if mask.any():
+                out[mask] = _seq_fold_sq_dists(SV[mask], B[s]).argmin(axis=1)
+        return pd.Series(out)
+
+    svc = F.col(sv_col) if isinstance(sv_col, str) else sv_col
+    sbc = F.col(sub_col) if isinstance(sub_col, str) else sub_col
+    return assign(svc, sbc)
+
+
 def ivf_assign(vec_col, centroids: list[list[float]]) -> Column:
     """IVF coarse quantizer: nearest-centroid cell id per vector.
 
@@ -710,8 +843,14 @@ def lloyd_pq_codebooks(df: DataFrame, m: int = 4, k: int = 4,
                 f"PQ training emptied a code: {m * k - len(seen)} missing")
         if rnd + 1 < iters:
             # the post-final-round assignment is never aggregated —
-            # building its m×k candidate expression is pure driver cost
-            assigned = sv.withColumn("cid", assign_expr(books))
+            # building its m×k candidate expression is pure driver cost.
+            # r10: reassignment runs the exact-fold Arrow kernel — bit-
+            # identical to assign_expr's interpreted when-chain (see
+            # pq_sub_assign_exact) without re-analyzing the m×k literal
+            # tree per round; assign_expr remains the reference spelling
+            # (tests pin the kernel against it).
+            assigned = sv.withColumn(
+                "cid", pq_sub_assign_exact("sv", "sub", books))
     return (books, probe) if probe_id is not None else books
 
 

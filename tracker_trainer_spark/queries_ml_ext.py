@@ -170,12 +170,24 @@ def kmeans_embedding_clusters(spark, sf_dir, k: int = KMEANS_K,
     # training collects (VERDICT r8 item 5 "memoize").  The final
     # fused round + stats stay in-plan and execute fresh every run.
     def _train():
+        from tracker_trainer_spark.functions.similarity import (
+            l2_assign_exact,
+        )
+
         init = emb.withColumn("cid", (F.col("vec_id") % k).cast("int"))
         cents = _mean_centroids(init)
         for _ in range(iters - 1):
             if not cents:
                 break
-            assigned = emb.withColumn("cid", _assign_expr(cents)["cid"])
+            # r10 (§4.2): the training rounds assign via the exact-fold
+            # Arrow kernel — bit-identical to _assign_expr's interpreted
+            # HOF (same left-fold association, same lowest-cid tiebreak;
+            # see l2_assign_exact's docstring) without re-analyzing a
+            # k×dim literal tree per round.  The RETURNED plan's final
+            # fused round keeps the in-plan zip_with spelling (no new
+            # Python node in the declared plan).
+            assigned = emb.withColumn(
+                "cid", l2_assign_exact("emb", sorted(cents.items())))
             cents = _mean_centroids(assigned, prev=cents)
         return cents
 
@@ -1667,45 +1679,23 @@ def _fused_ivfpq_training(emb, n_cells, m, k, iters, probe_id=None):
     lloyd_centroids / lloyd_pq_codebooks (probe_list is None when
     probe_id is None).
     """
+    # r10 (§4.2): round-2 reassignment runs through the exact-fold Arrow
+    # kernels — bit-identical to the former interpreted HOF expressions
+    # (cells: expanded |c|² − 2x·c with the lit'd Python-float |c|² and
+    # a left-fold dot; codes: direct (x−y)² left-fold; ties to the
+    # lowest cid in both — see ivf_assign_exact / pq_encode_exact) —
+    # without building and analyzing a (cells+m·k)-literal expression
+    # tree per round, which dominated this query's cold driver wall.
+    from tracker_trainer_spark.functions.similarity import (
+        ivf_assign_exact,
+        pq_encode_exact,
+    )
+
     def codes_expr(books):
-        d = len(books[0][0])
-        return F.array(*[
-            F.array_min(F.array(*[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.slice("emb", s * d + 1, d),
-                            _sim_lit_vec(books[s][j]),
-                            lambda x, y: (x - y) * (x - y),
-                        ),
-                        F.lit(0.0), lambda acc, x: acc + x,
-                    ).alias("dist"),
-                    F.lit(j).alias("cid"),
-                )
-                for j in range(len(books[s]))
-            ]))["cid"]
-            for s in range(m)
-        ])
+        return pq_encode_exact("emb", books)
 
     def cells_expr(cmap):
-        # expanded form |c|^2 - 2 x.c (|x|^2 is constant per row):
-        # byte-matches the oracle's ivd CTEs and numpy ivf_assign
-        cands = [
-            F.struct(
-                (F.lit(float(sum(v * v for v in c)))
-                 - 2.0 * F.aggregate(
-                     F.zip_with(
-                         F.col("emb"),
-                         _sim_lit_vec(c),
-                         lambda x, y: x * y,
-                     ),
-                     F.lit(0.0), lambda acc, x: acc + x,
-                 )).alias("dist"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, c in sorted(cmap.items())
-        ]
-        return F.array_min(F.array(*cands))["cid"]
+        return ivf_assign_exact("emb", [cmap[c] for c in sorted(cmap)])
 
     cell_col = (F.col("vec_id") % n_cells).cast("int")
     code_col = F.array(*[(F.col("vec_id") % k).cast("int")] * m)
