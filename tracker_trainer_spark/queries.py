@@ -3605,6 +3605,26 @@ ORACLES.update(_SKETCH_ORACLES)
 # the change. The rule evicts on behavioral reach, not on transitive
 # import of a helper whose changed branch cannot execute.
 _DRIVER_CERTIFIED = frozenset({
+    # ---- r10 rotation (optimization round 2): EVICTED into the window
+    # — bodies changed this round (eviction rule) or r9-rewritten with
+    # only a re-recorded fingerprint (ADVICE r9: self-adjudicated
+    # 'bit-identical' certs must be driver-validated):
+    #   stream_windowed_counts, train_e2e_metrics, corpus_decontamination
+    #     (r10 bodies: input-sized drain partitions / child-session
+    #     train pipeline / Arrow shingle kernel)
+    #   supplier_triangle_count  (degree_oriented_triangles helper:
+    #     0-edge coalesce — plus the VERDICT r9 item 8 rotation)
+    #   doc_centrality_pagerank, groom_fixpoint_check  (VERDICT r9
+    #     item 8: their r9 rewrites were never driver-executed)
+    # RETURNED to certified (r9 window greens in CORRECTNESS_r09.json,
+    # fingerprints recorded at the code the driver validated, unchanged
+    # since): q7_volume_shipping, propensity_explode_events,
+    # ann_cosine_topk, q9_product_profit, doc_bigram_pmi,
+    # doc_tfidf_top_terms.
+    # (kmeans_embedding_clusters, ann_ivf/pq/ivfpq_topk,
+    # doc_unigram_logprob, stream_reward_join, stream_session_stats,
+    # stream_distinct_users also changed in r9/r10 — already
+    # window-bound, so the r10 driver re-validates them too.)
     # ---- r9 state: the union of every green driver row from
     # CORRECTNESS_r01-r08 (the r8 window came back 50/50 green, zero
     # errors), MINUS the exactly-50-slot r9 window, which holds:
@@ -3694,6 +3714,7 @@ _DRIVER_CERTIFIED = frozenset({
     #    last source change, and train_encode_events' numeric-slot
     #    oracle finally has a driver value-check.
     "ab_test_lift",
+    "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
     "bloom_filter_audit",
@@ -3702,7 +3723,6 @@ _DRIVER_CERTIFIED = frozenset({
     "contrastive_negative_pairs",
     "conversion_latency_quantiles",
     "corpus_curation",
-    "corpus_decontamination",
     "corpus_mixture_weights",
     "corpus_train_holdout",
     "countmin_frequency_topk",
@@ -3724,12 +3744,13 @@ _DRIVER_CERTIFIED = frozenset({
     "dedup_minhash_estimate",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "doc_bigram_pmi",
     "doc_bm25_search",
-    "doc_centrality_pagerank",
     "doc_fingerprint_lang",
     "doc_pack_assignments",
     "doc_repetition_stats",
     "doc_text_stats",
+    "doc_tfidf_top_terms",
     "doc_token_chunks",
     "doc_zipf_fit",
     "embedding_isotropy",
@@ -3746,7 +3767,6 @@ _DRIVER_CERTIFIED = frozenset({
     "frequent_brand_triples",
     "funnel_view_click_purchase",
     "groom_concurrent_ingest",
-    "groom_fixpoint_check",
     "hll_distinct_users",
     "hll_merge_daily",
     "holt_backtest",
@@ -3772,6 +3792,7 @@ _DRIVER_CERTIFIED = frozenset({
     "part_name_editdist_pairs",
     "partition_freshness_audit",
     "price_quantity_regression",
+    "propensity_explode_events",
     "purchase_attribution_asof",
     "purchase_daily_gapfill",
     "purchase_moving_avg",
@@ -3794,7 +3815,9 @@ _DRIVER_CERTIFIED = frozenset({
     "q4_order_priority",
     "q5_nation_revenue",
     "q6_revenue_forecast",
+    "q7_volume_shipping",
     "q8_market_share",
+    "q9_product_profit",
     "retention_cohorts",
     "revenue_rollup_nation_year",
     "reward_summary_stats",
@@ -3803,10 +3826,7 @@ _DRIVER_CERTIFIED = frozenset({
     "session_window_sessions",
     "sliding_event_counts",
     "stratified_sample_by_lang",
-    "stream_windowed_counts",
-    "supplier_triangle_count",
     "top3_orders_per_customer",
-    "train_e2e_metrics",
     "user_activity_streaks",
     "user_decayed_value",
     "user_event_entropy",
@@ -3814,8 +3834,8 @@ _DRIVER_CERTIFIED = frozenset({
     "user_tier_scd2",
     "value_drift_ks",
     "value_drift_psi",
-    "weekday_seasonality",
     "value_purchase_auc",
+    "weekday_seasonality",
     "weekly_auc_drift",
     "weighted_doc_sample",
     "windowed_event_stats",
