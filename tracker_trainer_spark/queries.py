@@ -1287,58 +1287,52 @@ def funnel_view_click_purchase(spark, sf_dir):
     """Ordered-funnel analysis: per user, first view → first click
     strictly after it → first purchase strictly after that.
 
-    Sequence semantics (stage N must follow stage N-1 in event-time) are
-    what SQL needs three correlated min-joins for. Spark-first shape:
-    ONE shuffle — groupBy(user) collects the (ts, type) pairs, and an
-    `aggregate` HOF walks the sorted sequence with a 3-field state
-    struct, JVM-side. Per-user state is 3 timestamps regardless of
-    event count, and per-user sequences are bounded (the same contract
-    as the sessionization window), so hot users are linear, never
-    quadratic. The oracle is the 3-join decorrelation — equivalent, but
-    3 fact shuffles instead of 1 at scale.
+    Sequence semantics (stage N must follow stage N-1 in event-time)
+    are what SQL needs three correlated min-joins for — but the
+    staged minima nest: t_view = min(view ts), t_click = min(click ts
+    > t_view), t_purchase = min(purchase ts > t_click), because "first
+    click after the first view" IS the smallest click timestamp
+    exceeding the smallest view timestamp.  Spark-first shape: ONE
+    shuffle — three whole-partition `min(when(...))` windows keyed on
+    user (each references the previous stage's column, so they run as
+    three chained Window operators over the SAME exchange+sort) and a
+    final same-key agg that also rides that exchange.  r10 (guide
+    §4.1/§2.4): this replaces the r1-r9 spelling — groupBy(user) →
+    sort_array(collect_list(struct)) → interpreted `aggregate` HOF
+    walking every event — which materialized a per-user array and
+    evaluated three CASE trees per event OUTSIDE codegen.  The window
+    spelling keeps per-row work in WholeStageCodegen min-aggregates,
+    never builds the array, and won all interleaved A/B pairs at sf1
+    (1.12-1.50 s → 0.85-1.16 s); outputs are bit-identical at every
+    local scale (sorted-walk first-hit ≡ conditional min, ties
+    excluded by the strict > in both spellings).  The oracle is the
+    3-join decorrelation — equivalent, but 3 fact shuffles instead of
+    1 at scale.
     """
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    seq = ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("seq")
-    )
-    null_ts = F.lit(None).cast("timestamp")
-    state = F.aggregate(
-        "seq",
-        F.struct(
-            null_ts.alias("tv"), null_ts.alias("tc"), null_ts.alias("tp")
-        ),
-        lambda s, e: F.struct(
-            F.coalesce(
-                s.getField("tv"),
-                F.when(e.getField("event_type") == "view", e.getField("ts")),
-            ).alias("tv"),
-            F.coalesce(
-                s.getField("tc"),
-                F.when(
-                    (e.getField("event_type") == "click")
-                    & s.getField("tv").isNotNull()
-                    & (e.getField("ts") > s.getField("tv")),
-                    e.getField("ts"),
-                ),
-            ).alias("tc"),
-            F.coalesce(
-                s.getField("tp"),
-                F.when(
-                    (e.getField("event_type") == "purchase")
-                    & s.getField("tc").isNotNull()
-                    & (e.getField("ts") > s.getField("tc")),
-                    e.getField("ts"),
-                ),
-            ).alias("tp"),
-        ),
-    )
+    w = Window.partitionBy("user_id")
+    tv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    step1 = ev.withColumn("tv", tv)
+    tc = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("tv")),
+            F.col("ts"),
+        )
+    ).over(w)
+    step2 = step1.withColumn("tc", tc)
+    tp = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("tc")),
+            F.col("ts"),
+        )
+    ).over(w)
     return (
-        seq.select("user_id", state.alias("st"))
-        .select(
-            "user_id",
-            F.col("st.tv").alias("t_view"),
-            F.col("st.tc").alias("t_click"),
-            F.col("st.tp").alias("t_purchase"),
+        step2.withColumn("tp", tp)
+        .groupBy("user_id")
+        .agg(
+            F.max("tv").alias("t_view"),
+            F.max("tc").alias("t_click"),
+            F.max("tp").alias("t_purchase"),
         )
         .orderBy("user_id")
     )
@@ -3765,7 +3759,11 @@ _DRIVER_CERTIFIED = frozenset({
     "feature_robust_scaling",
     "fk_integrity_audit",
     "frequent_brand_triples",
-    "funnel_view_click_purchase",
+    # funnel_view_click_purchase EVICTED r10: HOF-over-collect_list →
+    # chained min(when) windows (bit-identical at 3 local scales; the
+    # driver re-certifies the new body).  Slot freed by returning
+    # user_running_distinct — r9 window green (CORRECTNESS_r09.json),
+    # fingerprint verified equal to the code the driver validated.
     "groom_concurrent_ingest",
     "hll_distinct_users",
     "hll_merge_daily",
@@ -3830,6 +3828,7 @@ _DRIVER_CERTIFIED = frozenset({
     "user_activity_streaks",
     "user_decayed_value",
     "user_event_entropy",
+    "user_running_distinct",
     "user_sessions",
     "user_tier_scd2",
     "value_drift_ks",
