@@ -30,19 +30,21 @@ warm_python_workers(spark)
 QUERIES["events_type_stats"](spark, sf_dir).toPandas()
 
 names = list(QUERIES)[start:end]
+sweeps = int(os.environ.get("REPRO_SWEEPS", "1"))
 t_start = time.perf_counter()
-for name in names:
-    if name in skip:
-        print(f"{time.perf_counter()-t_start:7.1f}s  {name:35s} SKIPPED")
-        continue
-    runs = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).toPandas()
-        runs.append(time.perf_counter() - t0)
-        spark.catalog.clearCache()
-        release_caches()
-        gc.collect()
-    print(f"{time.perf_counter()-t_start:7.1f}s  {name:35s} min={min(runs):7.3f} "
-          f"runs={[round(r,2) for r in runs]}")
+for sweep in range(sweeps):
+    for name in names:
+        if name in skip:
+            print(f"{time.perf_counter()-t_start:7.1f}s  s{sweep} {name:35s} SKIPPED")
+            continue
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).toPandas()
+            runs.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+            release_caches()
+            gc.collect()
+        print(f"{time.perf_counter()-t_start:7.1f}s  s{sweep} {name:35s} min={min(runs):7.3f} "
+              f"runs={[round(r,2) for r in runs]}")
 spark.stop()
