@@ -43,7 +43,55 @@ def new_funnel(spark, sf_dir):
     )
 
 
-old = QUERIES["funnel_view_click_purchase"]
+def old_funnel(spark, sf_dir):
+    """The pre-r10 spelling, inlined so the A/B stays reproducible after
+    the registry body switched to the window form (r10 commit 16e9a56)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_type"))).alias("seq")
+    )
+    null_ts = F.lit(None).cast("timestamp")
+    state = F.aggregate(
+        "seq",
+        F.struct(null_ts.alias("tv"), null_ts.alias("tc"), null_ts.alias("tp")),
+        lambda s, e: F.struct(
+            F.coalesce(
+                s.getField("tv"),
+                F.when(e.getField("event_type") == "view", e.getField("ts")),
+            ).alias("tv"),
+            F.coalesce(
+                s.getField("tc"),
+                F.when(
+                    (e.getField("event_type") == "click")
+                    & s.getField("tv").isNotNull()
+                    & (e.getField("ts") > s.getField("tv")),
+                    e.getField("ts"),
+                ),
+            ).alias("tc"),
+            F.coalesce(
+                s.getField("tp"),
+                F.when(
+                    (e.getField("event_type") == "purchase")
+                    & s.getField("tc").isNotNull()
+                    & (e.getField("ts") > s.getField("tc")),
+                    e.getField("ts"),
+                ),
+            ).alias("tp"),
+        ),
+    )
+    return (
+        seq.select("user_id", state.alias("st"))
+        .select(
+            "user_id",
+            F.col("st.tv").alias("t_view"),
+            F.col("st.tc").alias("t_click"),
+            F.col("st.tp").alias("t_purchase"),
+        )
+        .orderBy("user_id")
+    )
+
+
+old = old_funnel
 
 a = old(spark, sf_dir).toPandas()
 b = new_funnel(spark, sf_dir).toPandas()
